@@ -1,13 +1,55 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
+  private def bars(s: SparkSession, dir: String): DataFrame =
+    Bars.ohlcv(Tables.events(s, dir))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. ingestion / preprocessing
+    "q_bars_ohlcv" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      bars(s, d).select(col("symbol"), col("bar_ts"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), round(col("vsum") + lit(5e-9), 4).as("vsum"))
+        .orderBy(col("symbol"), col("bar_ts"))
+    }),
+    "q_preprocess_mavg" -> ((s, d) => Indicators.preprocess(bars(s, d))),
+    "q_dedup_latest" -> ((s, d) => Relational.dedupLatest(Tables.events(s, d))),
+    "q_latest_ts" -> ((s, d) => Relational.latestTs(Tables.events(s, d))),
+    "q_time_filter" -> ((s, d) => Relational.timeFilter(Tables.events(s, d))),
+    "q_validate_clean" -> ((s, d) => Relational.validateClean(Tables.events(s, d))),
+    // B. technical indicators
+    "q_sma" -> ((s, d) => Indicators.sma(bars(s, d))),
+    "q_bollinger" -> ((s, d) => Indicators.bollinger(bars(s, d))),
+    "q_rsi" -> ((s, d) => Indicators.rsi(bars(s, d))),
+    "q_macd" -> ((s, d) => Ema.macd(bars(s, d))),
+    "q_atr" -> ((s, d) => Indicators.atr(bars(s, d))),
+    "q_stochastic" -> ((s, d) => Indicators.stochastic(bars(s, d))),
+    "q_vwap" -> ((s, d) => Indicators.vwap(bars(s, d))),
+    "q_momentum" -> ((s, d) => Indicators.momentum(bars(s, d))),
+    "q_summary_stats" -> ((s, d) => Indicators.summaryStats(bars(s, d))),
+    "q_weekly_range" -> ((s, d) => Indicators.weeklyRange(bars(s, d))),
+    "q_volume_heatmap" -> ((s, d) => Indicators.volumeHeatmap(bars(s, d))),
+    "q_latest_metrics" -> ((s, d) => Indicators.latestMetrics(bars(s, d))),
+    // C. relational core
+    "q1_agg" -> ((s, d) => Relational.q1(Tables.lineitem(s, d))),
+    "q_join_agg" -> ((s, d) => Relational.joinAgg(Tables.orders(s, d),
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_topk_per_group" -> ((s, d) => Relational.topkPerGroup(Tables.orders(s, d))),
+    "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d)))
+  )
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.all
 }

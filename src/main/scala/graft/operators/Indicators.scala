@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Technical-indicator suite over per-symbol OHLCV bars.
+  *
+  * Re-expresses the pandas indicator math of the reference dashboard
+  * (reference app/dashboard.py:84-145 `calculate_technical_indicators`,
+  * :370-414 volume/VWAP, :416-456 range box & heatmap, :496-535 momentum,
+  * :623-667 summary/latest metrics) as Spark window functions.
+  *
+  * Semantics notes (declared, oracle-checked):
+  *  - pandas `rolling(n)` yields null until n observations exist; we gate
+  *    every rolling value with `row_number >= n` instead of back-filling.
+  *  - all derived doubles are rounded to 4dp at the output edge only.
+  *  - every division is explicitly guarded (no engine-specific x/0).
+  *
+  * Scale notes: every indicator is a window over
+  * `PARTITION BY symbol ORDER BY bar_ts` — a single hash exchange on
+  * symbol feeds the whole suite, frames are row-bounded (no unbounded
+  * buffering except the cumulative VWAP prefix sums), and everything stays
+  * inside whole-stage codegen (no UDFs).
+  */
+object Indicators {
+
+  private val w = Window.partitionBy(col("symbol")).orderBy(col("bar_ts"))
+  private val wDate = Window.partitionBy(col("symbol"), col("bar_date")).orderBy(col("bar_ts"))
+
+  /** Per-date rolling-5 moving average + per-date cumulative average of
+    * close (reference src/preprocessing/data_preprocessor.py:63-70;
+    * rolling uses min_periods=1 so no warmup nulls). */
+  def preprocess(bars: DataFrame): DataFrame = {
+    val w5 = wDate.rowsBetween(-4, 0)
+    val wc = wDate.rowsBetween(Window.unboundedPreceding, 0)
+    def frameAvg(w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      sum(col("close").cast("decimal(18,6)")).over(w).cast("double") /
+        count(col("close")).over(w)
+    bars.withColumn("bar_date", to_date(col("bar_ts")))
+      .select(col("symbol"), col("bar_ts"), col("bar_date"), col("close"),
+        round(frameAvg(w5) + lit(5e-9), 4).as("mavg5"),
+        round(frameAvg(wc) + lit(5e-9), 4).as("cumavg"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+  private def wr(n: Int) = w.rowsBetween(-(n - 1), 0)
+  private val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+  private val rn = row_number().over(w)
+
+  private def gated(n: Int)(c: Column): Column = when(rn >= n, c)
+
+  /** Exact-decimal mean over a full n-row frame. Prices are 2-decimal, so
+    * double averages with denominators like 200 land exactly on round-4
+    * midpoints and the engines' different summation orders (linear vs
+    * segment tree) flip the rounding; summing in DECIMAL(18,6) makes the
+    * pre-division value bit-exact on both sides (SURVEY.md §5). */
+  private def davg(c: Column, n: Int): Column =
+    sum(c.cast("decimal(18,6)")).over(wr(n)).cast("double") / n
+
+  /** SMA 20/50/200 (reference app/dashboard.py:98,104-105). */
+  def sma(bars: DataFrame): DataFrame =
+    bars.select(col("symbol"), col("bar_ts"), col("close"),
+        gated(20)(round(davg(col("close"), 20) + lit(5e-9), 4)).as("sma20"),
+        gated(50)(round(davg(col("close"), 50) + lit(5e-9), 4)).as("sma50"),
+        gated(200)(round(davg(col("close"), 200) + lit(5e-9), 4)).as("sma200"))
+      .orderBy(col("symbol"), col("bar_ts"))
+
+  /** Bollinger bands: SMA20 ± 2 × sample stddev (app/dashboard.py:97-101). */
+  def bollinger(bars: DataFrame): DataFrame = {
+    val sma20 = davg(col("close"), 20)
+    val sd = stddev_samp(col("close")).over(wr(20))
+    bars.select(col("symbol"), col("bar_ts"), col("close"),
+        gated(20)(round(sma20 + lit(5e-9), 4)).as("sma20"),
+        gated(20)(round(sma20 + sd * 2 + lit(5e-9), 4)).as("bb_upper"),
+        gated(20)(round(sma20 - sd * 2 + lit(5e-9), 4)).as("bb_lower"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** RSI(14), simple-moving-average variant (app/dashboard.py:107-112).
+    * First delta is treated as zero gain/loss, exactly like
+    * `delta.where(delta > 0, 0)` does for the leading NaN in pandas. */
+  def rsi(bars: DataFrame): DataFrame = {
+    val delta = col("close") - lag(col("close"), 1).over(w)
+    val gain = when(delta > 0, delta).otherwise(lit(0.0))
+    val loss = when(delta < 0, -delta).otherwise(lit(0.0))
+    bars.select(col("symbol"), col("bar_ts"), col("close"),
+        gain.as("gain"), loss.as("loss"), rn.as("rn"))
+      .select(col("symbol"), col("bar_ts"), col("close"),
+        avg(col("gain")).over(wr(14)).as("avg_gain"),
+        avg(col("loss")).over(wr(14)).as("avg_loss"), col("rn"))
+      .select(col("symbol"), col("bar_ts"), col("close"),
+        when(col("rn") < 14, lit(null))
+          .when(col("avg_loss") === 0, lit(100.0))
+          .otherwise(round(lit(100) - lit(100) / (lit(1) + col("avg_gain") / col("avg_loss")) + lit(5e-9), 4))
+          .as("rsi"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** ATR(14) over the true range (app/dashboard.py:120-126). The first
+    * bar has no previous close, so its TR is null and the 14-bar mean is
+    * only emitted once 14 non-null TRs exist (rn >= 15), matching the
+    * pandas min_periods gate. */
+  def atr(bars: DataFrame): DataFrame = {
+    val prevClose = lag(col("close"), 1).over(w)
+    val tr = when(prevClose.isNull, lit(null)).otherwise(
+      greatest(col("high") - col("low"),
+        abs(col("high") - prevClose),
+        abs(col("low") - prevClose)))
+    bars.select(col("symbol"), col("bar_ts"), tr.as("tr"), rn.as("rn"))
+      .select(col("symbol"), col("bar_ts"), round(col("tr") + lit(5e-9), 4).as("tr"),
+        when(col("rn") >= 15, round(avg(col("tr")).over(wr(14)) + lit(5e-9), 4)).as("atr"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Stochastic oscillator %K(14) / %D(3) (app/dashboard.py:128-132). */
+  def stochastic(bars: DataFrame): DataFrame = {
+    val lo14 = min(col("low")).over(wr(14))
+    val hi14 = max(col("high")).over(wr(14))
+    val k = when(rn < 14, lit(null))
+      .when(hi14 === lo14, lit(null))
+      .otherwise((col("close") - lo14) / (hi14 - lo14) * 100)
+    val w3 = wr(3)
+    bars.select(col("symbol"), col("bar_ts"), k.as("k_raw"), rn.as("rn"))
+      .select(col("symbol"), col("bar_ts"), round(col("k_raw") + lit(5e-9), 4).as("stoch_k"),
+        when(col("rn") >= 16 && count(col("k_raw")).over(w3) === 3,
+          round(avg(col("k_raw")).over(w3) + lit(5e-9), 4)).as("stoch_d"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Cumulative VWAP per symbol (app/dashboard.py:377). */
+  def vwap(bars: DataFrame): DataFrame =
+    bars.select(col("symbol"), col("bar_ts"), col("close"), col("volume"),
+        round(sum(col("close").cast("decimal(18,6)") * col("volume")).over(wCum).cast("double") /
+          sum(col("volume")).over(wCum) + lit(5e-9), 4).as("vwap"))
+      .orderBy(col("symbol"), col("bar_ts"))
+
+  /** Rate-of-change(10) and Momentum(10) (app/dashboard.py:503-504). */
+  def momentum(bars: DataFrame): DataFrame = {
+    val lag10 = lag(col("close"), 10).over(w)
+    bars.select(col("symbol"), col("bar_ts"), col("close"),
+        when(lag10.isNotNull && lag10 =!= 0,
+          round((col("close") / lag10 - 1) * 100 + lit(5e-9), 4)).as("roc"),
+        round(col("close") - lag10 + lit(5e-9), 4).as("mom"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Min/avg/max summary of OHLCV per symbol (app/dashboard.py:623-636). */
+  def summaryStats(bars: DataFrame): DataFrame = {
+    val cols = Seq("open", "high", "low", "close")
+    val n = count(lit(1))
+    val aggs =
+      cols.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"),
+          round(sum(col(c).cast("decimal(18,6)")).cast("double") / n + lit(5e-9), 4).as(s"avg_$c"),
+          max(col(c)).as(s"max_$c"))
+      } ++ Seq(min(col("volume")).as("min_volume"),
+        round(sum(col("volume")).cast("double") / n + lit(5e-9), 4).as("avg_volume"),
+        max(col("volume")).as("max_volume"))
+    bars.groupBy(col("symbol")).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("symbol"))
+  }
+
+  /** Weekly (Sunday-start) bar-range distribution: quartiles + extrema
+    * (app/dashboard.py:416-432, `create_daily_range_box`). */
+  def weeklyRange(bars: DataFrame): DataFrame = {
+    val weekStart = date_sub(to_date(col("bar_ts")), dayofweek(col("bar_ts")) - 1)
+    bars.select(col("symbol"), weekStart.as("week_start"),
+        (col("high") - col("low")).as("range"))
+      .groupBy(col("symbol"), col("week_start"))
+      .agg(
+        count(lit(1)).as("n_bars"),
+        round(min(col("range")) + lit(5e-9), 4).as("min_range"),
+        round(expr("percentile(range, array(0.25D, 0.5D, 0.75D))")(0) + lit(5e-9), 4).as("q1_range"),
+        round(expr("percentile(range, array(0.25D, 0.5D, 0.75D))")(1) + lit(5e-9), 4).as("med_range"),
+        round(expr("percentile(range, array(0.25D, 0.5D, 0.75D))")(2) + lit(5e-9), 4).as("q3_range"),
+        round(max(col("range")) + lit(5e-9), 4).as("max_range"))
+      .orderBy(col("symbol"), col("week_start"))
+  }
+
+  /** Average/total volume heat-map by day-of-week × hour
+    * (app/dashboard.py:434-456). */
+  def volumeHeatmap(bars: DataFrame): DataFrame =
+    bars.groupBy(date_format(col("bar_ts"), "EEEE").as("day_name"),
+        hour(col("bar_ts")).cast("long").as("hour"))
+      .agg(round(sum(col("volume")).cast("double") / count(lit(1)) + lit(5e-9), 4).as("avg_volume"),
+        sum(col("volume")).as("total_volume"))
+      .orderBy(col("day_name"), col("hour"))
+
+  /** Latest-bar metrics per symbol: last price, % change, volume vs mean
+    * (app/dashboard.py:642-667). */
+  def latestMetrics(bars: DataFrame): DataFrame =
+    bars.groupBy(col("symbol"))
+      .agg(
+        max_by(col("close"), col("bar_ts")).as("last_close"),
+        max_by(col("open"), col("bar_ts")).as("last_open"),
+        max_by(col("volume"), col("bar_ts")).as("last_volume"),
+        (sum(col("volume")).cast("double") / count(lit(1))).as("mean_volume"),
+        count(lit(1)).as("n_bars"))
+      .select(col("symbol"), col("last_close"), col("n_bars"),
+        when(col("last_open") =!= 0,
+          round((col("last_close") - col("last_open")) / col("last_open") * 100 + lit(5e-9), 4))
+          .as("price_change_pct"),
+        col("last_volume"),
+        when(col("mean_volume") =!= 0,
+          round((col("last_volume") - col("mean_volume")) / col("mean_volume") * 100 + lit(5e-9), 4))
+          .as("volume_change_pct"))
+      .orderBy(col("symbol"))
+}

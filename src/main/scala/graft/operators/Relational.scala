@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: the BigQuery-SQL surface of the reference re-expressed
+  * declaratively (ingest guards, dedup, time-range loads) plus the
+  * general aggregate/join/window capabilities any engine user needs.
+  */
+object Relational {
+
+  /** TPC-H Q1-style filtered group aggregate on lineitem.
+    * Fully declarative: the shipdate filter reaches the parquet scan
+    * (PushedFilters) and aggregation is map-side partial. */
+  def q1(lineitem: DataFrame): DataFrame = {
+    // Exact-decimal money math: double sums of 1e5+ rows drift across
+    // engines by more than the 2dp rounding grid; DECIMAL(18,6) sums are
+    // bit-reproducible everywhere (SURVEY.md §5).
+    val qty = col("l_quantity").cast("decimal(18,6)")
+    val price = col("l_extendedprice").cast("decimal(18,6)")
+    val discF = (lit(1) - col("l_discount").cast("decimal(18,6)"))
+    val taxF = (lit(1) + col("l_tax").cast("decimal(18,6)"))
+    val discPrice = (price * discF).cast("decimal(18,6)")
+    val n = count(lit(1))
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(qty), 2).cast("double").as("sum_qty"),
+        round(sum(price), 2).cast("double").as("sum_base_price"),
+        round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
+        round(sum((discPrice * taxF).cast("decimal(18,6)")), 2).cast("double").as("sum_charge"),
+        round(sum(qty).cast("double") / n + lit(5e-9), 4).as("avg_qty"),
+        round(sum(price).cast("double") / n + lit(5e-9), 4).as("avg_price"),
+        round(sum(col("l_discount").cast("decimal(18,6)")).cast("double") / n + lit(5e-9), 4).as("avg_disc"),
+        n.as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Revenue per region/nation: multiway join with broadcast dimensions
+    * (nation/region are broadcast; customer⋈orders shuffles on the key,
+    * AQE may still broadcast customer when it fits). */
+  def joinAgg(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double") / count(lit(1)) + lit(5e-9), 4).as("avg_order"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Top-k orders per customer via window rank (deterministic tie-break
+    * on orderkey). */
+  def topkPerGroup(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= k)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Exact dedup keeping the first row per (symbol, timestamp) —
+    * `ROW_NUMBER() OVER (PARTITION BY symbol, timestamp)` = 1 with a
+    * deterministic event_id tie-break
+    * (reference src/preprocessing/dedup_pipeline.py:33-52).
+    * Shuffles only on the dedup key; at scale this is the standard
+    * keep-first shuffle dedup with partial `min` pre-aggregation
+    * available when no payload column is needed. */
+  def dedupLatest(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("ts")).orderBy(col("event_id"))
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("event_type"), col("ts"))
+  }
+
+  /** Per-symbol MAX(timestamp) ingest watermark
+    * (reference src/ingestion/stocks_pipeline.py:89-107). */
+  def latestTs(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(max(col("ts")).as("latest_ts"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Time-range scan + ordered projection (reference app/dashboard.py:32-48
+    * `WHERE timestamp >= now − N days ORDER BY timestamp`). The predicate
+    * is pushed to the parquet scan. */
+  def timeFilter(events: DataFrame): DataFrame =
+    events
+      .filter(col("ts") >= lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** Validation/cleaning: JSON property extraction, type casts, null/range
+    * filters (reference src/preprocessing/data_preprocessor.py:47-59 cleans
+    * string-typed numerics; our props field plays the raw payload). */
+  def validateClean(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("value").isNotNull && col("value") >= 0 &&
+        col("k").isNotNull && col("k") >= 0)
+      .orderBy(col("event_id"))
+
+  /** Gap-based sessionization (30-min inactivity gap) per user over the
+    * event stream — the batch equivalent of the streaming stateful
+    * session operator. Single shuffle on user_id. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val prev = lag(unix_micros(col("ts")), 1).over(w)
+    val isNew = when(prev.isNull || unix_micros(col("ts")) - prev > gapMicros, 1)
+      .otherwise(0)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"), isNew.as("is_new"))
+      .select(col("user_id"), col("ts"), col("value"),
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("session_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), round(sum(col("value")) + lit(5e-9), 4).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}
