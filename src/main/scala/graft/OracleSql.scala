@@ -33,7 +33,7 @@ object OracleSql {
     s"OVER (PARTITION BY symbol ORDER BY bar_ts $frame)"
   private val w20 = wf("ROWS BETWEEN 19 PRECEDING AND CURRENT ROW")
 
-  val all: Map[String, String] = Map(
+  private val core: Map[String, String] = Map(
     "q_bars_ohlcv" -> s"""
       WITH $barsCte
       SELECT symbol, bar_ts, "open", high, low, "close", volume, round(vsum + 5e-9, 4) AS vsum
@@ -290,4 +290,195 @@ object OracleSql {
         count(*) AS n_events, round(sum(value) + 5e-9, 4) AS total_value
       FROM y GROUP BY 1, 2 ORDER BY user_id, session_id"""
   )
+
+  /** Shared doc-normalization / n-gram fragments (mirror TextAnalysis /
+    * Dedup exactly; DuckDB regexp_replace needs the 'g' flag). */
+  private val normExpr =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'))"""
+
+  private val ngramCtes = """
+    t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+    ex AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i FROM t),
+    ng AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng FROM ex)"""
+
+  /** Sequential left-fold dot product — same op order as the Spark
+    * `aggregate(zip_with(...))` fold, so results are bit-identical. */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, (x, i) -> x * $b[i])), (p, s) -> p + s)"
+
+  private val vecCtes = s"""
+    e AS (SELECT vec_id, list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)"""
+
+  private val textOps: Map[String, String] = Map(
+    "q_token_count" -> """
+      SELECT doc_id,
+        length(text)::BIGINT AS n_chars_calc,
+        len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens
+      FROM documents ORDER BY doc_id""",
+
+    "q_text_quality" -> """
+      WITH t AS (
+        SELECT doc_id,
+          length(text)::BIGINT AS n_chars_calc,
+          regexp_split_to_array(trim(text), '\s+') AS wsarr,
+          len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+          length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS n_nonws
+        FROM documents),
+      u AS (
+        SELECT doc_id, n_chars_calc, len(wsarr)::BIGINT AS n_tokens,
+          len(list_filter(wsarr, w -> w IN ('the','a','of','and','to','in','is')))::BIGINT AS n_stopwords,
+          n_punct, n_nonws
+        FROM t)
+      SELECT doc_id, n_chars_calc, n_tokens, n_stopwords, n_punct,
+        CASE WHEN n_tokens > 0 THEN round(n_nonws::DOUBLE / n_tokens + 5e-9, 4) END AS avg_word_len,
+        CASE WHEN n_chars_calc > 0 THEN round(n_punct::DOUBLE / n_chars_calc + 5e-9, 4) END AS punct_ratio,
+        CASE WHEN n_tokens > 0 THEN round(n_stopwords::DOUBLE / n_tokens + 5e-9, 4) END AS stop_ratio,
+        CASE WHEN n_tokens > 0 AND n_chars_calc > 0 THEN
+          round(0.4 * (n_stopwords::DOUBLE / n_tokens)
+            + 0.3 * least(n_tokens::DOUBLE / 100, 1.0)
+            + 0.3 * (1.0 - n_punct::DOUBLE / n_chars_calc) + 5e-9, 4) END AS quality_score
+      FROM u ORDER BY doc_id""",
+
+    "q_lang_id" -> """
+      WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS wsarr FROM documents),
+      s AS (SELECT doc_id,
+        len(list_filter(wsarr, w -> w IN ('the','is','and','of','to')))::BIGINT AS en_score,
+        len(list_filter(wsarr, w -> w IN ('el','la','de','que','los')))::BIGINT AS es_score,
+        len(list_filter(wsarr, w -> w IN ('der','die','das','und','ist')))::BIGINT AS de_score,
+        len(list_filter(wsarr, w -> w IN ('le','les','et','des','une')))::BIGINT AS fr_score,
+        len(regexp_extract_all(text, '[^ -~]'))::BIGINT AS zh_score
+       FROM t)
+      SELECT doc_id, en_score, es_score, de_score, fr_score, zh_score,
+        CASE WHEN zh_score > 0 THEN 'zh'
+             WHEN en_score >= es_score AND en_score >= de_score AND en_score >= fr_score AND en_score > 0 THEN 'en'
+             WHEN es_score >= de_score AND es_score >= fr_score AND es_score > 0 THEN 'es'
+             WHEN de_score >= fr_score AND de_score > 0 THEN 'de'
+             WHEN fr_score > 0 THEN 'fr'
+             ELSE 'unknown' END AS pred_lang
+      FROM s ORDER BY doc_id""",
+
+    "q_fingerprint" -> s"""
+      WITH t AS (SELECT doc_id, $normExpr AS norm FROM documents)
+      SELECT doc_id, md5(norm) AS md5_fp,
+        CASE WHEN length(norm) = 0 THEN 0
+             ELSE list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(1, length(norm)), i -> ascii(substr(norm, i, 1))::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 4294967296) END AS poly_fp
+      FROM t ORDER BY doc_id""",
+
+    "q_dedup_exact_docs" -> s"""
+      WITH t AS (SELECT doc_id, md5($normExpr) AS text_hash FROM documents)
+      SELECT text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+      FROM t GROUP BY text_hash ORDER BY keep_doc_id""",
+
+    "q_ngram_jaccard" -> s"""
+      WITH $ngramCtes,
+      sz AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+      ix AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS m
+             FROM ng x JOIN ng y ON y.ng = x.ng AND y.doc_id = x.doc_id + 1 GROUP BY 1, 2)
+      SELECT p.doc_a, p.doc_b,
+        CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(ix.m, 0) > 0 THEN
+          round(coalesce(ix.m, 0)::DOUBLE
+            / (coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(ix.m, 0)) + 5e-9, 4) END AS jaccard
+      FROM pairs p
+      LEFT JOIN sz sa ON sa.doc_id = p.doc_a
+      LEFT JOIN sz sb ON sb.doc_id = p.doc_b
+      LEFT JOIN ix ON ix.doc_a = p.doc_a AND ix.doc_b = p.doc_b
+      ORDER BY p.doc_a""",
+
+    "q_dedup_minhash" -> {
+      val mhCols = (0 until 8).map(j =>
+        s"min((h * ${2L * j + 1} + $j) % ${graft.operators.Dedup.MinhashPrime}) AS mh$j").mkString(",\n        ")
+      s"""
+      WITH $ngramCtes,
+      h AS (SELECT doc_id, CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT) AS h FROM ng)
+      SELECT doc_id,
+        $mhCols,
+        count(*) AS n_ngrams
+      FROM h GROUP BY doc_id ORDER BY doc_id"""
+    },
+
+    "q_dedup_simhash" -> {
+      val votes = (0 until 60).map(i =>
+        s"sum(((h >> $i) & 1) * 2 - 1) AS s$i").mkString(",\n        ")
+      val bits = (0 until 60).map(i =>
+        s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""
+      WITH toks AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
+      h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+      v AS (SELECT doc_id,
+        $votes,
+        count(*) AS n_tokens
+       FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST($bits AS BIGINT) AS simhash, n_tokens
+      FROM v ORDER BY doc_id"""
+    },
+
+    "q_multimodal_meta" -> """
+      WITH t AS (SELECT doc_id, strlen(text)::BIGINT AS len, text FROM documents)
+      SELECT doc_id,
+        CASE len % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+        len AS byte_len,
+        16 + (len % 64) AS width,
+        16 + ((len // 7) % 64) AS height,
+        (CASE WHEN len % 3 = 2 THEN 1 + (ascii(substr(text, 1, 1)) % 8) ELSE 1 END)::BIGINT AS n_frames,
+        (list_reduce(list_prepend(0, list_transform(generate_series(1, 16), i -> ascii(substr(text, i, 1)))),
+          (a, c) -> a + c)::DOUBLE / 16) AS brightness
+      FROM t ORDER BY doc_id""",
+
+    "q_stream_window" -> """
+      SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start, event_type,
+        count(*) AS n_events, round(sum(value) + 5e-9, 4) AS sum_value,
+        min(value) AS min_value, max(value) AS max_value
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""
+  )
+
+  private val vectorOps: Map[String, String] = Map(
+    "q_embed_neardup" -> s"""
+      WITH $vecCtes,
+      p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+            FROM nv a JOIN nv b ON b.vec_id - a.vec_id BETWEEN 1 AND 10
+            WHERE a.nrm > 0 AND b.nrm > 0)
+      SELECT vec_a, vec_b, round(cos + 5e-9, 4) AS cos
+      FROM p WHERE cos >= 0.25 ORDER BY vec_a, vec_b""",
+
+    "q_ann_bruteforce" -> s"""
+      WITH $vecCtes,
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id % 100 = 0),
+      c AS (SELECT q.q_id, nv.vec_id AS nn_id,
+              ${dotSql("nv.v", "q.qv")} / (q.qn * nv.nrm) AS cos
+            FROM nv, q WHERE nv.vec_id <> q.q_id AND nv.nrm > 0 AND q.qn > 0),
+      r AS (SELECT q_id, nn_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c)
+      SELECT q_id, nn_id, round(cos + 5e-9, 4) AS cos, rk
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+
+    "q_ann_lsh" -> {
+      import graft.operators.Similarity
+      val bucketExpr = (0 until Similarity.LshBits).map { j =>
+        val arr = (0 until Similarity.Dim).map(d => Similarity.lshSign(j, d))
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN ${dotSql("v", s"($arr)")} > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""
+      WITH $vecCtes,
+      bk AS (SELECT vec_id, v, nrm, CAST($bucketExpr AS BIGINT) AS bucket FROM nv),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qbucket FROM bk WHERE vec_id % 100 = 0),
+      c AS (SELECT q.q_id, bk.vec_id AS nn_id, bk.bucket,
+              ${dotSql("bk.v", "q.qv")} / (q.qn * bk.nrm) AS cos
+            FROM bk JOIN q ON bk.bucket = q.qbucket AND bk.vec_id <> q.q_id
+            WHERE bk.nrm > 0 AND q.qn > 0),
+      r AS (SELECT q_id, nn_id, bucket, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c)
+      SELECT q_id, nn_id, bucket, round(cos + 5e-9, 4) AS cos, rk
+      FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
+    }
+  )
+
+  val all: Map[String, String] = core ++ textOps ++ vectorOps
 }

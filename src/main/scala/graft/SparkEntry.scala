@@ -46,7 +46,27 @@ object SparkEntry {
     "q_join_agg" -> ((s, d) => Relational.joinAgg(Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_topk_per_group" -> ((s, d) => Relational.topkPerGroup(Tables.orders(s, d))),
-    "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d)))
+    "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
+    // D. dedup family
+    "q_dedup_exact_docs" -> ((s, d) => Dedup.exactDocs(Tables.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "q_embed_neardup" -> ((s, d) => Similarity.embedNeardup(Tables.embeddings(s, d))),
+    // E. similarity search
+    "q_ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(Tables.embeddings(s, d))),
+    "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
+    // F. text analysis
+    "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
+    "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // G. multimodal
+    "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
+    // H. streaming (batch-equivalent of the structured-streaming pipeline)
+    "q_stream_window" -> ((s, d) =>
+      graft.streaming.StreamPipelines.windowedAgg(Tables.events(s, d))
+        .orderBy("win_start", "event_type"))
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

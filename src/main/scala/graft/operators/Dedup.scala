@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for LLM-data pipelines over `documents`.
+  *
+  * The reference dedups on exact keys (reference
+  * src/preprocessing/dedup_pipeline.py — see Relational.dedupLatest); at
+  * 100 TB a training-data pipeline additionally needs content dedup:
+  * exact (normalized hash), MinHash/LSH (near-dup candidates), SimHash
+  * (bit-vector near-dup), and n-gram Jaccard verification.
+  *
+  * Scale notes: exact dedup shuffles the 16-byte hash, not the document.
+  * MinHash signatures are one explode + one partial-aggregatable groupBy
+  * (min per permutation); LSH banding turns the O(n²) pair space into
+  * per-bucket joins. All hashes are md5-derived so the DuckDB oracle can
+  * reproduce them bit-for-bit (no engine-private hash functions).
+  */
+object Dedup {
+
+  /** Large 32-bit prime modulus for MinHash permutations; products stay
+    * far below 2^63 so plain BIGINT arithmetic is exact in any engine. */
+  val MinhashPrime: Long = 4294967291L
+
+  /** Exact dedup on normalized-text md5: keep the smallest doc_id. */
+  def exactDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(TextAnalysis.normText(col("text"))).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("keep_doc_id"))
+
+  /** Distinct word n-grams per doc (docs with < n words contribute none). */
+  def wordNgrams(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n == 3, "oracle SQL mirrors the 3-gram shape")
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("wsarr"))
+      .filter(size(col("wsarr")) >= n)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(wsarr) - 3), i -> concat_ws(' ', wsarr[i], wsarr[i+1], wsarr[i+2]))")).as("ng"))
+      .distinct()
+  }
+
+  /** 32-bit shingle hash from md5 — reproducible in any engine. */
+  private val h32: Column =
+    conv(substring(md5(col("ng")), 1, 8), 16, 10).cast("long")
+
+  /** Word-3-gram Jaccard similarity on adjacent-doc_id candidate pairs.
+    * (The LSH variant generates the candidates at scale; the fixed pair
+    * set keeps the operator oracle-checkable end to end.) */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val ng = wordNgrams(docs).cache()
+    val sizes = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = docs.select(col("doc_id").as("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b")), col("doc_b") === col("doc_a") + 1)
+    val inter = ng.as("x")
+      .join(ng.as("y"), col("y.ng") === col("x.ng") && col("y.doc_id") === col("x.doc_id") + 1)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("m"))
+    val sa = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+    val sb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+    val union = coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) - coalesce(col("m"), lit(0L))
+    pairs
+      .join(sa, Seq("doc_a"), "left")
+      .join(sb, Seq("doc_b"), "left")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        when(union > 0,
+          round(coalesce(col("m"), lit(0L)).cast("double") / union + lit(5e-9), 4))
+          .as("jaccard"))
+      .orderBy(col("doc_a"))
+  }
+
+  /** MinHash permutation j of a 32-bit shingle hash: (a_j·h + b_j) mod p
+    * with a_j = 2j+1, b_j = j (declared, engine-reproducible). */
+  private def perm(j: Int, h: Column): Column =
+    (h * (2L * j + 1) + lit(j.toLong)) % MinhashPrime
+
+  /** MinHash signatures (first `k` permutations as columns). */
+  def minhashSignatures(docs: DataFrame, k: Int = 8): DataFrame = {
+    val ng = wordNgrams(docs)
+    val aggs = (0 until k).map(j => min(perm(j, h32)).as(s"mh$j")) :+
+      count(lit(1)).as("n_ngrams")
+    ng.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Full MinHash/LSH near-dup candidate pairs: k = bands·r permutations,
+    * band key = md5 of the band's signature slice, candidates = distinct
+    * pairs sharing any band bucket. Used by the spec suite (the
+    * fixed-pair Jaccard query above is the oracle-gated variant). */
+  def minhashLshPairs(docs: DataFrame, bands: Int = 16, r: Int = 4): DataFrame = {
+    val k = bands * r
+    val ng = wordNgrams(docs)
+    val aggs = (0 until k).map(j => min(perm(j, h32)).as(s"mh$j"))
+    val sig = ng.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until r).map(i => col(s"mh${b * r + i}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("_", slice: _*)).as("bkey"))
+    }
+    val exploded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    exploded.as("l")
+      .join(exploded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 60-bit SimHash over distinct unigram tokens (md5-derived 60-bit
+    * token hashes; bit i set iff the +1/−1 vote sum over tokens > 0). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(array_distinct(split(trim(col("text")), "\\s+"))).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = (0 until 60).map(i =>
+      sum(expr(s"(shiftright(h, $i) & 1) * 2 - 1")).as(s"s$i")) :+ count(lit(1)).as("n_tokens")
+    val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val hash = (0 until 60).map(i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), hash.as("simhash"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hamming-≤-maxDist SimHash near-dup pairs (spec-tested; block by the
+    * top 16 bits so the join is equi rather than all-pairs — near-dups
+    * with identical high bits, the standard multi-probe trade-off). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs).select(col("doc_id"), col("simhash"),
+      expr("shiftright(simhash, 44)").as("blk"))
+    sh.as("l").join(sh.as("r"),
+        col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        expr("bit_count(l.simhash ^ r.simhash)").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

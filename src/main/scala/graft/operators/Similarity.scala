@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * Brute-force cosine top-k is the correctness baseline (O(Q·N) with the
+  * query side broadcast); the random-hyperplane LSH variant is the scale
+  * path (bucketed equi-join instead of a cross join). All vector math is
+  * higher-order-function folds (`zip_with`/`aggregate`) — codegen'd, no
+  * UDFs — and the fold order matches the DuckDB oracle's `list_reduce`
+  * exactly, so cosines agree bit-for-bit.
+  *
+  * Scale notes: at 100 TB the brute-force path broadcasts only the query
+  * set and streams the corpus once; LSH buckets bound each join side.
+  * Embedding near-dup (`embedNeardup`) uses an offset-explode equi-join
+  * rather than a range join so it shuffles on a key and scales linearly.
+  */
+object Similarity {
+
+  /** Float embedding → double array (exact widening). */
+  private def vecd(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential left-fold dot product — mirrors list_reduce in DuckDB. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def l2(a: Column): Column = sqrt(dot(a, a))
+
+  private def withVec(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), vecd(col("embedding")).as("v"))
+      .withColumn("nrm", l2(col("v")))
+
+  /** Brute-force cosine top-k per query vector (queries: vec_id % 100 = 0).
+    * Deterministic tie-break on neighbor id; self-pairs excluded. */
+  def annBruteforce(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val e = withVec(embeddings)
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .filter(col("q_id") % 100 === 0)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id") && col("nrm") > 0 && col("qn") > 0)
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        (dot(col("v"), col("qv")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("nn_id"), round(col("cos") + lit(5e-9), 4).as("cos"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Deterministic ±1 hyperplane signs, md5-derived so the oracle can
+    * inline the identical constants: sign(j,d) = +1 iff the first 32 md5
+    * bits of the string (j·64+d) are even. */
+  def lshSign(j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(String.valueOf(j * 64 + d).getBytes("UTF-8"))
+    val v = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+      ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+    if (v % 2 == 0) 1.0 else -1.0
+  }
+
+  val LshBits = 8
+  val Dim = 64
+
+  /** Random-hyperplane LSH bucket id (LshBits-bit signature). */
+  private def bucket(v: Column): Column =
+    (0 until LshBits).map { j =>
+      val signs = array((0 until Dim).map(d => lit(lshSign(j, d))): _*)
+      val proj = aggregate(zip_with(v, signs, (x, s) => x * s), lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: candidates share the 8-bit bucket,
+    * then exact cosine ranks within the bucket. */
+  def annLsh(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val e = withVec(embeddings).withColumn("bucket", bucket(col("v")))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qn"), col("bucket").as("qbucket"))
+      .filter(col("q_id") % 100 === 0)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
+      .filter(col("nrm") > 0 && col("qn") > 0)
+      .select(col("q_id"), col("vec_id").as("nn_id"), col("bucket"),
+        (dot(col("v"), col("qv")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("nn_id"), col("bucket"),
+        round(col("cos") + lit(5e-9), 4).as("cos"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Embedding-cosine near-dup pairs in an id-banded candidate window
+    * (offset-explode equi-join: b.vec_id = a.vec_id + off, off ∈ 1..10). */
+  def embedNeardup(embeddings: DataFrame, maxOffset: Int = 10,
+      threshold: Double = 0.25): DataFrame = {
+    val e = withVec(embeddings)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+      .withColumn("off", explode(sequence(lit(1), lit(maxOffset))))
+      .withColumn("b_id", col("vec_a") + col("off"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("b_id") === col("vec_b"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos") + lit(5e-9), 4).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines over `documents`.
+  *
+  * All heuristics are deliberately expressible as codegen'd SQL
+  * expressions (no UDFs) so they run inside whole-stage codegen and can
+  * be mirrored exactly by the DuckDB oracle: language-ID via marker-word
+  * counts, quality scoring via length/punct/stopword ratios, token
+  * counting via whitespace + BPE-ish regex, and document fingerprinting
+  * via normalized md5 + a 32-bit polynomial rolling hash.
+  *
+  * Scale notes: every operator is a narrow per-row projection — no
+  * shuffle at all; reads prune to (doc_id, text).
+  */
+object TextAnalysis {
+
+  /** Canonical normalization shared by fingerprint + exact dedup:
+    * lowercase, strip non-[a-z0-9 ], collapse runs of spaces, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]+", ""), " +", " "))
+
+  private val ws = split(trim(col("text")), "\\s+")
+
+  /** Whitespace tokens, BPE-ish regex tokens, and byte length per doc. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(ws).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality score from length / punctuation / stopword-ratio signals. */
+  def quality(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nTok = size(ws).cast("long")
+    val nStop = expr("size(filter(wsarr, w -> w IN ('the','a','of','and','to','in','is')))").cast("long")
+    val nPunct = regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
+    val nNonWs = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+    docs.select(col("doc_id"), col("text"), ws.as("wsarr"))
+      .select(col("doc_id"),
+        nChars.as("n_chars_calc"), nTok.as("n_tokens"),
+        nStop.as("n_stopwords"), nPunct.as("n_punct"),
+        when(nTok > 0, round(nNonWs.cast("double") / nTok + lit(5e-9), 4)).as("avg_word_len"),
+        when(nChars > 0, round(nPunct.cast("double") / nChars + lit(5e-9), 4)).as("punct_ratio"),
+        when(nTok > 0, round(nStop.cast("double") / nTok + lit(5e-9), 4)).as("stop_ratio"),
+        when(nTok > 0 && nChars > 0,
+          round(lit(0.4) * (nStop.cast("double") / nTok)
+            + lit(0.3) * least(nTok.cast("double") / 100, lit(1.0))
+            + lit(0.3) * (lit(1.0) - nPunct.cast("double") / nChars) + lit(5e-9), 4))
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-word language-ID heuristic (+ non-ASCII share for zh). */
+  def langId(docs: DataFrame): DataFrame = {
+    def score(words: Seq[String]): Column =
+      expr(s"size(filter(wsarr, w -> w IN (${words.map("'" + _ + "'").mkString(",")})))").cast("long")
+    val en = score(Seq("the", "is", "and", "of", "to"))
+    val es = score(Seq("el", "la", "de", "que", "los"))
+    val de = score(Seq("der", "die", "das", "und", "ist"))
+    val fr = score(Seq("le", "les", "et", "des", "une"))
+    val zh = regexp_count(col("text"), lit("[^ -~]")).cast("long")
+    docs.select(col("doc_id"), ws.as("wsarr"), col("text"))
+      .select(col("doc_id"), en.as("en_score"), es.as("es_score"), de.as("de_score"),
+        fr.as("fr_score"), zh.as("zh_score"))
+      .select(col("doc_id"), col("en_score"), col("es_score"), col("de_score"),
+        col("fr_score"), col("zh_score"),
+        when(col("zh_score") > 0, "zh")
+          .when(col("en_score") >= col("es_score") && col("en_score") >= col("de_score") &&
+            col("en_score") >= col("fr_score") && col("en_score") > 0, "en")
+          .when(col("es_score") >= col("de_score") && col("es_score") >= col("fr_score") &&
+            col("es_score") > 0, "es")
+          .when(col("de_score") >= col("fr_score") && col("de_score") > 0, "de")
+          .when(col("fr_score") > 0, "fr")
+          .otherwise("unknown").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: md5 of normalized text + 32-bit polynomial
+    * rolling hash (base 31, mod 2^32) over the normalized characters. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("md5_fp"),
+        expr("aggregate(sequence(1, length(norm)), CAST(0 AS BIGINT), " +
+          "(acc, i) -> (acc * 31 + ascii(substring(norm, i, 1))) % 4294967296)").as("poly_fp"))
+      .orderBy(col("doc_id"))
+}

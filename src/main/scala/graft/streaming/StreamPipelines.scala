@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines mirroring the reference's streaming
+  * path (Pub/Sub → transform → BigQuery; reference
+  * src/ingestion/stocks_pipeline.py:56-87 publish,
+  * src/loader/bigquery_loader.py buffered sink). Spark-first: the same
+  * declarative transforms run in batch and streaming, so correctness is
+  * oracle-gated in batch (`q_stream_window`) and the streaming behavior
+  * (watermarks, dedup, state) is spec-tested with memory sources/sinks.
+  */
+object StreamPipelines {
+
+  /** Tumbling 10-min window aggregate per symbol; identical semantics in
+    * batch and streaming (the `queries` entry runs it in batch). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")) + lit(5e-9), 4).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("min_value"), col("max_value"))
+
+  /** Streaming variant with a watermark (append-mode safe). */
+  def windowedAggStream(events: DataFrame): DataFrame =
+    windowedAgg(events.withWatermark("ts", "30 minutes"))
+
+  /** Streaming dedup on (event_type, ts) within the watermark — the
+    * streaming analogue of Relational.dedupLatest (reference
+    * src/preprocessing/dedup_pipeline.py continuous 5-min dedup loop). */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_type", "ts")
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Stateful gap sessionization via flatMapGroupsWithState: closes a
+    * session when the event-time gap exceeds 30 min (or on timeout),
+    * emitting the same shape as the batch Relational.sessionize. */
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(userId: Long, rows: Iterator[Ev],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      def close(s: SessionState): Unit =
+        out += SessionOut(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.end), s.n, s.total)
+      if (state.hasTimedOut) {
+        state.getOption.foreach(close)
+        state.remove()
+      } else {
+        var cur = state.getOption.orNull
+        rows.toSeq.sortBy(r => (r.ts.getTime, r.value)).foreach { r =>
+          val t = r.ts.getTime
+          cur match {
+            case null =>
+              cur = SessionState(t, t, 1, r.value)
+            case s if t - s.end > gapMs =>
+              close(s)
+              cur = SessionState(t, t, 1, r.value)
+            case s =>
+              cur = SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + r.value)
+          }
+        }
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.end + gapMs)
+        }
+      }
+      out.iterator
+    }
+
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}
