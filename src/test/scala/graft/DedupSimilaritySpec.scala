@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Relational, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("dedupLatest keeps the min event_id per (symbol, ts)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val df = Seq(
+      (5L, ts, 1L, "A", 1.0), (2L, ts, 1L, "A", 2.0),
+      (9L, ts, 1L, "B", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.dedupLatest(df).collect()
+    assert(out.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"))).toSet ===
+      Set(("A", 2L), ("B", 9L)))
+  }
+
+  test("exactDocs groups normalization-equivalent texts") {
+    val d = docs(Seq(
+      (1L, "Hello,   World!"), (2L, "hello world"), (3L, "totally different text")))
+    val out = Dedup.exactDocs(d).collect()
+    assert(out.length === 2)
+    val dupRow = out.find(_.getAs[Long]("n_dups") === 2L).get
+    assert(dupRow.getAs[Long]("keep_doc_id") === 1L)
+  }
+
+  test("ngram jaccard: identical adjacent docs score 1.0") {
+    val text = "alpha beta gamma delta epsilon zeta"
+    val d = docs(Seq((1L, text), (2L, text), (3L, "one two three four five six")))
+    val out = Dedup.ngramJaccard(d).orderBy("doc_a").collect()
+    assert(out(0).getAs[Double]("jaccard") === 1.0)   // 1 vs 2 identical
+    assert(out(1).getAs[Double]("jaccard") === 0.0)   // 2 vs 3 disjoint
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extraword"
+    val other = (100 to 140).map(i => s"zz$i").mkString(" ")
+    val d = docs(Seq((1L, base), (2L, nearDup), (3L, other)))
+    val pairs = Dedup.minhashLshPairs(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs at hamming 0, disjoint docs far apart") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    val d = docs(Seq((1L, a), (2L, a), (3L, b)))
+    val pairs = Dedup.simhashPairs(d, maxDist = 0).collect()
+    assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet ===
+      Set((1L, 2L)))
+  }
+
+  private def emb(rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force ANN ranks by exact cosine") {
+    // 64-dim: q = e0; near = 0.9*e0 + small e1; far = e1
+    def v(main: Int, mainW: Float, minor: Int, minorW: Float): Seq[Float] =
+      (0 until 64).map(i => if (i == main) mainW else if (i == minor) minorW else 0f)
+    val d = emb(Seq(
+      (0L, v(0, 1f, 1, 0f)),
+      (1L, v(0, 9f, 1, 1f)),    // cos ≈ 0.9939
+      (2L, v(0, 1f, 1, 3f)),    // cos ≈ 0.3162
+      (3L, v(1, 1f, 2, 0f))))   // cos = 0
+    val out = Similarity.annBruteforce(d, k = 3).collect()
+    assert(out.map(_.getAs[Long]("nn_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(out.head.getAs[Double]("cos") > 0.99)
+  }
+
+  test("embedNeardup flags near-identical vectors in the id band") {
+    val base = (0 until 64).map(_.toFloat / 8f)
+    val d = emb(Seq(
+      (0L, base), (1L, base.map(_ * 2f)),          // cos = 1 (scaled copy)
+      (2L, (0 until 64).map(i => if (i % 2 == 0) 1f else -1f))))
+    val out = Similarity.embedNeardup(d, maxOffset = 10, threshold = 0.99).collect()
+    assert(out.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet ===
+      Set((0L, 1L)))
+  }
+
+  test("LSH ANN only pairs vectors in the same bucket and ranks by cosine") {
+    val out = Similarity.annLsh(Tables.embeddings(spark, sf()), k = 3)
+    val counts = out.groupBy("q_id").count().collect()
+    assert(counts.forall(_.getAs[Long]("count") <= 3))
+  }
+}
