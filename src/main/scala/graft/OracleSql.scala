@@ -460,10 +460,13 @@ object OracleSql {
 
     "q_ann_lsh" -> {
       import graft.operators.Similarity
+      // flat ±element chain in the same order as the Spark fold (1-based
+      // list indexing in DuckDB)
       val bucketExpr = (0 until Similarity.LshBits).map { j =>
-        val arr = (0 until Similarity.Dim).map(d => Similarity.lshSign(j, d))
-          .mkString("[", ", ", "]")
-        s"(CASE WHEN ${dotSql("v", s"($arr)")} > 0 THEN ${1L << j} ELSE 0 END)"
+        val chain = (0 until Similarity.Dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, d) =>
+          if (Similarity.lshSign(j, d) > 0) s"$acc + v[${d + 1}]" else s"$acc - v[${d + 1}]"
+        }
+        s"(CASE WHEN ($chain) > 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       s"""
       WITH $vecCtes,

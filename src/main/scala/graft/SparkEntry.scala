@@ -26,7 +26,8 @@ object SparkEntry {
     "q_preprocess_mavg" -> ((s, d) => Indicators.preprocess(bars(s, d))),
     "q_dedup_latest" -> ((s, d) => Relational.dedupLatest(Tables.events(s, d))),
     "q_latest_ts" -> ((s, d) => Relational.latestTs(Tables.events(s, d))),
-    "q_time_filter" -> ((s, d) => Relational.timeFilter(Tables.events(s, d))),
+    "q_time_filter" -> ((s, d) =>
+      Relational.timeFilter(Tables.eventsFrom(s, d, "2024-01-20 00:00:00"))),
     "q_validate_clean" -> ((s, d) => Relational.validateClean(Tables.events(s, d))),
     // B. technical indicators
     "q_sma" -> ((s, d) => Indicators.sma(bars(s, d))),

@@ -27,6 +27,24 @@ object Tables {
       case _ => df
     }
   }
+  /** events with a lower time bound applied to the RAW nanosecond column
+    * so the range predicate reaches the parquet scan (row-group pruning at
+    * scale); filtering after the micros conversion only pushes IsNotNull. */
+  def eventsFrom(spark: SparkSession, dir: String, fromUtc: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        val nanos = java.time.LocalDateTime.parse(fromUtc.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+        df.filter(org.apache.spark.sql.functions.col("ts") >= nanos)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.filter(org.apache.spark.sql.functions.col("ts") >=
+          org.apache.spark.sql.functions.lit(fromUtc).cast("timestamp"))
+    }
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

