@@ -288,7 +288,28 @@ object OracleSql {
         FROM x)
       SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
         count(*) AS n_events, round(sum(value) + 5e-9, 4) AS total_value
-      FROM y GROUP BY 1, 2 ORDER BY user_id, session_id"""
+      FROM y GROUP BY 1, 2 ORDER BY user_id, session_id""",
+
+    "q_incremental_ingest" -> """
+      SELECT event_id, ts, user_id, event_type, value
+      FROM events i
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events x
+        WHERE x.ts < TIMESTAMP '2024-01-15 00:00:00'
+          AND x.event_type = i.event_type AND x.ts = i.ts)
+      ORDER BY event_id""",
+
+    "q_count_distinct" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_asof_join" -> s"""
+      WITH $barsCte
+      SELECT e.event_type AS symbol, e.event_id, e.ts, e.value,
+        b."close" AS last_bar_close
+      FROM events e ASOF LEFT JOIN bars b
+        ON e.event_type = b.symbol AND e.ts >= b.bar_ts
+      ORDER BY e.event_id"""
   )
 
   /** Shared doc-normalization / n-gram fragments (mirror TextAnalysis /

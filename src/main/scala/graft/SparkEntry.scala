@@ -48,6 +48,15 @@ object SparkEntry {
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_topk_per_group" -> ((s, d) => Relational.topkPerGroup(Tables.orders(s, d))),
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
+    "q_incremental_ingest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      import org.apache.spark.sql.functions._
+      Relational.incrementalIngest(ev,
+        ev.filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")))
+    }),
+    "q_count_distinct" -> ((s, d) => Relational.countDistinct_(Tables.events(s, d))),
+    "q_asof_join" -> ((s, d) =>
+      AsofJoin.eventsToLastBar(Tables.events(s, d), bars(s, d))),
     // D. dedup family
     "q_dedup_exact_docs" -> ((s, d) => Dedup.exactDocs(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),

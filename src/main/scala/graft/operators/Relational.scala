@@ -108,6 +108,29 @@ object Relational {
         col("k").isNotNull && col("k") >= 0)
       .orderBy(col("event_id"))
 
+  /** Incremental-ingest guard: keep only rows not already present in the
+    * existing table, by (symbol, ts) — a left-anti join, the declarative
+    * form of the reference's per-record duplicate check before insert
+    * (reference src/loader/bigquery_loader.py:118-130 `check_duplicate`,
+    * src/ingestion/stocks_pipeline.py:146-155 new-point filter). At scale
+    * this is one shuffle on the key with the existing side reduced to its
+    * key columns. */
+  def incrementalIngest(incoming: DataFrame, existing: DataFrame): DataFrame =
+    incoming.join(
+      existing.select(col("event_type"), col("ts")),
+      Seq("event_type", "ts"), "left_anti")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** Exact distinct-count per symbol (distinct-aggregate shuffle; the
+    * sketch-based approx variant is spec-tested since approximate results
+    * are engine-specific). */
+  def countDistinct_(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Gap-based sessionization (30-min inactivity gap) per user over the
     * event stream — the batch equivalent of the streaming stateful
     * session operator. Single shuffle on user_id. */

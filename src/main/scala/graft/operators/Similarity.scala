@@ -4,14 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over the `embeddings` table (Array[Float], dim 64).
   *
   * Brute-force cosine top-k is the correctness baseline (O(Q·N) with the
   * query side broadcast); the random-hyperplane LSH variant is the scale
-  * path (bucketed equi-join instead of a cross join). All vector math is
-  * higher-order-function folds (`zip_with`/`aggregate`) — codegen'd, no
-  * UDFs — and the fold order matches the DuckDB oracle's `list_reduce`
-  * exactly, so cosines agree bit-for-bit.
+  * path (bucketed equi-join instead of a cross join). The cosine itself
+  * is a native Catalyst expression ([[graft.functions.CosineSim]]) — one
+  * fused codegen'd loop per pair, accumulating in the same sequential
+  * order as the DuckDB oracle's `list_reduce`, so values match
+  * bit-for-bit. Null (zero-norm) cosines are filtered identically to the
+  * oracle's `nrm > 0` guards.
   *
   * Scale notes: at 100 TB the brute-force path broadcasts only the query
   * set and streams the corpus once; LSH buckets bound each join side.
@@ -23,27 +27,23 @@ object Similarity {
   /** Float embedding → double array (exact widening). */
   private def vecd(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential left-fold dot product — mirrors list_reduce in DuckDB. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def l2(a: Column): Column = sqrt(dot(a, a))
-
-  private def withVec(embeddings: DataFrame): DataFrame =
+  private def withVec(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"), vecd(col("embedding")).as("v"))
-      .withColumn("nrm", l2(col("v")))
+  }
 
   /** Brute-force cosine top-k per query vector (queries: vec_id % 100 = 0).
     * Deterministic tie-break on neighbor id; self-pairs excluded. */
   def annBruteforce(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val e = withVec(embeddings)
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .filter(col("q_id") % 100 === 0)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
     e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id") && col("nrm") > 0 && col("qn") > 0)
+      .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nn_id"),
-        (dot(col("v"), col("qv")) / (col("qn") * col("nrm"))).as("cos"))
+        expr("cosine_sim(v, qv)").as("cos"))
+      .filter(col("cos").isNotNull)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("nn_id"), round(col("cos") + lit(5e-9), 4).as("cos"), col("rk"))
@@ -82,13 +82,13 @@ object Similarity {
   def annLsh(embeddings: DataFrame, k: Int = 3): DataFrame = {
     val e = withVec(embeddings).withColumn("bucket", bucket(col("v")))
     val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
-      col("nrm").as("qn"), col("bucket").as("qbucket"))
+      col("bucket").as("qbucket"))
       .filter(col("q_id") % 100 === 0)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
     e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
-      .filter(col("nrm") > 0 && col("qn") > 0)
       .select(col("q_id"), col("vec_id").as("nn_id"), col("bucket"),
-        (dot(col("v"), col("qv")) / (col("qn") * col("nrm"))).as("cos"))
+        expr("cosine_sim(v, qv)").as("cos"))
+      .filter(col("cos").isNotNull)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("nn_id"), col("bucket"),
@@ -101,14 +101,12 @@ object Similarity {
   def embedNeardup(embeddings: DataFrame, maxOffset: Int = 10,
       threshold: Double = 0.25): DataFrame = {
     val e = withVec(embeddings)
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
       .withColumn("off", explode(sequence(lit(1), lit(maxOffset))))
       .withColumn("b_id", col("vec_a") + col("off"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, col("b_id") === col("vec_b"))
-      .filter(col("na") > 0 && col("nb") > 0)
-      .select(col("vec_a"), col("vec_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .select(col("vec_a"), col("vec_b"), expr("cosine_sim(va, vb)").as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos") + lit(5e-9), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))

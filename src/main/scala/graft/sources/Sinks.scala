@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources & sinks mirroring the reference's storage layer.
+  *
+  * The reference dual-writes every batch: raw JSON/CSV to GCS plus raw
+  * and processed BigQuery tables (reference
+  * src/preprocessing/data_preprocessor.py:90-118 `save_raw_csv`,
+  * src/loader/bigquery_loader.py:62-113 dual schemas). Spark-first, that
+  * is partitioned columnar output: raw events partitioned by symbol,
+  * processed bars partitioned by symbol (hive-style directories prune at
+  * read time), with CSV/JSON escape hatches for interchange.
+  */
+object Sinks {
+
+  /** Dual raw/processed write, both hive-partitioned by symbol. */
+  def dualWrite(events: DataFrame, bars: DataFrame, outDir: String): Unit = {
+    events.write.mode(SaveMode.Overwrite)
+      .partitionBy("event_type").parquet(s"$outDir/raw")
+    bars.withColumn("bar_date", to_date(col("bar_ts")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("symbol").parquet(s"$outDir/processed")
+  }
+
+  /** Raw CSV archive (header, ISO timestamps) — save_raw_csv analogue. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
+
+  /** JSON-lines archive — the Pub/Sub message shape. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}

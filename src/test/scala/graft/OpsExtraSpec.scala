@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.{AsofJoin, Bars, Relational, Skew}
+import graft.sources.Sinks
+
+class OpsExtraSpec extends SparkSpec {
+
+  test("cosine_sim native expression: known values and zero-norm null") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0), "same"),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), "orth"),
+      (Seq(1.0, 1.0), Seq(1.0, 1.0), "par"),
+      (Seq(0.0, 0.0), Seq(1.0, 0.0), "zero"))
+      .toDF("a", "b", "tag")
+      .select(col("tag"), expr("cosine_sim(a, b)").as("cos"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.get(r.fieldIndex("cos")))).toMap
+    assert(df("same") === Some(1.0))
+    assert(df("orth") === Some(0.0))
+    assert(df("par").get.asInstanceOf[Double] > 0.9999)
+    assert(df("zero") === None)
+  }
+
+  test("cosine_sim matches the fold-based computation on real embeddings") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dotFold = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+    val n = e.select((expr("cosine_sim(v, v)") - lit(1.0)).as("d"),
+        sqrt(dotFold).as("nrm"))
+      .filter(col("nrm") > 0 && abs(col("d")) > 1e-12).count()
+    assert(n === 0)
+  }
+
+  test("saltedJoin equals the plain join") {
+    val orders = Tables.orders(spark, sf())
+    val customer = Tables.customer(spark, sf())
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey", "o_orderkey")
+    assert(salted.count() === plain.count())
+    assert(plain.exceptAll(salted.select(plain.columns.map(col): _*)).count() === 0)
+  }
+
+  test("asof join picks the latest bar at-or-before each event") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:06:00"), 1L, "A", 5.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 09:59:00"), 1L, "A", 6.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val bars = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 10:00:00"), 1.0, 2.0, 0.5, 1.5, 3L, 4.5),
+      ("A", Timestamp.valueOf("2024-01-01 10:05:00"), 2.0, 3.0, 1.5, 2.5, 2L, 5.0))
+      .toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume", "vsum")
+    val out = AsofJoin.eventsToLastBar(events, bars).orderBy("event_id").collect()
+    assert(out(0).getAs[Double]("last_bar_close") === 2.5) // 10:06 → 10:05 bar
+    assert(out(0).getAs[String]("symbol") === "A")
+    assert(out(1).isNullAt(out(1).fieldIndex("last_bar_close"))) // before first bar
+  }
+
+  test("asof join matches per-row lookup on real data") {
+    val ev = Tables.events(spark, sf()).limit(50)
+    val bars = Bars.ohlcv(Tables.events(spark, sf()))
+    val out = AsofJoin.eventsToLastBar(Tables.events(spark, sf()), bars)
+    // every event inside some bar must see a close (its own bucket's bar
+    // starts at-or-before it)
+    assert(out.filter(col("last_bar_close").isNull).count() === 0)
+  }
+
+  test("sinks: partitioned dual-write round-trips and prunes by partition") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val events = Tables.events(spark, sf())
+    val bars = Bars.ohlcv(events)
+    Sinks.dualWrite(events, bars, tmp)
+    val raw = spark.read.parquet(s"$tmp/raw")
+    assert(raw.count() === events.count())
+    val one = spark.read.parquet(s"$tmp/raw").filter(col("event_type") === "click")
+    assert(one.count() === events.filter(col("event_type") === "click").count())
+    val proc = spark.read.parquet(s"$tmp/processed")
+    assert(proc.count() === bars.count())
+  }
+
+  test("sinks: csv and json round-trip row counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink2").toString
+    val docs = Tables.documents(spark, sf()).select("doc_id", "lang", "n_chars")
+    Sinks.writeCsv(docs, s"$tmp/csv")
+    Sinks.writeJson(docs, s"$tmp/json")
+    assert(Sinks.readCsv(spark, s"$tmp/csv").count() === docs.count())
+    assert(Sinks.readJson(spark, s"$tmp/json").count() === docs.count())
+  }
+
+  test("incremental ingest keeps exactly the not-yet-ingested rows") {
+    val ev = Tables.events(spark, sf())
+    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+    val out = Relational.incrementalIngest(ev, ev.filter(col("ts") < cutoff))
+    assert(out.count() === ev.filter(col("ts") >= cutoff).count())
+  }
+
+  test("approx_count_distinct tracks exact counts within rsd") {
+    val ev = Tables.events(spark, sf())
+    val both = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .collect()
+    both.foreach { r =>
+      val e = r.getAs[Long]("exact").toDouble
+      assert(math.abs(r.getAs[Long]("approx") - e) / e < 0.1)
+    }
+  }
+}
