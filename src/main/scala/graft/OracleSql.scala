@@ -501,6 +501,31 @@ object OracleSql {
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c)
       SELECT q_id, nn_id, bucket, round(cos + 5e-9, 4) AS cos, rk
       FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
+    },
+
+    "q_ann_lsh_multiprobe" -> {
+      import graft.operators.Similarity
+      val bucketExpr = (0 until Similarity.LshBits).map { j =>
+        val chain = (0 until Similarity.Dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, d) =>
+          if (Similarity.lshSign(j, d) > 0) s"$acc + v[${d + 1}]" else s"$acc - v[${d + 1}]"
+        }
+        s"(CASE WHEN ($chain) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val probeList = ("qbucket" +: (0 until Similarity.LshBits).map(j =>
+        s"xor(qbucket, ${1L << j})")).mkString("[", ", ", "]")
+      s"""
+      WITH $vecCtes,
+      bk AS (SELECT vec_id, v, nrm, CAST($bucketExpr AS BIGINT) AS bucket FROM nv),
+      q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qbucket FROM bk WHERE vec_id % 100 = 0),
+      q AS (SELECT q_id, qv, qn, unnest($probeList) AS probe FROM q0),
+      c AS (SELECT q.q_id, bk.vec_id AS nn_id, bk.bucket,
+              ${dotSql("bk.v", "q.qv")} / (q.qn * bk.nrm) AS cos
+            FROM bk JOIN q ON bk.bucket = q.probe AND bk.vec_id <> q.q_id
+            WHERE bk.nrm > 0 AND q.qn > 0),
+      r AS (SELECT q_id, nn_id, bucket, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c)
+      SELECT q_id, nn_id, bucket, round(cos + 5e-9, 4) AS cos, rk
+      FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
     }
   )
 

@@ -96,6 +96,30 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Multi-probe LSH ANN: each query also probes the 8 buckets at
+    * Hamming distance 1 from its own (9 probes total), recovering most of
+    * the recall a single-bucket lookup loses on near-boundary projections
+    * while still bounding candidates to ~9/256 of the corpus. */
+  def annLshMultiprobe(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val e = withVec(embeddings).withColumn("bucket", bucket(col("v")))
+    val probes = array(lit(0L) +: (0 until LshBits).map(j => lit(1L << j)): _*)
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("bucket").as("qbucket"))
+      .filter(col("q_id") % 100 === 0)
+      .withColumn("probe", explode(probes))
+      .withColumn("probe", col("qbucket").bitwiseXOR(col("probe")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    e.join(broadcast(q), col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"), col("bucket"),
+        expr("cosine_sim(v, qv)").as("cos"))
+      .filter(col("cos").isNotNull)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("nn_id"), col("bucket"),
+        round(col("cos") + lit(5e-9), 4).as("cos"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Embedding-cosine near-dup pairs in an id-banded candidate window
     * (offset-explode equi-join: b.vec_id = a.vec_id + off, off ∈ 1..10). */
   def embedNeardup(embeddings: DataFrame, maxOffset: Int = 10,

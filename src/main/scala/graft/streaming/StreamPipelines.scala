@@ -37,6 +37,41 @@ object StreamPipelines {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_type", "ts")
 
+  /** Dual raw/processed sink via foreachBatch — the streaming analogue of
+    * the reference loader's buffered dual-table insert (reference
+    * src/loader/bigquery_loader.py:40-44 buffer, :62-85 dual schemas):
+    * each micro-batch appends the raw events and the per-batch OHLCV bars
+    * atomically under one checkpoint. */
+  def dualSinkStream(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        batch.write.mode("append").parquet(s"$outDir/raw")
+        graft.operators.Bars.ohlcv(batch).write.mode("append").parquet(s"$outDir/processed")
+        batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
+
+  /** Stream-stream join: purchases attributed to a preceding click by the
+    * same user within 30 minutes (watermarked range condition so state is
+    * bounded on both sides). */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
+      .select(col("p_user").as("user_id"), col("c_event"), col("p_event"),
+        col("c_ts"), col("p_ts"), col("p_value"))
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -96,4 +96,14 @@ class DedupSimilaritySpec extends SparkSpec {
     val counts = out.groupBy("q_id").count().collect()
     assert(counts.forall(_.getAs[Long]("count") <= 3))
   }
+
+  test("multi-probe LSH never does worse than single-probe on top-1 cosine") {
+    val e = Tables.embeddings(spark, sf())
+    val single = Similarity.annLsh(e, k = 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    val multi = Similarity.annLshMultiprobe(e, k = 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    assert(single.keySet.subsetOf(multi.keySet))
+    single.foreach { case (q, c) => assert(multi(q) >= c) }
+  }
 }

@@ -94,6 +94,45 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(1).getAs[Long]("n_events") === 1L)
   }
 
+  test("foreachBatch dual sink writes raw and processed under one checkpoint") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dual").toString
+    val mem = MemoryStream[RawEv]
+    val withProps = StreamPipelines.dualSinkStream(
+      mem.toDF().withColumn("props", lit("{}")), tmp)
+    mem.addData(
+      RawEv(1, ts("2024-01-01 10:01:00"), 1, "A", 10.0),
+      RawEv(2, ts("2024-01-01 10:02:00"), 1, "A", 12.0),
+      RawEv(3, ts("2024-01-01 10:07:00"), 2, "B", 5.0))
+    withProps.processAllAvailable(); withProps.stop()
+    assert(spark.read.parquet(s"$tmp/raw").count() === 3)
+    val bars = spark.read.parquet(s"$tmp/processed")
+    assert(bars.count() === 2)
+    assert(bars.filter(col("symbol") === "A").head().getAs[Long]("volume") === 2L)
+  }
+
+  test("stream-stream join attributes purchases to preceding clicks") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val q = StreamPipelines.clickAttribution(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("attr_out")
+      .start()
+    mem.addData(
+      RawEv(1, ts("2024-01-01 10:00:00"), 7, "click", 0.0),
+      RawEv(2, ts("2024-01-01 10:10:00"), 7, "purchase", 99.0),   // within 30m → joins
+      RawEv(3, ts("2024-01-01 11:30:00"), 7, "purchase", 11.0),   // too late → dropped
+      RawEv(4, ts("2024-01-01 10:05:00"), 8, "purchase", 5.0))    // no click → dropped
+    q.processAllAvailable()
+    mem.addData(RawEv(9, ts("2024-01-01 15:00:00"), 9, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("attr_out").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Long]("user_id") === 7L)
+    assert(rows(0).getAs[Double]("p_value") === 99.0)
+  }
+
   test("file-source streaming into a parquet sink with checkpoint") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     // re-encode events (micros timestamps) so the file stream reads a
