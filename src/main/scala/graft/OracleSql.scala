@@ -290,6 +290,28 @@ object OracleSql {
         count(*) AS n_events, round(sum(value) + 5e-9, 4) AS total_value
       FROM y GROUP BY 1, 2 ORDER BY user_id, session_id""",
 
+    "q_gap_fill" -> s"""
+      WITH $barsCte,
+      g AS (SELECT symbol, unnest(generate_series(t0, t1, INTERVAL 5 MINUTE)) AS bar_ts
+            FROM (SELECT symbol, min(bar_ts) AS t0, max(bar_ts) AS t1 FROM bars GROUP BY 1)),
+      j AS (SELECT g.symbol, g.bar_ts, b."close", b.volume
+            FROM g LEFT JOIN bars b ON b.symbol = g.symbol AND b.bar_ts = g.bar_ts)
+      SELECT symbol, bar_ts, "close",
+        (CASE WHEN "close" IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_gap,
+        last_value("close" IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY bar_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+        first_value("close" IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY bar_ts
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS close_bfill,
+        coalesce(volume, 0)::BIGINT AS volume_filled
+      FROM j ORDER BY symbol, bar_ts""",
+
+    "q_topk_agg" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders) t
+      WHERE rk <= 3 ORDER BY o_custkey, rk""",
+
     "q_incremental_ingest" -> """
       SELECT event_id, ts, user_id, event_type, value
       FROM events i

@@ -24,6 +24,7 @@ object SparkEntry {
         .orderBy(col("symbol"), col("bar_ts"))
     }),
     "q_preprocess_mavg" -> ((s, d) => Indicators.preprocess(bars(s, d))),
+    "q_gap_fill" -> ((s, d) => Bars.gapFill(bars(s, d))),
     "q_dedup_latest" -> ((s, d) => Relational.dedupLatest(Tables.events(s, d))),
     "q_latest_ts" -> ((s, d) => Relational.latestTs(Tables.events(s, d))),
     "q_time_filter" -> ((s, d) =>
@@ -47,6 +48,7 @@ object SparkEntry {
     "q_join_agg" -> ((s, d) => Relational.joinAgg(Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_topk_per_group" -> ((s, d) => Relational.topkPerGroup(Tables.orders(s, d))),
+    "q_topk_agg" -> ((s, d) => Relational.topkPerGroupAgg(Tables.orders(s, d))),
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
     "q_incremental_ingest" -> ((s, d) => {
       val ev = Tables.events(s, d)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tick → 5-minute OHLCV bar resample.
@@ -32,4 +33,28 @@ object Bars {
         max_by(col("value"), col("ts")).as("close"),
         count(lit(1)).as("volume"),
         sum(col("value")).as("vsum"))
+
+  /** Resample to a complete 5-min grid per symbol and fill the gaps:
+    * forward-fill + back-fill of close (the reference leans on pandas
+    * `ffill().bfill()` throughout, reference app/dashboard.py:75,90,151),
+    * zero-fill of volume, and an is_gap marker. The grid is generated
+    * per symbol (min..max bar), so empty buckets become explicit rows —
+    * the declarative form of `resample().ffill()`. */
+  def gapFill(bars: DataFrame): DataFrame = {
+    val grid = bars.groupBy(col("symbol"))
+      .agg(min(col("bar_ts")).as("t0"), max(col("bar_ts")).as("t1"))
+      .select(col("symbol"),
+        explode(expr("sequence(t0, t1, interval 5 minutes)")).as("bar_ts"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_ts"))
+    val wF = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wB = w.rowsBetween(0, Window.unboundedFollowing)
+    grid.join(bars.select(col("symbol"), col("bar_ts"), col("close"), col("volume")),
+        Seq("symbol", "bar_ts"), "left")
+      .select(col("symbol"), col("bar_ts"), col("close"),
+        when(col("close").isNull, 1L).otherwise(0L).as("is_gap"),
+        last(col("close"), ignoreNulls = true).over(wF).as("close_ffill"),
+        first(col("close"), ignoreNulls = true).over(wB).as("close_bfill"),
+        coalesce(col("volume"), lit(0L)).as("volume_filled"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
 }

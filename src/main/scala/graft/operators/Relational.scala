@@ -108,6 +108,28 @@ object Relational {
         col("k").isNotNull && col("k") >= 0)
       .orderBy(col("event_id"))
 
+  /** Top-k per group via the typed [[graft.functions.TopKAgg]] Aggregator:
+    * map-side partial top-k (≤ k rows per group per mapper cross the
+    * shuffle) instead of the window formulation's full shuffle + sort.
+    * Output is identical to [[topkPerGroup]]. */
+  def topkPerGroupAgg(orders: DataFrame, k: Int = 3): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.TopKAgg(k)
+    orders.select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn)
+      .flatMap { case (ck, top) =>
+        top.iterator.zipWithIndex.map { case ((price, okey), i) =>
+          (ck, okey, price, (i + 1).toLong)
+        }
+      }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
   /** Incremental-ingest guard: keep only rows not already present in the
     * existing table, by (symbol, ts) — a left-anti join, the declarative
     * form of the reference's per-record duplicate check before insert

@@ -104,6 +104,54 @@ class OpsExtraSpec extends SparkSpec {
     assert(out.count() === ev.filter(col("ts") >= cutoff).count())
   }
 
+  test("typed TopKAgg aggregator equals the window top-k exactly") {
+    val orders = Tables.orders(spark, sf())
+    val win = Relational.topkPerGroup(orders).collect().toSeq
+    val agg = Relational.topkPerGroupAgg(orders).collect().toSeq
+    assert(agg.map(_.toSeq) === win.map(_.toSeq))
+  }
+
+  test("gapFill produces a complete grid with ffill/bfill semantics") {
+    import spark.implicits._
+    val bars = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 10:00:00"), 1.0, 2.0, 0.5, 1.5, 2L, 3.0),
+      ("A", Timestamp.valueOf("2024-01-01 10:15:00"), 2.0, 3.0, 1.5, 2.5, 1L, 2.5))
+      .toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume", "vsum")
+    val out = Bars.gapFill(bars).orderBy("bar_ts").collect()
+    assert(out.length === 4) // 10:00, :05, :10, :15
+    assert(out(1).getAs[Long]("is_gap") === 1L)
+    assert(out(1).getAs[Double]("close_ffill") === 1.5) // carried forward
+    assert(out(1).getAs[Double]("close_bfill") === 2.5) // carried backward
+    assert(out(1).getAs[Long]("volume_filled") === 0L)
+    assert(out(3).getAs[Long]("is_gap") === 0L)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val orders = Tables.orders(spark, sf())
+    val customer = Tables.customer(spark, sf())
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      assert(j.count() === orders.join(customer,
+        col("o_custkey") === col("c_custkey")).count())
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("approx_count_distinct tracks exact counts within rsd") {
     val ev = Tables.events(spark, sf())
     val both = ev.groupBy("event_type")
