@@ -344,6 +344,12 @@ object OracleSql {
     ex AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i FROM t),
     ng AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng FROM ex)"""
 
+  private val ngramCtes5 = """
+    t5 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+    ex5 AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i FROM t5),
+    ng5 AS (SELECT DISTINCT doc_id,
+      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS ng FROM ex5)"""
+
   /** Sequential left-fold dot product — same op order as the Spark
     * `aggregate(zip_with(...))` fold, so results are bit-identical. */
   private def dotSql(a: String, b: String) =
@@ -472,6 +478,50 @@ object OracleSql {
         (list_reduce(list_prepend(0, list_transform(generate_series(1, 16), i -> ascii(substr(text, i, 1)))),
           (a, c) -> a + c)::DOUBLE / 16) AS brightness
       FROM t ORDER BY doc_id""",
+
+    "q_train_split" -> """
+      WITH t AS (SELECT doc_id,
+        CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 4)) AS BIGINT) % 100 AS bucket
+       FROM documents)
+      SELECT doc_id, bucket,
+        CASE WHEN bucket < 90 THEN 'train' ELSE 'eval' END AS split
+      FROM t ORDER BY doc_id""",
+
+    "q_shard_pack" -> """
+      WITH t AS (SELECT doc_id,
+        CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) AS h,
+        len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS tokens
+       FROM documents),
+      s AS (SELECT doc_id, h, h % 8 AS shard, tokens FROM t),
+      p AS (SELECT doc_id, shard, tokens,
+        row_number() OVER w AS pos,
+        sum(tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM s WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id))
+      SELECT doc_id, shard, tokens, pos, ((cum - tokens) // 4096)::BIGINT AS pack_id
+      FROM p ORDER BY shard, pos""",
+
+    "q_decontaminate" -> s"""
+      WITH $ngramCtes5,
+      bench AS (SELECT DISTINCT ng FROM ng5 JOIN documents USING (doc_id)
+                WHERE source = 'src0'),
+      cand AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+      shared AS (SELECT n.doc_id, count(*) AS n_shared
+                 FROM ng5 n JOIN cand USING (doc_id) JOIN bench USING (ng)
+                 GROUP BY n.doc_id)
+      SELECT c.doc_id, coalesce(s.n_shared, 0) AS n_shared,
+        (CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS is_contaminated
+      FROM cand c LEFT JOIN shared s ON s.doc_id = c.doc_id
+      ORDER BY c.doc_id""",
+
+    "q_redact" -> """
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        len(regexp_extract_all(text, '[0-9]{3,}'))::BIGINT AS n_numbers,
+        md5(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{3,}', '<NUM>', 'g')) AS redacted_md5
+      FROM documents ORDER BY doc_id""",
 
     "q_stream_window" -> """
       SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start, event_type,

@@ -74,6 +74,11 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // F2. training-data export
+    "q_train_split" -> ((s, d) => TrainingData.trainSplit(Tables.documents(s, d))),
+    "q_shard_pack" -> ((s, d) => TrainingData.shardPack(Tables.documents(s, d))),
+    "q_decontaminate" -> ((s, d) => TrainingData.decontaminate(Tables.documents(s, d))),
+    "q_redact" -> ((s, d) => TrainingData.redact(Tables.documents(s, d))),
     // G. multimodal
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
     // H. streaming (batch-equivalent of the structured-streaming pipeline)

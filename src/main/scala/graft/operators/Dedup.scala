@@ -32,11 +32,11 @@ object Dedup {
 
   /** Distinct word n-grams per doc (docs with < n words contribute none). */
   def wordNgrams(docs: DataFrame, n: Int = 3): DataFrame = {
-    require(n == 3, "oracle SQL mirrors the 3-gram shape")
+    val terms = (0 until n).map(i => s"wsarr[i+$i]").mkString(", ")
     docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("wsarr"))
       .filter(size(col("wsarr")) >= n)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(wsarr) - 3), i -> concat_ws(' ', wsarr[i], wsarr[i+1], wsarr[i+2]))")).as("ng"))
+        s"transform(sequence(0, size(wsarr) - $n), i -> concat_ws(' ', $terms))")).as("ng"))
       .distinct()
   }
 

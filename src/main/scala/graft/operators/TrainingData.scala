@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data export operators: the steps between a cleaned corpus and
+  * a training run at 100 TB.
+  *
+  * All randomness is md5-derived from stable ids, so splits/shuffles are
+  * deterministic, reproducible across engines (oracle-checked) and across
+  * cluster re-runs — the property a production data pipeline needs for
+  * resumable exports.
+  *
+  * Scale notes: split/redact are per-row projections (no shuffle);
+  * shard-pack shuffles once on the shard key and packs with a running
+  * token sum per shard; decontamination is an n-gram semi-join where only
+  * (doc_id, ngram-hash) pairs cross the wire.
+  */
+object TrainingData {
+
+  /** Stable 0..99 bucket from the doc id (first 4 md5 hex digits). */
+  private val bucket: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** Deterministic 90/10 train/eval split on hashed doc_id. */
+  def trainSplit(docs: DataFrame, trainPct: Int = 90): DataFrame =
+    docs.select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < trainPct, "train").otherwise("eval").as("split"))
+      .orderBy(col("doc_id"))
+
+  /** Global pseudo-shuffle + shard assignment + greedy token packing:
+    * order docs by a stable hash, deal them into `shards`, and bin each
+    * shard's stream into ~`packTokens`-token packs by running token count
+    * (a doc starting before a boundary joins the earlier pack — the usual
+    * streaming-packing approximation). */
+  def shardPack(docs: DataFrame, shards: Int = 8, packTokens: Int = 4096): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    val cum = sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    docs.select(col("doc_id"), h.as("h"), (h % shards).as("shard"), tokens.as("tokens"))
+      .select(col("doc_id"), col("shard"), col("tokens"),
+        row_number().over(w).cast("long").as("pos"),
+        cum.as("cum_tokens"))
+      .withColumn("pack_id", expr(s"(cum_tokens - tokens) div $packTokens"))
+      .drop("cum_tokens")
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any word-5-gram
+    * with the benchmark set (here: source = 'src0' plays the benchmark).
+    * Only (doc_id, ngram) pairs shuffle; the verdict is a grouped count
+    * over the n-gram equi-join. */
+  def decontaminate(docs: DataFrame, benchmarkSource: String = "src0"): DataFrame = {
+    val ng5 = Dedup.wordNgrams(docs.select(col("doc_id"), col("text"), col("source")), 5)
+    val sources = docs.select(col("doc_id"), col("source"))
+    val bench = ng5.join(sources.filter(col("source") === benchmarkSource), Seq("doc_id"))
+      .select(col("ng")).distinct()
+    val candidates = sources.filter(col("source") =!= benchmarkSource)
+    val shared = ng5.join(candidates, Seq("doc_id"))
+      .join(bench, Seq("ng"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    candidates.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shared"), lit(0L)) > 0, 1L).otherwise(0L).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII-style redaction: emails then 3+-digit runs, with counts. Output
+    * carries the redacted-text hash so the check stays compact. */
+  def redact(docs: DataFrame): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numPat = "[0-9]{3,}"
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), emailPat, "<EMAIL>"), numPat, "<NUM>")
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(numPat)).cast("long").as("n_numbers"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -152,6 +152,56 @@ class OpsExtraSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate flags a doc overlapping the benchmark set") {
+    import spark.implicits._
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val dirty = "prefix words alpha beta gamma delta epsilon more words"
+    val clean = "one two three four five six seven eight nine"
+    val docs = Seq(
+      (1L, bench, "en", "src0", bench.length.toLong),
+      (2L, dirty, "en", "srcX", dirty.length.toLong),
+      (3L, clean, "en", "srcX", clean.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TrainingData.decontaminate(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("is_contaminated")).toMap
+    assert(out === Map(2L -> 1L, 3L -> 0L))
+  }
+
+  test("redact finds planted emails and long numbers") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at alice@example.com or 5551234 now", "en", "s", 1L),
+      (2L, "no pii here just words and 42", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TrainingData.redact(docs).collect()
+    assert(out(0).getAs[Long]("n_emails") === 1L)
+    assert(out(0).getAs[Long]("n_numbers") === 1L)
+    assert(out(1).getAs[Long]("n_emails") === 0L)
+    assert(out(1).getAs[Long]("n_numbers") === 0L)
+  }
+
+  test("shardPack: packs respect the token budget per shard stream") {
+    val out = graft.operators.TrainingData.shardPack(
+      Tables.documents(spark, sf()), shards = 4, packTokens = 500)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val checked = out.withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("start", col("cum") - col("tokens"))
+      .filter(expr("pack_id <> (start div 500)"))
+    assert(checked.count() === 0)
+    // deterministic: same input → same assignment
+    val again = graft.operators.TrainingData.shardPack(
+      Tables.documents(spark, sf()), shards = 4, packTokens = 500)
+    assert(out.exceptAll(again).count() === 0)
+  }
+
+  test("trainSplit is a stable ~90/10 partition") {
+    val out = graft.operators.TrainingData.trainSplit(Tables.documents(spark, sf()))
+    val frac = out.filter(col("split") === "train").count().toDouble / out.count()
+    assert(frac > 0.8 && frac < 0.97)
+  }
+
   test("approx_count_distinct tracks exact counts within rsd") {
     val ev = Tables.events(spark, sf())
     val both = ev.groupBy("event_type")
