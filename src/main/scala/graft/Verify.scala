@@ -17,9 +17,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // Dump tz-naive timestamps: the session is UTC, and DuckDB's
+        // oracle results are naive, so writing TIMESTAMP_NTZ makes the
+        // parquet column type match the oracle exactly instead of
+        // relying on the comparator to normalize isAdjustedToUTC.
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+        val cols = out.schema.fields.map { f =>
+          f.dataType match {
+            case TimestampType => col(f.name).cast(TimestampNTZType).as(f.name)
+            case _ => col(f.name)
+          }
+        }
+        out.select(cols.toIndexedSeq: _*).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
