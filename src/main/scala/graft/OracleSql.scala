@@ -140,6 +140,31 @@ object OracleSql {
              THEN round(avg(k_raw) ${wf("ROWS BETWEEN 2 PRECEDING AND CURRENT ROW")} + 5e-9, 4) END AS stoch_d
       FROM k ORDER BY symbol, bar_ts""",
 
+    "q_obv" -> s"""
+      WITH $barsCte,
+      d AS (
+        SELECT symbol, bar_ts, "close", volume,
+          "close" - lag("close", 1) ${wf("")} AS delta
+        FROM bars),
+      s AS (
+        SELECT symbol, bar_ts, "close", volume,
+          CASE WHEN delta > 0 THEN volume
+               WHEN delta < 0 THEN -volume
+               ELSE 0 END AS signed_vol
+        FROM d)
+      SELECT symbol, bar_ts, "close", volume,
+        (sum(signed_vol) ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")})::BIGINT AS obv
+      FROM s ORDER BY symbol, bar_ts""",
+
+    "q_williams_r" -> s"""
+      WITH $barsCte, $rnCte
+      SELECT symbol, bar_ts, "close",
+        CASE WHEN rn < 14 THEN NULL
+             WHEN max(high) ${wf("ROWS BETWEEN 13 PRECEDING AND CURRENT ROW")} = min(low) ${wf("ROWS BETWEEN 13 PRECEDING AND CURRENT ROW")} THEN NULL
+             ELSE round((max(high) ${wf("ROWS BETWEEN 13 PRECEDING AND CURRENT ROW")} - "close")
+                  / (max(high) ${wf("ROWS BETWEEN 13 PRECEDING AND CURRENT ROW")} - min(low) ${wf("ROWS BETWEEN 13 PRECEDING AND CURRENT ROW")}) * -100 + 5e-9, 4) END AS williams_r
+      FROM b ORDER BY symbol, bar_ts""",
+
     "q_vwap" -> s"""
       WITH $barsCte
       SELECT symbol, bar_ts, "close", volume,

@@ -38,6 +38,8 @@ object SparkEntry {
     "q_atr" -> ((s, d) => Indicators.atr(bars(s, d))),
     "q_stochastic" -> ((s, d) => Indicators.stochastic(bars(s, d))),
     "q_vwap" -> ((s, d) => Indicators.vwap(bars(s, d))),
+    "q_obv" -> ((s, d) => Indicators.obv(bars(s, d))),
+    "q_williams_r" -> ((s, d) => Indicators.williamsR(bars(s, d))),
     "q_momentum" -> ((s, d) => Indicators.momentum(bars(s, d))),
     "q_summary_stats" -> ((s, d) => Indicators.summaryStats(bars(s, d))),
     "q_weekly_range" -> ((s, d) => Indicators.weeklyRange(bars(s, d))),

