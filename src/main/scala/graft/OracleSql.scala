@@ -214,6 +214,30 @@ object OracleSql {
         round(sum(volume)::DOUBLE / count(*) + 5e-9, 4) AS avg_volume, sum(volume)::BIGINT AS total_volume
       FROM bars GROUP BY 1, 2 ORDER BY day_name, hour""",
 
+    "q_volume_pivot" -> {
+      val hourCols = (0 to 23).map(h =>
+        f"coalesce(sum(volume) FILTER (hour(bar_ts) = $h), 0)::BIGINT AS h$h%02d")
+        .mkString(",\n        ")
+      s"""
+      WITH $barsCte
+      SELECT dayname(bar_ts) AS day_name,
+        $hourCols
+      FROM bars GROUP BY 1 ORDER BY day_name"""
+    },
+
+    "q_rollup_revenue" -> """
+      SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
+        count(*) AS n_orders,
+        GROUPING(r_name)::BIGINT AS g_region,
+        GROUPING(n_name)::BIGINT AS g_nation
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY 1, 2""",
+
     "q_latest_metrics" -> s"""
       WITH $barsCte,
       a AS (

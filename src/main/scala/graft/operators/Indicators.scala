@@ -212,6 +212,21 @@ object Indicators {
         sum(col("volume")).as("total_volume"))
       .orderBy(col("day_name"), col("hour"))
 
+  /** Volume pivot: one row per day-of-week, one column per hour — the
+    * reference dashboard's `pivot_table` heat-map shape as a true pivot
+    * (static 0-23 hour list keeps the schema deterministic). */
+  def volumePivot(bars: DataFrame): DataFrame = {
+    val piv = bars
+      .select(date_format(col("bar_ts"), "EEEE").as("day_name"),
+        hour(col("bar_ts")).as("hour"), col("volume"))
+      .groupBy(col("day_name"))
+      .pivot("hour", 0 to 23)
+      .agg(sum(col("volume")))
+    val renamed = piv.select(col("day_name") +:
+      (0 to 23).map(h => coalesce(col(h.toString), lit(0L)).as(f"h$h%02d")): _*)
+    renamed.orderBy(col("day_name"))
+  }
+
   /** Latest-bar metrics per symbol: last price, % change, volume vs mean
     * (app/dashboard.py:642-667). */
   def latestMetrics(bars: DataFrame): DataFrame =

@@ -108,6 +108,25 @@ object Relational {
         col("k").isNotNull && col("k") >= 0)
       .orderBy(col("event_id"))
 
+  /** Region/nation revenue with ROLLUP subtotals and a grand total;
+    * subtotal rows surface as 'ALL' so both engines order identically. */
+  def rollupRevenue(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("r_name")).cast("long").as("g_region"),
+        grouping(col("n_name")).cast("long").as("g_nation"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("revenue"), col("n_orders"), col("g_region"), col("g_nation"))
+      .orderBy(col("r_name"), col("n_name"))
+
   /** Top-k per group via the typed [[graft.functions.TopKAgg]] Aggregator:
     * map-side partial top-k (≤ k rows per group per mapper cross the
     * shuffle) instead of the window formulation's full shuffle + sort.
