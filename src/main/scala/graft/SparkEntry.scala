@@ -45,12 +45,12 @@ object SparkEntry {
     "q_weekly_range" -> ((s, d) => Indicators.weeklyRange(bars(s, d))),
     "q_volume_heatmap" -> ((s, d) => Indicators.volumeHeatmap(bars(s, d))),
     "q_volume_pivot" -> ((s, d) => Indicators.volumePivot(bars(s, d))),
-    "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(Tables.orders(s, d),
-      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_latest_metrics" -> ((s, d) => Indicators.latestMetrics(bars(s, d))),
     // C. relational core
     "q1_agg" -> ((s, d) => Relational.q1(Tables.lineitem(s, d))),
     "q_join_agg" -> ((s, d) => Relational.joinAgg(Tables.orders(s, d),
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_topk_per_group" -> ((s, d) => Relational.topkPerGroup(Tables.orders(s, d))),
     "q_topk_agg" -> ((s, d) => Relational.topkPerGroupAgg(Tables.orders(s, d))),

@@ -203,11 +203,12 @@ object Indicators {
       .orderBy(col("symbol"), col("week_start"))
   }
 
+  private val dayName = date_format(col("bar_ts"), "EEEE").as("day_name")
+
   /** Average/total volume heat-map by day-of-week × hour
     * (app/dashboard.py:434-456). */
   def volumeHeatmap(bars: DataFrame): DataFrame =
-    bars.groupBy(date_format(col("bar_ts"), "EEEE").as("day_name"),
-        hour(col("bar_ts")).cast("long").as("hour"))
+    bars.groupBy(dayName, hour(col("bar_ts")).cast("long").as("hour"))
       .agg(round(sum(col("volume")).cast("double") / count(lit(1)) + lit(5e-9), 4).as("avg_volume"),
         sum(col("volume")).as("total_volume"))
       .orderBy(col("day_name"), col("hour"))
@@ -217,8 +218,7 @@ object Indicators {
     * (static 0-23 hour list keeps the schema deterministic). */
   def volumePivot(bars: DataFrame): DataFrame = {
     val piv = bars
-      .select(date_format(col("bar_ts"), "EEEE").as("day_name"),
-        hour(col("bar_ts")).as("hour"), col("volume"))
+      .select(dayName, hour(col("bar_ts")).as("hour"), col("volume"))
       .groupBy(col("day_name"))
       .pivot("hour", 0 to 23)
       .agg(sum(col("volume")))

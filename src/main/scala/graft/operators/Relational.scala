@@ -38,15 +38,19 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** Revenue per region/nation: multiway join with broadcast dimensions
-    * (nation/region are broadcast; customer⋈orders shuffles on the key,
-    * AQE may still broadcast customer when it fits). */
-  def joinAgg(orders: DataFrame, customer: DataFrame, nation: DataFrame,
-      region: DataFrame): DataFrame =
+  /** Shared orders⋈customer⋈nation⋈region join (dims broadcast; AQE may
+    * also broadcast customer when it fits). */
+  private def revenueJoin(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
     orders
       .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+
+  /** Revenue per region/nation: multiway join with broadcast dimensions. */
+  def joinAgg(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    revenueJoin(orders, customer, nation, region)
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("revenue"),
@@ -112,10 +116,7 @@ object Relational {
     * subtotal rows surface as 'ALL' so both engines order identically. */
   def rollupRevenue(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       region: DataFrame): DataFrame =
-    orders
-      .join(customer, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    revenueJoin(orders, customer, nation, region)
       .rollup(col("r_name"), col("n_name"))
       .agg(
         round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("revenue"),
