@@ -563,6 +563,14 @@ object OracleSql {
       FROM cand c LEFT JOIN shared s ON s.doc_id = c.doc_id
       ORDER BY c.doc_id""",
 
+    "q_data_mix" -> """
+      WITH t AS (SELECT doc_id, source,
+        CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 4)) AS BIGINT) % 100 AS bucket
+       FROM documents)
+      SELECT doc_id, source, bucket
+      FROM t WHERE source = 'src0' OR bucket < 50
+      ORDER BY doc_id""",
+
     "q_redact" -> """
       SELECT doc_id,
         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,

@@ -84,6 +84,7 @@ object SparkEntry {
     "q_shard_pack" -> ((s, d) => TrainingData.shardPack(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => TrainingData.decontaminate(Tables.documents(s, d))),
     "q_redact" -> ((s, d) => TrainingData.redact(Tables.documents(s, d))),
+    "q_data_mix" -> ((s, d) => TrainingData.dataMix(Tables.documents(s, d))),
     // G. multimodal
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
     // H. streaming (batch-equivalent of the structured-streaming pipeline)

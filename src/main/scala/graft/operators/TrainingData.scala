@@ -69,6 +69,19 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic data mixing: sample each source at its own rate via a
+    * stable per-doc hash bucket (src0 fully, others at `defaultPct`%) —
+    * the corpus-weighting step of a training mix, reproducible across
+    * runs and engines. */
+  def dataMix(docs: DataFrame, defaultPct: Int = 50,
+      fullSources: Seq[String] = Seq("src0")): DataFrame = {
+    val keep = col("source").isin(fullSources.map(x => x: Any): _*) ||
+      bucket < defaultPct
+    docs.filter(keep)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII-style redaction: emails then 3+-digit runs, with counts. Output
     * carries the redacted-text hash so the check stays compact. */
   def redact(docs: DataFrame): DataFrame = {
