@@ -588,6 +588,27 @@ object OracleSql {
   )
 
   private val vectorOps: Map[String, String] = Map(
+    "q_ann_ivf" -> s"""
+      WITH $vecCtes,
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM nv WHERE vec_id % 97 = 0),
+      a AS (SELECT nv.vec_id, nv.v, nv.nrm, c.cent_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(nv.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+                (p, s) -> p + s) AS d2
+            FROM nv, cents c),
+      cell AS (SELECT vec_id, v, nrm, cent_id AS cell FROM a
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS qcell
+            FROM cell WHERE vec_id % 100 = 0),
+      c2 AS (SELECT q.q_id, cell.vec_id AS nn_id, cell.cell,
+               ${dotSql("cell.v", "q.qv")} / (q.qn * cell.nrm) AS cos
+             FROM cell JOIN q ON cell.cell = q.qcell AND cell.vec_id <> q.q_id
+             WHERE cell.nrm > 0 AND q.qn > 0),
+      r AS (SELECT q_id, nn_id, cell, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c2)
+      SELECT q_id, nn_id, cell, round(cos + 5e-9, 4) AS cos, rk
+      FROM r WHERE rk <= 3 ORDER BY q_id, rk""",
+
     "q_embed_neardup" -> s"""
       WITH $vecCtes,
       p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -74,6 +74,7 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiprobe(Tables.embeddings(s, d))),
+    "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     // F. text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),

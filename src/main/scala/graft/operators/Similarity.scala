@@ -120,6 +120,44 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Squared L2 distance as a sequential fold (mirrors the oracle). */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** IVF-flat ANN (nprobe = 1): deterministic sampled centroids
+    * (vec_id % 97 = 0), every vector assigned to its nearest centroid by
+    * squared L2, queries probe their own cell and rank candidates by
+    * exact cosine. The scale shape of inverted-file search: assignment is
+    * a broadcast of ~n/97 centroids + one narrow pass; the probe is a
+    * cell equi-join instead of a cross join. (A Lloyd-iterated k-means
+    * refines the same structure; sampled centroids keep it
+    * engine-reproducible for the oracle gate.) */
+  def annIvf(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val e = withVec(embeddings)
+    val cents = e.select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .filter(col("cent_id") % 97 === 0)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        dist2(col("v"), col("cv")).as("d2"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val q = assign.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("cell").as("qcell"))
+      .filter(col("q_id") % 100 === 0)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    assign.join(broadcast(q), col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"), col("cell"),
+        expr("cosine_sim(v, qv)").as("cos"))
+      .filter(col("cos").isNotNull)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("nn_id"), col("cell"),
+        round(col("cos") + lit(5e-9), 4).as("cos"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Embedding-cosine near-dup pairs in an id-banded candidate window
     * (offset-explode equi-join: b.vec_id = a.vec_id + off, off ∈ 1..10). */
   def embedNeardup(embeddings: DataFrame, maxOffset: Int = 10,

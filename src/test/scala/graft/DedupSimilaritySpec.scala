@@ -97,6 +97,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(counts.forall(_.getAs[Long]("count") <= 3))
   }
 
+  test("IVF ANN: every candidate shares the query's cell, at most k results") {
+    val out = Similarity.annIvf(Tables.embeddings(spark, sf()), k = 3).collect()
+    assert(out.nonEmpty)
+    val counts = out.groupBy(_.getAs[Long]("q_id")).values.map(_.length)
+    assert(counts.forall(_ <= 3))
+    // rank 1 must have the highest cosine within each query group
+    out.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("multi-probe LSH never does worse than single-probe on top-1 cosine") {
     val e = Tables.embeddings(spark, sf())
     val single = Similarity.annLsh(e, k = 1).collect()
