@@ -580,6 +580,16 @@ object OracleSql {
           '[0-9]{3,}', '<NUM>', 'g')) AS redacted_md5
       FROM documents ORDER BY doc_id""",
 
+    "q_multimodal_frames" -> """
+      WITH t AS (SELECT doc_id, strlen(text)::BIGINT AS byte_len,
+        CASE WHEN strlen(text) % 3 = 2
+             THEN 1 + (ascii(substr(text, 1, 1)) % 8) ELSE 1 END::BIGINT AS n_frames
+       FROM documents)
+      SELECT doc_id, byte_len,
+        unnest(generate_series(1::BIGINT, n_frames)) AS frame_idx,
+        (byte_len * 31 + unnest(generate_series(1::BIGINT, n_frames)) * 7) % 1000 AS frame_feature
+      FROM t ORDER BY doc_id, frame_idx""",
+
     "q_stream_window" -> """
       SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start, event_type,
         count(*) AS n_events, round(sum(value) + 5e-9, 4) AS sum_value,

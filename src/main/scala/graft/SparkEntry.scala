@@ -88,6 +88,7 @@ object SparkEntry {
     "q_data_mix" -> ((s, d) => TrainingData.dataMix(Tables.documents(s, d))),
     // G. multimodal
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
+    "q_multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
     // H. streaming (batch-equivalent of the structured-streaming pipeline)
     "q_stream_window" -> ((s, d) =>
       graft.streaming.StreamPipelines.windowedAgg(Tables.events(s, d))

@@ -42,6 +42,24 @@ object Multimodal {
     MediaMeta(id, fmt, len, width, height, frames, s / 16.0)
   }
 
+  /** Frame sampling: one row per decoded frame with a deterministic
+    * per-frame feature (a real decoder slots into the same shape — the
+    * explode keeps frames columnar and partition-local, no shuffle).
+    * Frame feature stub: first-byte rolling mix with the frame index. */
+  def sampleFrames(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val len = octet_length(col("text")).cast("long")
+    val frames = when(len % 3 === 2,
+      lit(1L) + pmod(ascii(substring(col("text"), 1, 1)).cast("long"), lit(8L)))
+      .otherwise(lit(1L))
+    docs.select(col("doc_id"), len.as("byte_len"), frames.as("n_frames"))
+      .select(col("doc_id"), col("byte_len"),
+        explode(sequence(lit(1L), col("n_frames"))).as("frame_idx"))
+      .withColumn("frame_feature",
+        pmod(col("byte_len") * 31 + col("frame_idx") * 7, lit(1000L)))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Batch decode over a binary column (documents.text cast to bytes
     * stands in for real image/audio payloads in the test data). */
   def extractMeta(docs: DataFrame): DataFrame = {
