@@ -90,11 +90,16 @@ object OracleSql {
              ELSE round(100 - 100 / (1 + avg_gain / avg_loss) + 5e-9, 4) END AS rsi
       FROM a ORDER BY symbol, bar_ts""",
 
+    // Exact full-prefix folds (no truncation): list_reduce seeds the
+    // accumulator with the first element, which IS the e0 = x0 recursion.
+    // `+ 0.0` canonicalizes DuckDB's -0.0 (its round is a ×10^4 multiply
+    // that preserves the sign of tiny negatives; Spark's BigDecimal round
+    // has no signed zero) — without it one macd_hist cell hashes as -0.0.
     "q_macd" -> s"""
       WITH $barsCte,
       w1 AS (
         SELECT symbol, bar_ts,
-          list("close") ${wf("ROWS BETWEEN 499 PRECEDING AND CURRENT ROW")} AS lst
+          list("close") ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS lst
         FROM bars),
       m AS (
         SELECT symbol, bar_ts,
@@ -103,14 +108,15 @@ object OracleSql {
         FROM w1),
       w2 AS (
         SELECT symbol, bar_ts, macd,
-          list(macd) ${wf("ROWS BETWEEN 499 PRECEDING AND CURRENT ROW")} AS mlst
+          list(macd) ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS mlst
         FROM m),
       s AS (
         SELECT symbol, bar_ts, macd,
           list_reduce(mlst, (acc, x) -> x * (2::DOUBLE / 10::DOUBLE) + acc * (8::DOUBLE / 10::DOUBLE)) AS sig
         FROM w2)
-      SELECT symbol, bar_ts, round(macd + 5e-9, 4) AS macd, round(sig + 5e-9, 4) AS macd_signal,
-        round(macd - sig + 5e-9, 4) AS macd_hist
+      SELECT symbol, bar_ts, round(macd + 5e-9, 4) + 0.0 AS macd,
+        round(sig + 5e-9, 4) + 0.0 AS macd_signal,
+        round(macd - sig + 5e-9, 4) + 0.0 AS macd_hist
       FROM s ORDER BY symbol, bar_ts""",
 
     "q_atr" -> s"""

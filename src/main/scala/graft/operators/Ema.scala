@@ -1,90 +1,281 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Exact recursive EMA / MACD (reference app/dashboard.py:114-118).
   *
   * `ewm(span=n, adjust=False)`: e_0 = x_0; e_t = α·x_t + (1−α)·e_{t-1}
   * with α = 2/(n+1). EMA is the one inherently-sequential operator in the
-  * suite, so it runs as a single sorted pass per symbol via
-  * `groupByKey(symbol).flatMapGroups` — one shuffle on symbol, O(n) work,
-  * no driver-side collection.
+  * suite; it is distributed as a segmented scan:
   *
-  * Scale path (documented for 100 TB): per-symbol series are processed
-  * independently, so throughput scales with symbol cardinality; for few
-  * ultra-long series the recursion factors into a segmented scan
-  * (per-chunk (Π(1−α), Σ weighted) pairs combined associatively), which
-  * is the planned round-2 upgrade if profiling demands it.
+  *  1. bars are chunked by TIME — `chunk = bar_ts div (chunkBars·5min)` —
+  *     so the chunk id needs no per-symbol row numbering (no per-symbol
+  *     window stage, no global sort);
+  *  2. one pass per chunk computes the O(1) summary of the recursion
+  *     restricted to the chunk: `e_out = decay·e_in + partial` with
+  *     `decay = β^len` (as a repeated multiply, matching the fold's op
+  *     order) and `partial` the seed-0 fold; the symbol's first chunk also
+  *     carries its exact sequential exit value (`e_0 = x_0` semantics);
+  *  3. seeds entering each chunk come from [[linearSeeds]], a RECURSIVE
+  *     segmented scan over the metadata-scale summaries (n/chunkBars
+  *     rows): every task at every level folds at most `fanout` rows, so
+  *     there is no driver-side fold and no single-task-per-symbol stage
+  *     even for one 10^12-row series;
+  *  4. a final parallel pass re-runs the exact recursion inside each
+  *     chunk from its seed.
   *
-  * The DuckDB oracle reproduces the same fold with `list_reduce` over a
-  * 500-bar trailing window; the truncation error (1−α)^500 < 1e-16 is
-  * invisible at the 4dp output rounding.
+  * Within the symbol's first chunk (and the second, whose seed is the
+  * first chunk's exact exit) values are bit-identical to the sequential
+  * fold; later chunks differ only by the `decay·e + partial` compression
+  * re-association, ≤1e-13 relative and exponentially damped by β^offset
+  * inside the chunk — invisible at the 4dp output rounding (spec-checked
+  * and oracle-gated at three scale factors).
   */
-object Ema {
+object Ema extends Serializable {
   private val A12 = 2.0 / 13.0; private val B12 = 11.0 / 13.0
   private val A26 = 2.0 / 27.0; private val B26 = 25.0 / 27.0
   private val A9 = 2.0 / 10.0; private val B9 = 8.0 / 10.0
 
-  /** Distributed segmented-scan EMA — the scale path for a single very
-    * long series where one sorted pass per key would bottleneck.
-    *
-    * The recursion factors associatively: a chunk with seed s ends at
-    * `decay·s + partial` where `decay = β^len` and `partial` is the
-    * seed-0 fold of the chunk. Because e₀ = α·x₀ + β·x₀ = x₀, seeding the
-    * first chunk with its own first value reproduces `adjust=False`
-    * exactly. So: (1) one distributed pass computes per-chunk
-    * (decay, partial); (2) the per-symbol chunk summaries — n/chunkSize
-    * tiny rows — fold into entry seeds on the driver; (3) a second
-    * distributed pass, parallel across chunks, re-runs the recursion
-    * from each seed. Results differ from the sequential recursion only
-    * by re-association rounding (≤1e-12 relative; spec-checked). */
-  def emaSegmented(bars: DataFrame, span: Int, chunkSize: Int = 1024): DataFrame = {
+  /** Per-chunk summary of k parallel linear recurrences e' = d·e + p.
+    * `firstExit` is the chunk's exact sequential exit value under
+    * `e_0 = x_0` seeding — used when this is the symbol's first chunk so
+    * the head of the series is bit-exact, not just re-associated. */
+  case class ChunkSum(symbol: String, chunk: Long,
+      decay: Array[Double], partial: Array[Double], firstExit: Array[Double])
+
+  /** Seed entering a chunk. `isFirst` marks the symbol's first chunk,
+    * where the recursion starts from the raw first value instead. */
+  case class ChunkSeed(symbol: String, chunk: Long,
+      seed: Array[Double], isFirst: Boolean)
+
+  /** Distributed prefix scan over chunk summaries: returns the recursion
+    * state ENTERING each chunk. Recursive — groups of at most `fanout`
+    * summaries fold per task; levels = log_fanout(chunks/symbol). */
+  def linearSeeds(sums: Dataset[ChunkSum], fanout: Int = 1024,
+      maxChunksHint: Long = -1L): Dataset[ChunkSeed] = {
+    val spark = sums.sparkSession
+    import spark.implicits._
+    val cached = sums.persist()
+    // callers that know the chunk count (e.g. macd's two scans share one)
+    // pass it to avoid an extra aggregation action
+    val maxChunks =
+      if (maxChunksHint >= 0) maxChunksHint
+      else cached.groupByKey(_.symbol).count().map(_._2).reduce(math.max(_, _))
+
+    def foldGroup(arr: Array[ChunkSum], entry: ChunkSeed): Iterator[ChunkSeed] = {
+      val k = arr.head.decay.length
+      var carry: Array[Double] = if (entry.isFirst) null else entry.seed.clone()
+      var first = entry.isFirst
+      arr.iterator.map { s =>
+        val out =
+          if (first) ChunkSeed(s.symbol, s.chunk, new Array[Double](k), isFirst = true)
+          else ChunkSeed(s.symbol, s.chunk, carry.clone(), isFirst = false)
+        carry =
+          if (first) s.firstExit.clone()
+          else {
+            val c = carry
+            var i = 0
+            while (i < k) { c(i) = s.decay(i) * c(i) + s.partial(i); i += 1 }
+            c
+          }
+        first = false
+        out
+      }
+    }
+
+    if (maxChunks <= fanout) {
+      cached.groupByKey(_.symbol).flatMapGroups { (_, it) =>
+        val arr = it.toArray.sortBy(_.chunk)
+        foldGroup(arr, ChunkSeed(arr.head.symbol, arr.head.chunk, Array.empty, isFirst = true))
+      }
+    } else {
+      // compose summaries per super-chunk, recurse, then unfold locally
+      val supers = cached.groupByKey(s => (s.symbol, s.chunk / fanout))
+        .mapGroups { (key: (String, Long), it: Iterator[ChunkSum]) =>
+          val arr = it.toArray.sortBy(_.chunk)
+          val k = arr.head.decay.length
+          val d = Array.fill(k)(1.0); val p = new Array[Double](k)
+          val fx = arr.head.firstExit.clone()
+          var j = 0
+          arr.foreach { s =>
+            var i = 0
+            while (i < k) {
+              d(i) = d(i) * s.decay(i)
+              p(i) = s.decay(i) * p(i) + s.partial(i)
+              if (j > 0) fx(i) = s.decay(i) * fx(i) + s.partial(i)
+              i += 1
+            }
+            j += 1
+          }
+          ChunkSum(key._1, key._2, d, p, fx)
+        }
+      val superSeeds = linearSeeds(supers, fanout, (maxChunks + fanout - 1) / fanout)
+      cached.groupByKey(s => (s.symbol, s.chunk / fanout))
+        .cogroup(superSeeds.groupByKey(s => (s.symbol, s.chunk))) {
+          (_: (String, Long), it: Iterator[ChunkSum], seedIt: Iterator[ChunkSeed]) =>
+          val entry = seedIt.next()
+          foldGroup(it.toArray.sortBy(_.chunk), entry)
+        }
+    }
+  }
+
+  case class Bar(symbol: String, bar_ts: java.sql.Timestamp,
+      close: Double, chunk: Long)
+
+  /** Chunked bars, persisted: the segmented scan reads this lineage in
+    * several passes (summaries, seed actions, final unfold), and bars are
+    * ~300× smaller than the tick input — one materialization beats three
+    * scan→aggregate→shuffle recomputations at any scale. */
+  private def chunked(bars: DataFrame, chunkBars: Int): Dataset[Bar] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val span = Bars.BucketMicros * chunkBars
+    bars.select(col("symbol"), col("bar_ts"), col("close"),
+        expr(s"unix_micros(bar_ts) div $span").as("chunk"))
+      .as[Bar]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def sortedBars(it: Iterator[Bar]): Array[Bar] = {
+    val arr = it.toArray
+    scala.util.Sorting.stableSort(arr,
+      (a: Bar, b: Bar) => a.bar_ts.getTime < b.bar_ts.getTime)
+    arr
+  }
+
+  /** Distributed segmented-scan EMA over `close` for one span — the same
+    * machinery as [[macd]] with a single recurrence. */
+  def emaSegmented(bars: DataFrame, span: Int, chunkBars: Int = 1024,
+      fanout: Int = 1024): DataFrame = {
     val alpha = 2.0 / (span + 1); val beta = 1.0 - alpha
     val spark = bars.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_ts"))
-    val chunked = bars.select(col("symbol"), col("bar_ts"), col("close"),
-        ((row_number().over(w) - 1).cast("long") / chunkSize).cast("long").as("chunk"))
-      .as[(String, java.sql.Timestamp, Double, Long)]
-
-    def sortedVals(it: Iterator[(String, java.sql.Timestamp, Double, Long)]) = {
-      val arr = it.toArray
-      scala.util.Sorting.stableSort(arr,
-        (a: (String, java.sql.Timestamp, Double, Long),
-         b: (String, java.sql.Timestamp, Double, Long)) => a._2.getTime < b._2.getTime)
-      arr
+    val ch = chunked(bars, chunkBars)
+    val sums = ch.groupByKey(b => (b.symbol, b.chunk)).mapGroups { (key: (String, Long), it: Iterator[Bar]) =>
+      val arr = sortedBars(it)
+      var d = 1.0; var p = 0.0; var fx = 0.0; var i = 0
+      while (i < arr.length) {
+        val x = arr(i).close
+        d *= beta; p = x * alpha + p * beta
+        fx = if (i == 0) x else x * alpha + fx * beta
+        i += 1
+      }
+      ChunkSum(key._1, key._2, Array(d), Array(p), Array(fx))
     }
-
-    // pass 1: per-chunk (decay, seed-0 partial, first value)
-    val summaries = chunked.groupByKey(r => (r._1, r._4)).mapGroups { (key, it) =>
-      val arr = sortedVals(it)
-      var p = 0.0
-      arr.foreach { r => p = r._3 * alpha + p * beta }
-      (key._1, key._2, math.pow(beta, arr.length), p, arr.head._3)
-    }.collect().sortBy(s => (s._1, s._2))
-
-    // driver fold over the tiny summary list: seed entering each chunk
-    val seeds = scala.collection.mutable.Map.empty[(String, Long), Double]
-    var curSym = ""; var carry = 0.0
-    summaries.foreach { case (sym, chunk, decay, partial, first) =>
-      if (sym != curSym) { curSym = sym; carry = first } // e0 = x0 identity
-      seeds((sym, chunk)) = carry
-      carry = decay * carry + partial
-    }
-    val bc = spark.sparkContext.broadcast(seeds.toMap)
-
-    // pass 2: parallel across chunks, exact recursion from the seed
-    chunked.groupByKey(r => (r._1, r._4)).flatMapGroups { (key, it) =>
-      val arr = sortedVals(it)
-      var e = bc.value(key)
-      arr.iterator.map { r => e = r._3 * alpha + e * beta; (key._1, r._2, e) }
-    }.toDF("symbol", "bar_ts", "ema")
+    val seeds = linearSeeds(sums, fanout)
+    ch.groupByKey(b => (b.symbol, b.chunk))
+      .cogroup(seeds.groupByKey(s => (s.symbol, s.chunk))) {
+        (_: (String, Long), it: Iterator[Bar], seedIt: Iterator[ChunkSeed]) =>
+        val sd = seedIt.next()
+        val arr = sortedBars(it)
+        var e = if (sd.isFirst) 0.0 else sd.seed(0)
+        var i = 0
+        arr.iterator.map { b =>
+          e = if (sd.isFirst && i == 0) b.close else b.close * alpha + e * beta
+          i += 1
+          (b.symbol, b.bar_ts, e)
+        }
+      }.toDF("symbol", "bar_ts", "ema")
       .orderBy(col("symbol"), col("bar_ts"))
   }
 
-  def macd(bars: DataFrame): DataFrame = {
+  /** MACD(12,26,9) as three segmented scans: EMA12/EMA26 seeds from one
+    * joint pass over the close series, then the signal EMA9 seeded from a
+    * second metadata pass over the macd values each chunk regenerates
+    * from its (seed12, seed26). Every stage is parallel across
+    * (symbol, chunk); summaries/seeds are n/chunkBars rows. */
+  def macd(bars: DataFrame, chunkBars: Int = 1024, fanout: Int = 1024): DataFrame = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val ch = chunked(bars, chunkBars)
+
+    // pass 1: joint EMA12+EMA26 chunk summaries over close
+    val sums12_26 = ch.groupByKey(b => (b.symbol, b.chunk)).mapGroups { (key: (String, Long), it: Iterator[Bar]) =>
+      val arr = sortedBars(it)
+      var d12 = 1.0; var p12 = 0.0; var f12 = 0.0
+      var d26 = 1.0; var p26 = 0.0; var f26 = 0.0
+      var i = 0
+      while (i < arr.length) {
+        val x = arr(i).close
+        d12 *= B12; p12 = x * A12 + p12 * B12
+        d26 *= B26; p26 = x * A26 + p26 * B26
+        if (i == 0) { f12 = x; f26 = x }
+        else { f12 = x * A12 + f12 * B12; f26 = x * A26 + f26 * B26 }
+        i += 1
+      }
+      ChunkSum(key._1, key._2, Array(d12, d26), Array(p12, p26), Array(f12, f26))
+    }
+    val maxChunks = ch.groupBy(col("symbol"))
+      .agg(countDistinct(col("chunk")).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    val seeds12_26 = linearSeeds(sums12_26, fanout, maxChunks)
+    val keyedBars = ch.groupByKey(b => (b.symbol, b.chunk))
+    val keyedSeeds = seeds12_26.groupByKey(s => (s.symbol, s.chunk))
+
+    // macd values of one chunk, regenerated from its entry seeds
+    def macdOfChunk(arr: Array[Bar], sd: ChunkSeed): Array[Double] = {
+      val out = new Array[Double](arr.length)
+      var e12 = if (sd.isFirst) 0.0 else sd.seed(0)
+      var e26 = if (sd.isFirst) 0.0 else sd.seed(1)
+      var i = 0
+      while (i < arr.length) {
+        val x = arr(i).close
+        if (sd.isFirst && i == 0) { e12 = x; e26 = x }
+        else { e12 = x * A12 + e12 * B12; e26 = x * A26 + e26 * B26 }
+        out(i) = e12 - e26
+        i += 1
+      }
+      out
+    }
+
+    // pass 2: EMA9 chunk summaries over the regenerated macd series
+    val sums9 = keyedBars.cogroup(keyedSeeds) {
+      (key: (String, Long), it: Iterator[Bar], seedIt: Iterator[ChunkSeed]) =>
+      val sd = seedIt.next()
+      val m = macdOfChunk(sortedBars(it), sd)
+      var d9 = 1.0; var p9 = 0.0; var f9 = 0.0
+      var i = 0
+      while (i < m.length) {
+        d9 *= B9; p9 = m(i) * A9 + p9 * B9
+        f9 = if (i == 0) m(i) else m(i) * A9 + f9 * B9
+        i += 1
+      }
+      Iterator.single(ChunkSum(key._1, key._2, Array(d9), Array(p9), Array(f9)))
+    }
+    val seeds9 = linearSeeds(sums9, fanout, maxChunks)
+    val joined = seeds12_26.joinWith(seeds9,
+        seeds12_26("symbol") === seeds9("symbol") && seeds12_26("chunk") === seeds9("chunk"))
+      .map { case (a, b) => ChunkSeed(a.symbol, a.chunk, a.seed ++ b.seed, a.isFirst) }
+
+    // pass 3: exact recursions from the seeds, emit macd/signal/hist rows
+    val rows = keyedBars.cogroup(joined.groupByKey(s => (s.symbol, s.chunk))) {
+      (key: (String, Long), it: Iterator[Bar], seedIt: Iterator[ChunkSeed]) =>
+        val sd = seedIt.next()
+        val arr = sortedBars(it)
+        val m = macdOfChunk(arr, sd)
+        var sig = if (sd.isFirst) 0.0 else sd.seed(2)
+        var i = 0
+        arr.iterator.map { b =>
+          sig = if (sd.isFirst && i == 0) m(i) else m(i) * A9 + sig * B9
+          val out = (key._1, b.bar_ts, m(i), sig, m(i) - sig)
+          i += 1
+          out
+        }
+    }
+    rows.toDF("symbol", "bar_ts", "m", "s", "h")
+      .select(col("symbol"), col("bar_ts"),
+        round(col("m") + lit(5e-9), 4).as("macd"),
+        round(col("s") + lit(5e-9), 4).as("macd_signal"),
+        round(col("h") + lit(5e-9), 4).as("macd_hist"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Single-task-per-symbol sequential MACD — retained as the spec
+    * comparator for [[macd]] (bit-level drift bound) and as the simpler
+    * path when each symbol's series is known to fit one task. */
+  def macdSequential(bars: DataFrame): DataFrame = {
     val spark = bars.sparkSession
     import spark.implicits._
     val ds = bars.select(col("symbol"), col("bar_ts"), col("close"))

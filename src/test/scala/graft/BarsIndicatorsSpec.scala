@@ -72,7 +72,7 @@ class BarsIndicatorsSpec extends SparkSpec {
 
   test("segmented-scan EMA matches the exact sequential recursion") {
     val bars = Bars.ohlcv(Tables.events(spark, sf()))
-    val seg = Ema.emaSegmented(bars, span = 12, chunkSize = 64)
+    val seg = Ema.emaSegmented(bars, span = 12, chunkBars = 64)
       .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
     // exact per-symbol recursion computed driver-side
     val rows = bars.select("symbol", "bar_ts", "close").collect()
@@ -89,6 +89,42 @@ class BarsIndicatorsSpec extends SparkSpec {
       }
     }
     assert(checked > 500)
+  }
+
+  test("segmented MACD matches sequential at 4dp, forces multi-level seeds, no per-symbol window") {
+    val bars = Bars.ohlcv(Tables.events(spark, sf()))
+    // chunkBars=16 over weeks of 5-min bars → hundreds of chunks per
+    // symbol, and fanout=32 forces ≥2 linearSeeds recursion levels
+    val seg = Ema.macd(bars, chunkBars = 16, fanout = 32)
+    // the distributed plan must not contain a per-symbol Window stage
+    // (chunk ids are time-derived, seeds come from the recursive scan)
+    val plan = seg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "segmented MACD must not use a window")
+    val segRows = seg.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val refRows = Ema.macdSequential(bars).collect()
+    assert(refRows.length === segRows.size && refRows.length > 500)
+    refRows.foreach { r =>
+      val (m, s, h) = segRows((r.getString(0), r.getTimestamp(1)))
+      assert(m === r.getDouble(2) && s === r.getDouble(3) && h === r.getDouble(4),
+        s"${r.getString(0)} ${r.getTimestamp(1)}")
+    }
+  }
+
+  test("linearSeeds recursion: multi-level fanout agrees with single-level") {
+    val bars = Bars.ohlcv(Tables.events(spark, sf()))
+    // tiny fanout forces ≥2 recursion levels over the chunk summaries
+    import spark.implicits._
+    val a = Ema.emaSegmented(bars, span = 26, chunkBars = 8, fanout = 16)
+      .as[(String, java.sql.Timestamp, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val b = Ema.emaSegmented(bars, span = 26, chunkBars = 512)
+      .as[(String, java.sql.Timestamp, Double)].collect()
+    assert(b.length === a.size && b.length > 500)
+    b.foreach { t =>
+      assert(math.abs(a((t._1, t._2)) - t._3) < 1e-9, s"${t._1} ${t._2}")
+    }
   }
 
   test("obv: rising bars accumulate volume, falling subtract") {
