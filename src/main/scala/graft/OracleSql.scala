@@ -603,10 +603,68 @@ object OracleSql {
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""
   )
 
-  private val vectorOps: Map[String, String] = Map(
-    "q_ann_ivf" -> s"""
+  /** Multi-table LSH oracle: mirrors Similarity.{corpusBuckets,
+    * queryProbes} — identical ±1 sign constants, identical fold order
+    * (list_reduce from a prepended 0.0 ≡ the native DotProduct loop),
+    * identical (|proj|, bit) margin ranking for the probe flips. */
+  private def lshOracleSql(probed: Boolean): String = {
+    import graft.operators.Similarity._
+    def signList(t: Int, j: Int) = (0 until Dim)
+      .map(d => if (lshSign(t, j, d) > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+    def ptExpr(t: Int) = (0 until LshBits)
+      .map(j => dotSql("v", signList(t, j))).mkString("[", ", ", "]")
+    val ptCols = (0 until LshTables)
+      .map(t => s"${ptExpr(t)} AS pt_$t").mkString(", ")
+    def qbExpr(t: Int) = "CAST(" + (0 until LshBits).map { j =>
+      s"(CASE WHEN pt_$t[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ") + " AS BIGINT)"
+    val qbCols = (0 until LshTables)
+      .map(t => s"${qbExpr(t)} AS qb_$t").mkString(", ")
+    val bkUnion = (0 until LshTables)
+      .map(t => s"SELECT vec_id, v, nrm, $t AS t, qb_$t AS bucket FROM p2")
+      .mkString(" UNION ALL ")
+    def probesExpr(t: Int) =
+      if (!probed) s"[qb_$t]"
+      else {
+        val srt = s"list_sort(list_transform(range(1, ${LshBits + 1}), " +
+          s"j -> {'a': abs(pt_$t[j]), 'j': j - 1}))"
+        val singles = s"list_transform(($srt)[1:$ProbeSingles], " +
+          s"s -> xor(qb_$t, (1::BIGINT << s.j)))"
+        val pairs = (for {
+          i <- 0 until ProbePairBits; k <- i + 1 until ProbePairBits
+        } yield s"xor(xor(qb_$t, (1::BIGINT << ($srt)[${i + 1}].j)), " +
+          s"(1::BIGINT << ($srt)[${k + 1}].j))").mkString("[", ", ", "]")
+        s"[qb_$t] || $singles || $pairs"
+      }
+    val qUnion = (0 until LshTables)
+      .map(t => s"SELECT q_id, qv, qn, $t AS t, unnest(${probesExpr(t)}) AS probe FROM q0")
+      .mkString(" UNION ALL ")
+    s"""
       WITH $vecCtes,
-      cents AS (SELECT vec_id AS cent_id, v AS cv FROM nv WHERE vec_id % 97 = 0),
+      p1 AS (SELECT vec_id, v, nrm, $ptCols FROM nv),
+      p2 AS (SELECT *, $qbCols FROM p1),
+      bk AS ($bkUnion),
+      q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, ${(0 until LshTables).map(t => s"pt_$t, qb_$t").mkString(", ")}
+             FROM p2 WHERE vec_id < $QueryCount),
+      q AS ($qUnion),
+      c AS (SELECT DISTINCT q.q_id, bk.vec_id AS nn_id,
+              ${dotSql("bk.v", "q.qv")} / (q.qn * bk.nrm) AS cos
+            FROM bk JOIN q ON bk.t = q.t AND bk.bucket = q.probe AND bk.vec_id <> q.q_id
+            WHERE bk.nrm > 0 AND q.qn > 0),
+      r AS (SELECT q_id, nn_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c)
+      SELECT q_id, nn_id, round(cos + 5e-9, 4) AS cos, rk
+      FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
+  private val vectorOps: Map[String, String] = Map(
+    "q_ann_ivf" -> {
+      import graft.operators.Similarity.{IvfK, IvfProbes, QueryCount}
+      s"""
+      WITH $vecCtes,
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM nv
+                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfK),
       a AS (SELECT nv.vec_id, nv.v, nv.nrm, c.cent_id,
               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                 list_transform(nv.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
@@ -614,8 +672,9 @@ object OracleSql {
             FROM nv, cents c),
       cell AS (SELECT vec_id, v, nrm, cent_id AS cell FROM a
                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
-      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS qcell
-            FROM cell WHERE vec_id % 100 = 0),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cent_id AS qcell
+            FROM a WHERE vec_id < $QueryCount
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) <= $IvfProbes),
       c2 AS (SELECT q.q_id, cell.vec_id AS nn_id, cell.cell,
                ${dotSql("cell.v", "q.qv")} / (q.qn * cell.nrm) AS cos
              FROM cell JOIN q ON cell.cell = q.qcell AND cell.vec_id <> q.q_id
@@ -623,7 +682,8 @@ object OracleSql {
       r AS (SELECT q_id, nn_id, cell, cos,
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c2)
       SELECT q_id, nn_id, cell, round(cos + 5e-9, 4) AS cos, rk
-      FROM r WHERE rk <= 3 ORDER BY q_id, rk""",
+      FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
+    },
 
     "q_embed_neardup" -> s"""
       WITH $vecCtes,
@@ -634,65 +694,23 @@ object OracleSql {
       SELECT vec_a, vec_b, round(cos + 5e-9, 4) AS cos
       FROM p WHERE cos >= 0.25 ORDER BY vec_a, vec_b""",
 
-    "q_ann_bruteforce" -> s"""
+    "q_ann_bruteforce" -> {
+      import graft.operators.Similarity.QueryCount
+      s"""
       WITH $vecCtes,
-      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id % 100 = 0),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < $QueryCount),
       c AS (SELECT q.q_id, nv.vec_id AS nn_id,
               ${dotSql("nv.v", "q.qv")} / (q.qn * nv.nrm) AS cos
             FROM nv, q WHERE nv.vec_id <> q.q_id AND nv.nrm > 0 AND q.qn > 0),
       r AS (SELECT q_id, nn_id, cos,
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c)
       SELECT q_id, nn_id, round(cos + 5e-9, 4) AS cos, rk
-      FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
-
-    "q_ann_lsh" -> {
-      import graft.operators.Similarity
-      // flat ±element chain in the same order as the Spark fold (1-based
-      // list indexing in DuckDB)
-      val bucketExpr = (0 until Similarity.LshBits).map { j =>
-        val chain = (0 until Similarity.Dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, d) =>
-          if (Similarity.lshSign(j, d) > 0) s"$acc + v[${d + 1}]" else s"$acc - v[${d + 1}]"
-        }
-        s"(CASE WHEN ($chain) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""
-      WITH $vecCtes,
-      bk AS (SELECT vec_id, v, nrm, CAST($bucketExpr AS BIGINT) AS bucket FROM nv),
-      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qbucket FROM bk WHERE vec_id % 100 = 0),
-      c AS (SELECT q.q_id, bk.vec_id AS nn_id, bk.bucket,
-              ${dotSql("bk.v", "q.qv")} / (q.qn * bk.nrm) AS cos
-            FROM bk JOIN q ON bk.bucket = q.qbucket AND bk.vec_id <> q.q_id
-            WHERE bk.nrm > 0 AND q.qn > 0),
-      r AS (SELECT q_id, nn_id, bucket, cos,
-              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c)
-      SELECT q_id, nn_id, bucket, round(cos + 5e-9, 4) AS cos, rk
-      FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
     },
 
-    "q_ann_lsh_multiprobe" -> {
-      import graft.operators.Similarity
-      val bucketExpr = (0 until Similarity.LshBits).map { j =>
-        val chain = (0 until Similarity.Dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, d) =>
-          if (Similarity.lshSign(j, d) > 0) s"$acc + v[${d + 1}]" else s"$acc - v[${d + 1}]"
-        }
-        s"(CASE WHEN ($chain) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      val probeList = ("qbucket" +: (0 until Similarity.LshBits).map(j =>
-        s"xor(qbucket, ${1L << j})")).mkString("[", ", ", "]")
-      s"""
-      WITH $vecCtes,
-      bk AS (SELECT vec_id, v, nrm, CAST($bucketExpr AS BIGINT) AS bucket FROM nv),
-      q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qbucket FROM bk WHERE vec_id % 100 = 0),
-      q AS (SELECT q_id, qv, qn, unnest($probeList) AS probe FROM q0),
-      c AS (SELECT q.q_id, bk.vec_id AS nn_id, bk.bucket,
-              ${dotSql("bk.v", "q.qv")} / (q.qn * bk.nrm) AS cos
-            FROM bk JOIN q ON bk.bucket = q.probe AND bk.vec_id <> q.q_id
-            WHERE bk.nrm > 0 AND q.qn > 0),
-      r AS (SELECT q_id, nn_id, bucket, cos,
-              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c)
-      SELECT q_id, nn_id, bucket, round(cos + 5e-9, 4) AS cos, rk
-      FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
-    }
+    "q_ann_lsh" -> lshOracleSql(probed = false),
+
+    "q_ann_lsh_multiprobe" -> lshOracleSql(probed = true)
   )
 
   val all: Map[String, String] = core ++ textOps ++ vectorOps

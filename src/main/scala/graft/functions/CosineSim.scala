@@ -78,7 +78,14 @@ case class CosineSim(left: Expression, right: Expression)
 object GraftFunctions {
   /** Idempotent per-session registration; after this,
     * `expr("cosine_sim(a, b)")` resolves to the native expression. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_buckets", exprs => LshBuckets(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_proj", exprs => LshProjections(exprs(0)), "built-in")
+  }
 }

@@ -8,21 +8,53 @@ import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64).
   *
-  * Brute-force cosine top-k is the correctness baseline (O(Q·N) with the
-  * query side broadcast); the random-hyperplane LSH variant is the scale
-  * path (bucketed equi-join instead of a cross join). The cosine itself
-  * is a native Catalyst expression ([[graft.functions.CosineSim]]) — one
-  * fused codegen'd loop per pair, accumulating in the same sequential
-  * order as the DuckDB oracle's `list_reduce`, so values match
-  * bit-for-bit. Null (zero-norm) cosines are filtered identically to the
-  * oracle's `nrm > 0` guards.
+  * The query set is BOUNDED BY CONSTRUCTION: `vec_id < QueryCount` — a
+  * fixed-size stand-in for an explicit query table, so every broadcast
+  * below is O(|Q|·probes) or O(K) regardless of corpus size (unlike a
+  * `% 100` corpus fraction, which grows with n).
   *
-  * Scale notes: at 100 TB the brute-force path broadcasts only the query
-  * set and streams the corpus once; LSH buckets bound each join side.
-  * Embedding near-dup (`embedNeardup`) uses an offset-explode equi-join
-  * rather than a range join so it shuffles on a key and scales linearly.
+  * Variants:
+  *  - [[annBruteforce]]: exact cosine top-k, O(Q·N) streaming scan with
+  *    the bounded query side broadcast — the recall ceiling.
+  *  - [[annLsh]]: L=12 random-hyperplane tables × 11 bits, candidates
+  *    share a per-table bucket (equi-join). Multi-table union recovers
+  *    the recall a single signature loses.
+  *  - [[annLshMultiprobe]]: query-directed probing (Lv et al., VLDB'07):
+  *    each query also probes buckets obtained by flipping its
+  *    lowest-margin bits — 6 single flips + the 6 pairs from the 4
+  *    lowest — 13 probes/table. Measured at sf0.01: top-1 recall 0.62
+  *    vs the brute ceiling with ~9% of the corpus as candidates
+  *    (spec-asserted).
+  *  - [[annIvf]]: inverted-file with a FIXED centroid count — K=32
+  *    deterministically sampled by md5 order, so the assignment
+  *    broadcast is O(K) — and nprobe=6 nearest cells per query.
+  *
+  * The cosine itself is a native Catalyst expression
+  * ([[graft.functions.CosineSim]]) — one fused codegen'd loop per pair,
+  * accumulating in the same sequential order as the DuckDB oracle's
+  * `list_reduce`, so values match bit-for-bit; the LSH projections run
+  * through the native [[graft.functions.DotProduct]] against constant
+  * ±1 sign arrays for the same reason. Null (zero-norm) cosines are
+  * filtered identically to the oracle's `nrm > 0` guards.
   */
 object Similarity {
+
+  val Dim = 64
+
+  /** Bounded query set: the first QueryCount vec_ids. */
+  val QueryCount = 16
+
+  // Multi-table LSH geometry (tuned at sf0.01: recall 0.62 @ 9.3%
+  // candidates for the multiprobe variant); the sign matrix lives in
+  // [[graft.functions.LshPlanes]] next to the fused bucket expression.
+  val LshBits: Int = graft.functions.LshPlanes.Bits
+  val LshTables: Int = graft.functions.LshPlanes.Tables
+  val ProbeSingles = 6   // flip each of the 6 lowest-|proj| bits
+  val ProbePairBits = 4  // plus the 6 pairs among the 4 lowest
+
+  // IVF geometry: fixed centroid count (broadcast O(K)), multi-cell probe.
+  val IvfK = 32
+  val IvfProbes = 6
 
   /** Float embedding → double array (exact widening). */
   private def vecd(c: Column): Column = transform(c, x => x.cast("double"))
@@ -32,122 +64,131 @@ object Similarity {
     embeddings.select(col("vec_id"), vecd(col("embedding")).as("v"))
   }
 
-  /** Brute-force cosine top-k per query vector (queries: vec_id % 100 = 0).
+  /** Deterministic ±1 hyperplane signs (delegates to the sign matrix the
+    * fused expressions embed): sign(t,j,d) = +1 iff the first 32 md5
+    * bits of the string (t·100000 + j·64 + d) are even. Table 0
+    * reproduces the round-1 single-table signs. */
+  def lshSign(t: Int, j: Int, d: Int): Double =
+    graft.functions.LshPlanes.sign(t, j, d)
+
+  /** Corpus side: one (t, bucket) row per vector per table, via the ONE
+    * fused [[graft.functions.LshBuckets]] expression — 132 separate
+    * dot-product expressions made the Catalyst tree so large that
+    * per-query analysis+codegen dominated runtime. */
+  private def corpusBuckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"),
+      posexplode(expr("lsh_buckets(v)")).as(Seq("t", "bucket")))
+
+  /** Query side: one (qt, probe) row per query per table per probe.
+    * `probed = false` → the query's own bucket only; `probed = true` →
+    * query-directed multiprobe (lowest-margin single and pair bit
+    * flips, margins ranked by (|proj|, bit) for determinism). */
+  private def queryProbes(e: DataFrame, probed: Boolean): DataFrame = {
+    var q = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("bks", expr("lsh_buckets(qv)"))
+    if (probed) q = q.withColumn("pjs", expr("lsh_proj(qv)"))
+    val probeArrays = (0 until LshTables).map { t =>
+      val qb = s"element_at(bks, ${t + 1})"
+      if (!probed) s"array($qb)"
+      else {
+        val srt = s"array_sort(transform(sequence(0, ${LshBits - 1}), " +
+          s"j -> struct(abs(element_at(element_at(pjs, ${t + 1}), j + 1)) as a, cast(j as long) as j)))"
+        q = q.withColumn(s"srt_$t", expr(srt))
+        val singles = s"transform(slice(srt_$t, 1, $ProbeSingles), " +
+          s"s -> $qb ^ shiftleft(1L, cast(s.j as int)))"
+        val pairs = (for {
+          i <- 0 until ProbePairBits; k <- i + 1 until ProbePairBits
+        } yield s"$qb ^ shiftleft(1L, cast(element_at(srt_$t, ${i + 1}).j as int))" +
+          s" ^ shiftleft(1L, cast(element_at(srt_$t, ${k + 1}).j as int))")
+          .mkString("array(", ", ", ")")
+        s"concat(array($qb), $singles, $pairs)"
+      }
+    }
+    q.select(col("q_id"), col("qv"),
+        posexplode(array(probeArrays.map(expr): _*)).as(Seq("qt", "parr")))
+      .select(col("q_id"), col("qv"), col("qt"), explode(col("parr")).as("probe"))
+  }
+
+  /** Distinct LSH candidate pairs with their exact cosine — shared by
+    * [[annLsh]] / [[annLshMultiprobe]] and the recall/candidate-bound
+    * spec. Broadcasts only the bounded probe rows (|Q|·L·13 max). */
+  def lshCandidatePairs(embeddings: DataFrame, probed: Boolean): DataFrame = {
+    val e = withVec(embeddings)
+    corpusBuckets(e)
+      .join(broadcast(queryProbes(e, probed)),
+        col("t") === col("qt") && col("bucket") === col("probe") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        expr("cosine_sim(v, qv)").as("cos"))
+      .filter(col("cos").isNotNull)
+      .distinct()
+  }
+
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("nn_id"),
+        round(col("cos") + lit(5e-9), 4).as("cos"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Brute-force cosine top-k per query vector — the recall ceiling.
     * Deterministic tie-break on neighbor id; self-pairs excluded. */
   def annBruteforce(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val e = withVec(embeddings)
     val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .filter(col("q_id") % 100 === 0)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
-    e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("nn_id"),
-        expr("cosine_sim(v, qv)").as("cos"))
-      .filter(col("cos").isNotNull)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("nn_id"), round(col("cos") + lit(5e-9), 4).as("cos"), col("rk"))
-      .orderBy(col("q_id"), col("rk"))
+      .filter(col("q_id") < QueryCount)
+    rankTopK(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nn_id"),
+          expr("cosine_sim(v, qv)").as("cos"))
+        .filter(col("cos").isNotNull), k)
   }
 
-  /** Deterministic ±1 hyperplane signs, md5-derived so the oracle can
-    * inline the identical constants: sign(j,d) = +1 iff the first 32 md5
-    * bits of the string (j·64+d) are even. */
-  def lshSign(j: Int, d: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(String.valueOf(j * 64 + d).getBytes("UTF-8"))
-    val v = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
-      ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
-    if (v % 2 == 0) 1.0 else -1.0
-  }
+  /** Multi-table LSH top-k: candidates share any per-table bucket. */
+  def annLsh(embeddings: DataFrame, k: Int = 3): DataFrame =
+    rankTopK(lshCandidatePairs(embeddings, probed = false), k)
 
-  val LshBits = 8
-  val Dim = 64
-
-  /** Random-hyperplane LSH bucket id (LshBits-bit signature).
-    * The ±1 signs fold into a flat add/subtract chain over the array
-    * elements — no per-row literal arrays, no lambda folds — which stays
-    * inside whole-stage codegen (the fold version fell back to
-    * interpreted evaluation and was ~20× slower). */
-  private def bucket(v: Column): Column =
-    (0 until LshBits).map { j =>
-      val proj = (0 until Dim).foldLeft(lit(0.0): Column) { (acc, d) =>
-        if (lshSign(j, d) > 0) acc + v.getItem(d) else acc - v.getItem(d)
-      }
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** LSH-bucketed approximate top-k: candidates share the 8-bit bucket,
-    * then exact cosine ranks within the bucket. */
-  def annLsh(embeddings: DataFrame, k: Int = 3): DataFrame = {
-    val e = withVec(embeddings).withColumn("bucket", bucket(col("v")))
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
-      col("bucket").as("qbucket"))
-      .filter(col("q_id") % 100 === 0)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
-    e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("nn_id"), col("bucket"),
-        expr("cosine_sim(v, qv)").as("cos"))
-      .filter(col("cos").isNotNull)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("nn_id"), col("bucket"),
-        round(col("cos") + lit(5e-9), 4).as("cos"), col("rk"))
-      .orderBy(col("q_id"), col("rk"))
-  }
-
-  /** Multi-probe LSH ANN: each query also probes the 8 buckets at
-    * Hamming distance 1 from its own (9 probes total), recovering most of
-    * the recall a single-bucket lookup loses on near-boundary projections
-    * while still bounding candidates to ~9/256 of the corpus. */
-  def annLshMultiprobe(embeddings: DataFrame, k: Int = 3): DataFrame = {
-    val e = withVec(embeddings).withColumn("bucket", bucket(col("v")))
-    val probes = array(lit(0L) +: (0 until LshBits).map(j => lit(1L << j)): _*)
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
-      col("bucket").as("qbucket"))
-      .filter(col("q_id") % 100 === 0)
-      .withColumn("probe", explode(probes))
-      .withColumn("probe", col("qbucket").bitwiseXOR(col("probe")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
-    e.join(broadcast(q), col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("nn_id"), col("bucket"),
-        expr("cosine_sim(v, qv)").as("cos"))
-      .filter(col("cos").isNotNull)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("nn_id"), col("bucket"),
-        round(col("cos") + lit(5e-9), 4).as("cos"), col("rk"))
-      .orderBy(col("q_id"), col("rk"))
-  }
+  /** Multi-table LSH with query-directed multiprobe — see object doc. */
+  def annLshMultiprobe(embeddings: DataFrame, k: Int = 3): DataFrame =
+    rankTopK(lshCandidatePairs(embeddings, probed = true), k)
 
   /** Squared L2 distance as a sequential fold (mirrors the oracle). */
   private def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
-  /** IVF-flat ANN (nprobe = 1): deterministic sampled centroids
-    * (vec_id % 97 = 0), every vector assigned to its nearest centroid by
-    * squared L2, queries probe their own cell and rank candidates by
-    * exact cosine. The scale shape of inverted-file search: assignment is
-    * a broadcast of ~n/97 centroids + one narrow pass; the probe is a
-    * cell equi-join instead of a cross join. (A Lloyd-iterated k-means
-    * refines the same structure; sampled centroids keep it
-    * engine-reproducible for the oracle gate.) */
+  /** IVF-flat ANN: K fixed centroids sampled deterministically by md5
+    * order (top-K is a distributed TakeOrdered — O(K) result no matter
+    * the corpus), every vector assigned to its nearest centroid by
+    * squared L2, queries probe their `IvfProbes` nearest cells and rank
+    * candidates by exact cosine. Broadcast sizes: centroids O(K), query
+    * probes O(|Q|·nprobe). */
   def annIvf(embeddings: DataFrame, k: Int = 3): DataFrame = {
     val e = withVec(embeddings)
-    val cents = e.select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      .filter(col("cent_id") % 97 === 0)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
-    val assign = e.crossJoin(broadcast(cents))
+    val cents = e
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("cent_id")).limit(IvfK)
+      .select(col("cent_id"), col("cv"))
+    val dists = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cent_id"),
         dist2(col("v"), col("cv")).as("d2"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
+    val assign = dists
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-    val q = assign.select(col("vec_id").as("q_id"), col("v").as("qv"),
-      col("cell").as("qcell"))
-      .filter(col("q_id") % 100 === 0)
+    val qcells = dists.filter(col("vec_id") < QueryCount)
+      .withColumn("prk", row_number().over(wAssign))
+      .filter(col("prk") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("cent_id").as("qcell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
-    assign.join(broadcast(q), col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+    assign.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nn_id"), col("cell"),
         expr("cosine_sim(v, qv)").as("cos"))
       .filter(col("cos").isNotNull)

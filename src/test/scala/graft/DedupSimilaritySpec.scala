@@ -76,7 +76,8 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, v(0, 9f, 1, 1f)),    // cos ≈ 0.9939
       (2L, v(0, 1f, 1, 3f)),    // cos ≈ 0.3162
       (3L, v(1, 1f, 2, 0f))))   // cos = 0
-    val out = Similarity.annBruteforce(d, k = 3).collect()
+    val out = Similarity.annBruteforce(d, k = 3)
+      .filter(col("q_id") === 0L).orderBy("rk").collect()
     assert(out.map(_.getAs[Long]("nn_id")).toSeq === Seq(1L, 2L, 3L))
     assert(out.head.getAs[Double]("cos") > 0.99)
   }
@@ -108,6 +109,32 @@ class DedupSimilaritySpec extends SparkSpec {
       val cs = sorted.map(_.getAs[Double]("cos"))
       assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b })
     }
+  }
+
+  test("multiprobe LSH: recall >= 0.6 vs brute ceiling, candidates <= ~10% of corpus") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val n = e.count()
+    val bruteTop1 = Similarity.annBruteforce(e, k = 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("nn_id")).toMap
+    val annTop1 = Similarity.annLshMultiprobe(e, k = 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("nn_id")).toMap
+    val hits = bruteTop1.count { case (q, nn) => annTop1.get(q).contains(nn) }
+    val recall = hits.toDouble / bruteTop1.size
+    info(f"top-1 recall vs brute: $recall%.2f over ${bruteTop1.size} queries")
+    assert(recall >= 0.6, f"recall $recall%.2f below 0.6")
+    // candidate bound: distinct scored pairs stay a small corpus fraction
+    val candPairs = Similarity.lshCandidatePairs(e, probed = true).count()
+    val frac = candPairs.toDouble / (n * bruteTop1.size)
+    info(f"candidate fraction: $frac%.3f")
+    assert(frac <= 0.12, f"candidate fraction $frac%.3f above 0.12")
+  }
+
+  test("IVF ANN: fixed centroid count independent of corpus size") {
+    // the centroid sample is LIMIT IvfK by md5 order — structural O(K)
+    // broadcast; spot-check the probe output references <= IvfK cells
+    val out = Similarity.annIvf(Tables.embeddings(spark, sf()), k = 3).collect()
+    val cells = out.map(_.getAs[Long]("cell")).distinct
+    assert(cells.length <= Similarity.IvfK)
   }
 
   test("multi-probe LSH never does worse than single-probe on top-1 cosine") {
