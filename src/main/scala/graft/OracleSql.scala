@@ -119,6 +119,74 @@ object OracleSql {
         round(macd - sig + 5e-9, 4) + 0.0 AS macd_hist
       FROM s ORDER BY symbol, bar_ts""",
 
+    "q_validate_bars" -> s"""
+      WITH $barsCte
+      SELECT symbol, bar_ts, "open", high, low, "close", volume
+      FROM bars
+      WHERE "open" > 0 AND high > 0 AND low > 0 AND "close" > 0
+        AND volume > 0 AND high >= low
+      ORDER BY symbol, bar_ts""",
+
+    "q_market_hours" -> {
+      import graft.operators.Market.Oracle
+      s"""
+      WITH $barsCte,
+      et AS (SELECT symbol, bar_ts, "close", volume,
+               ${Oracle.et("bar_ts")} AS et_ts
+             FROM bars)
+      SELECT symbol, bar_ts, CAST(et_ts AS DATE) AS et_date,
+        strftime(et_ts, '%H:%M:%S') AS et_time, "close", volume
+      FROM et
+      WHERE strftime(et_ts, '%H:%M:%S') BETWEEN '09:30:00' AND '16:00:00'
+        AND isodow(et_ts) <= 5
+        AND CAST(et_ts AS DATE) NOT IN (${Oracle.holidaysIn})
+      ORDER BY symbol, bar_ts"""
+    },
+
+    "q_eod_ma5" -> s"""
+      WITH $barsCte,
+      daily AS (
+        SELECT symbol, CAST(bar_ts AS DATE) AS bar_date,
+               arg_max("close", bar_ts) AS eod_close
+        FROM bars GROUP BY 1, 2),
+      eod AS (
+        SELECT symbol, bar_date,
+          round(sum(CAST(eod_close AS DECIMAL(18,6))) OVER (PARTITION BY symbol ORDER BY bar_date
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)::DOUBLE
+            / count(eod_close) OVER (PARTITION BY symbol ORDER BY bar_date
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 5e-9, 4) AS eod_ma5
+        FROM daily)
+      SELECT b.symbol, b.bar_ts, CAST(b.bar_ts AS DATE) AS bar_date, b."close", e.eod_ma5
+      FROM bars b JOIN eod e
+        ON b.symbol = e.symbol AND CAST(b.bar_ts AS DATE) = e.bar_date
+      ORDER BY b.symbol, b.bar_ts""",
+
+    "q_missing_report" -> {
+      import graft.operators.Market.Oracle
+      s"""
+      WITH $barsCte,
+      et AS (SELECT DISTINCT symbol,
+               CAST(${Oracle.et("bar_ts")} AS DATE) AS et_date,
+               strftime(${Oracle.et("bar_ts")}, '%H:%M:%S') AS et_time
+             FROM bars),
+      span AS (SELECT symbol, min(et_date) AS d0, max(et_date) AS d1
+               FROM et GROUP BY 1),
+      days AS (SELECT symbol, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS et_date
+               FROM span),
+      bdays AS (SELECT symbol, et_date FROM days
+                WHERE isodow(et_date) <= 5
+                  AND et_date NOT IN (${Oracle.holidaysIn})),
+      grid AS (SELECT symbol, et_date, unnest(${Oracle.slotList}) AS slot FROM bdays),
+      miss AS (SELECT g.symbol, g.et_date, g.slot FROM grid g
+               WHERE NOT EXISTS (SELECT 1 FROM et e
+                 WHERE e.symbol = g.symbol AND e.et_date = g.et_date
+                   AND e.et_time = g.slot))
+      SELECT symbol, et_date, count(*)::BIGINT AS n_missing,
+        min(slot) AS first_missing, max(slot) AS last_missing
+      FROM miss GROUP BY symbol, et_date
+      ORDER BY symbol, et_date"""
+    },
+
     "q_atr" -> s"""
       WITH $barsCte, $rnCte,
       t AS (

@@ -30,6 +30,10 @@ object SparkEntry {
     "q_time_filter" -> ((s, d) =>
       Relational.timeFilter(Tables.eventsFrom(s, d, "2024-01-20 00:00:00"))),
     "q_validate_clean" -> ((s, d) => Relational.validateClean(Tables.events(s, d))),
+    "q_validate_bars" -> ((s, d) => Bars.validateOhlc(bars(s, d))),
+    "q_market_hours" -> ((s, d) => Market.marketHours(bars(s, d))),
+    "q_eod_ma5" -> ((s, d) => Market.eodMa5(bars(s, d))),
+    "q_missing_report" -> ((s, d) => Market.missingReport(bars(s, d))),
     // B. technical indicators
     "q_sma" -> ((s, d) => Indicators.sma(bars(s, d))),
     "q_bollinger" -> ((s, d) => Indicators.bollinger(bars(s, d))),

@@ -34,6 +34,17 @@ object Bars {
         count(lit(1)).as("volume"),
         sum(col("value")).as("vsum"))
 
+  /** OHLC consistency validation (reference
+    * src/preprocessing/preprocessing_pipeline.py:132-136): drop bars with
+    * non-positive prices/volume or high < low. A pure pushdown-friendly
+    * filter — the checks reach the scan. */
+  def validateOhlc(bars: DataFrame): DataFrame =
+    bars.filter(col("open") > 0 && col("high") > 0 && col("low") > 0 &&
+        col("close") > 0 && col("volume") > 0 && col("high") >= col("low"))
+      .select(col("symbol"), col("bar_ts"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"))
+      .orderBy(col("symbol"), col("bar_ts"))
+
   /** Resample to a complete 5-min grid per symbol and fill the gaps:
     * forward-fill + back-fill of close (the reference leans on pandas
     * `ffill().bfill()` throughout, reference app/dashboard.py:75,90,151),

@@ -5,10 +5,71 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{AsofJoin, Bars, Relational, Skew}
+import graft.operators.{AsofJoin, Bars, Market, Relational, Skew}
 import graft.sources.Sinks
 
 class OpsExtraSpec extends SparkSpec {
+
+  private def mkBars(rows: Seq[(String, String, Double)]) = {
+    import spark.implicits._
+    rows.map { case (sym, ts, c) =>
+      (sym, Timestamp.valueOf(ts), c, c, c, c, 1L, c) }
+      .toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume", "vsum")
+  }
+
+  test("marketHours: ET window, weekend, and MLK-holiday exclusion") {
+    // 2024-01-16 14:30 UTC = 09:30 ET Tuesday  → in
+    // 2024-01-16 21:00 UTC = 16:00 ET          → in (inclusive close)
+    // 2024-01-16 21:05 UTC = 16:05 ET          → out
+    // 2024-01-16 14:25 UTC = 09:25 ET          → out
+    // 2024-01-13 15:00 UTC = Saturday          → out
+    // 2024-01-15 15:00 UTC = MLK holiday       → out
+    val b = mkBars(Seq(
+      ("A", "2024-01-16 14:30:00", 1.0), ("A", "2024-01-16 21:00:00", 2.0),
+      ("A", "2024-01-16 21:05:00", 3.0), ("A", "2024-01-16 14:25:00", 4.0),
+      ("A", "2024-01-13 15:00:00", 5.0), ("A", "2024-01-15 15:00:00", 6.0)))
+    val out = Market.marketHours(b).collect()
+    assert(out.map(_.getAs[Double]("close")).toSet === Set(1.0, 2.0))
+    assert(out.forall(_.getAs[String]("et_time") >= "09:30:00"))
+  }
+
+  test("eodMa5: rolling 5-day mean of last closes, merged to intraday rows") {
+    // day1 last close 10, day2 last close 20, day3 last close 30
+    val b = mkBars(Seq(
+      ("A", "2024-01-02 10:00:00", 9.0), ("A", "2024-01-02 15:00:00", 10.0),
+      ("A", "2024-01-03 10:00:00", 20.0),
+      ("A", "2024-01-04 10:00:00", 29.0), ("A", "2024-01-04 15:00:00", 30.0)))
+    val out = Market.eodMa5(b).collect()
+      .map(r => (r.getAs[Timestamp]("bar_ts").toString, r.getAs[Double]("eod_ma5")))
+      .toMap
+    assert(out("2024-01-02 10:00:00.0") === 10.0)   // ma over {10}
+    assert(out("2024-01-03 10:00:00.0") === 15.0)   // {10,20}
+    assert(out("2024-01-04 15:00:00.0") === 20.0)   // {10,20,30}
+  }
+
+  test("missingReport: a day with two observed slots reports 77 missing") {
+    // Tuesday 2024-01-16, ET slots 09:30 and 09:35 present (14:30/14:35 UTC)
+    val b = mkBars(Seq(
+      ("A", "2024-01-16 14:30:00", 1.0), ("A", "2024-01-16 14:35:00", 1.0)))
+    val out = Market.missingReport(b).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_missing") === 77L)
+    assert(out.head.getAs[String]("first_missing") === "09:40:00")
+    assert(out.head.getAs[String]("last_missing") === "16:00:00")
+  }
+
+  test("validateOhlc drops inconsistent and non-positive bars") {
+    import spark.implicits._
+    val b = Seq(
+      ("A", Timestamp.valueOf("2024-01-02 10:00:00"), 1.0, 2.0, 0.5, 1.5, 3L),
+      ("A", Timestamp.valueOf("2024-01-02 10:05:00"), 1.0, 0.5, 2.0, 1.5, 3L),  // high < low
+      ("A", Timestamp.valueOf("2024-01-02 10:10:00"), -1.0, 2.0, 0.5, 1.5, 3L), // open <= 0
+      ("A", Timestamp.valueOf("2024-01-02 10:15:00"), 1.0, 2.0, 0.5, 1.5, 0L))  // volume <= 0
+      .toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume")
+    val out = Bars.validateOhlc(b).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Timestamp]("bar_ts") === Timestamp.valueOf("2024-01-02 10:00:00"))
+  }
 
   test("cosine_sim native expression: known values and zero-norm null") {
     import spark.implicits._
