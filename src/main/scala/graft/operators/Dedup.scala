@@ -87,8 +87,18 @@ object Dedup {
   /** Full MinHash/LSH near-dup candidate pairs: k = bands·r permutations,
     * band key = md5 of the band's signature slice, candidates = distinct
     * pairs sharing any band bucket. Used by the spec suite (the
-    * fixed-pair Jaccard query above is the oracle-gated variant). */
-  def minhashLshPairs(docs: DataFrame, bands: Int = 16, r: Int = 4): DataFrame = {
+    * fixed-pair Jaccard query above is the oracle-gated variant).
+    *
+    * `maxBucket` caps the per-bucket membership: a bucket larger than the
+    * cap is dropped entirely before the self-join, bounding its pair
+    * contribution at maxBucket²/2 instead of quadratic in the skew. On
+    * boilerplate-heavy corpora one shared template otherwise lands the
+    * whole corpus in a single bucket per band and the join degenerates
+    * to all-pairs; oversized buckets are near-exact duplicate clusters
+    * that exact dedup ([[exactDocs]]) already catches cheaply. */
+  def minhashLshPairs(docs: DataFrame, bands: Int = 16, r: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val k = bands * r
     val ng = wordNgrams(docs)
     val aggs = (0 until k).map(j => min(perm(j, h32)).as(s"mh$j"))
@@ -99,6 +109,10 @@ object Dedup {
     }
     val exploded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     exploded.as("l")
       .join(exploded.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
@@ -126,10 +140,18 @@ object Dedup {
 
   /** Hamming-≤-maxDist SimHash near-dup pairs (spec-tested; block by the
     * top 16 bits so the join is equi rather than all-pairs — near-dups
-    * with identical high bits, the standard multi-probe trade-off). */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * with identical high bits, the standard multi-probe trade-off).
+    * Within a block the join is all-pairs, so `maxBlock` drops blocks
+    * above the cap — the quadratic hot-block risk on template-heavy
+    * corpora — mirroring [[minhashLshPairs]]'s bucket cap. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      maxBlock: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = simhash(docs).select(col("doc_id"), col("simhash"),
-      expr("shiftright(simhash, 44)").as("blk"))
+        expr("shiftright(simhash, 44)").as("blk"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(col("bsz") <= maxBlock)
+      .drop("bsz")
     sh.as("l").join(sh.as("r"),
         col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),

@@ -53,6 +53,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("LSH bucket cap bounds the pair explosion on a boilerplate-heavy corpus") {
+    // 120 identical boilerplate docs put the whole corpus in one bucket
+    // per band; the planted near-dup pair lives in small buckets
+    val boiler = (1 to 120).map(i =>
+      i.toLong -> (1 to 40).map(w => s"tpl$w").mkString(" "))
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docs(boiler ++ Seq(200L -> base, 201L -> (base + " extraword")))
+    val capped = Dedup.minhashLshPairs(d, maxBucket = 32).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(capped.contains((200L, 201L)), "true near-dup must survive the cap")
+    assert(!capped.exists(p => p._1 <= 120L && p._2 <= 120L),
+      "oversized boilerplate buckets must be dropped")
+    assert(capped.length < 32 * 32 / 2 * 16)
+    val uncapped = Dedup.minhashLshPairs(d, maxBucket = 1 << 20).count()
+    assert(uncapped >= 120L * 119 / 2, "without the cap the bucket is quadratic")
+  }
+
+  test("simhash block cap drops the hot block but keeps small-block dups") {
+    val boiler = (1 to 120).map(i =>
+      i.toLong -> (1 to 30).map(w => s"tpl$w").mkString(" "))
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(boiler ++ Seq(200L -> a, 201L -> a))
+    val capped = Dedup.simhashPairs(d, maxDist = 0, maxBlock = 32).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(capped.toSet === Set((200L, 201L)))
+    val uncapped = Dedup.simhashPairs(d, maxDist = 0, maxBlock = 1 << 20).count()
+    assert(uncapped >= 120L * 119 / 2)
+  }
+
   test("simhash: identical docs at hamming 0, disjoint docs far apart") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
