@@ -107,7 +107,12 @@ object Relational {
     events
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        // from_json with an explicit schema: one schema-driven parse per
+        // row (get_json_object builds a fresh Jackson parser + path per
+        // call — visibly hot in jstack at sf0.1)
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k long"))
+          .getField("k").as("k"))
       .filter(col("value").isNotNull && col("value") >= 0 &&
         col("k").isNotNull && col("k") >= 0)
       .orderBy(col("event_id"))

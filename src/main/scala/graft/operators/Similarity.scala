@@ -199,6 +199,69 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Lloyd-refined IVF centroids: start from the md5-sampled K, then
+    * `iters` k-means iterations (mean of assigned vectors per cell, one
+    * shuffle each). Means are rounded to 6dp so the refinement is stable
+    * across partition orders (double summation order is otherwise
+    * nondeterministic); cells that lose all members drop out. Spark-only
+    * (spec-measured) — the oracle-gated [[annIvf]] keeps the sampled
+    * centroids for engine reproducibility. */
+  def ivfCentroidsLloyd(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+    val e = withVec(embeddings)
+    var cents = e
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("cent_id")).limit(IvfK)
+      .select(col("cent_id"), col("cv"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
+    for (_ <- 1 to iters) {
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cent_id"),
+          dist2(col("v"), col("cv")).as("d2"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+      cents = assign
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cent_id"), col("d"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cent_id"), expr("transform(dm, s -> s.m)").as("cv"))
+    }
+    cents
+  }
+
+  /** IVF probe against Lloyd-refined centroids — same nprobe machinery
+    * as [[annIvf]]; recall improvement is measured in the spec suite. */
+  def annIvfLloyd(embeddings: DataFrame, k: Int = 3, iters: Int = 2): DataFrame = {
+    val e = withVec(embeddings)
+    val cents = ivfCentroidsLloyd(embeddings, iters)
+    val dists = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        dist2(col("v"), col("cv")).as("d2"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
+    val assign = dists
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val qcells = dists.filter(col("vec_id") < QueryCount)
+      .withColumn("prk", row_number().over(wAssign))
+      .filter(col("prk") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("cent_id").as("qcell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    assign.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"), col("cell"),
+        expr("cosine_sim(v, qv)").as("cos"))
+      .filter(col("cos").isNotNull)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("nn_id"), col("cell"),
+        round(col("cos") + lit(5e-9), 4).as("cos"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Embedding-cosine near-dup pairs in an id-banded candidate window
     * (offset-explode equi-join: b.vec_id = a.vec_id + off, off ∈ 1..10). */
   def embedNeardup(embeddings: DataFrame, maxOffset: Int = 10,

@@ -14,6 +14,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamPipelines {
 
+  /** Continuous tick-feed adapter — the Spark-native stand-in for the
+    * reference's scheduled ingestion loop (reference
+    * src/ingestion/stocks_pipeline.py:192-224: poll market API →
+    * publish to Pub/Sub). Built on the built-in `rate` source, which is
+    * exactly a rate-limited unbounded feed with checkpointed offsets:
+    * each (timestamp, value) row maps DETERMINISTICALLY to a tick with
+    * the `events` schema — symbols round-robin, price an md5-derived
+    * walk in [100, 110) — so the entire batch operator library (bars,
+    * indicators, dedup) composes on top unchanged and restarts resume
+    * from the checkpoint like the Pub/Sub subscription would. */
+  def tickFeed(spark: org.apache.spark.sql.SparkSession,
+      rowsPerSecond: Int = 100,
+      symbols: Seq[String] = Seq("AAPL", "GOOG", "MSFT", "AMZN", "TSLA")): DataFrame = {
+    val syms = array(symbols.map(lit): _*)
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        (col("value") % 97).as("user_id"),
+        element_at(syms, (col("value") % symbols.length).cast("int") + 1).as("event_type"),
+        (lit(100.0) +
+          (conv(substring(md5(col("value").cast("string")), 1, 4), 16, 10)
+            .cast("double") % 1000) / 100.0).as("value"),
+        lit("{}").as("props"))
+  }
+
   /** Tumbling 10-min window aggregate per symbol; identical semantics in
     * batch and streaming (the `queries` entry runs it in batch). */
   def windowedAgg(events: DataFrame): DataFrame =

@@ -158,6 +158,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(frac <= 0.12, f"candidate fraction $frac%.3f above 0.12")
   }
 
+  test("Lloyd-refined IVF: measured recall vs sampled centroids at sf0.01") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val brute = Similarity.annBruteforce(e, k = 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("nn_id")).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val top = df.filter(col("rk") === 1).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("nn_id")).toMap
+      brute.count { case (q, nn) => top.get(q).contains(nn) }.toDouble / brute.size
+    }
+    val plain = recall(Similarity.annIvf(e, k = 1))
+    val lloyd = recall(Similarity.annIvfLloyd(e, k = 1, iters = 2))
+    info(f"IVF recall: sampled=$plain%.2f lloyd=$lloyd%.2f")
+    // Lloyd centroids cover the space better; allow one-query slack
+    assert(lloyd >= plain - 1.0 / brute.size)
+    assert(lloyd > 0.2)
+  }
+
   test("IVF ANN: fixed centroid count independent of corpus size") {
     // the centroid sample is LIMIT IvfK by md5 order — structural O(K)
     // broadcast; spot-check the probe output references <= IvfK cells

@@ -54,6 +54,42 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:10:00.0", "A", 1L, 30.0)))
   }
 
+  test("tick feed: rate-limited continuous source with deterministic tick mapping") {
+    val feed = StreamPipelines.tickFeed(spark, rowsPerSecond = 500)
+    assert(feed.isStreaming)
+    assert(feed.columns.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = feed.writeStream.outputMode("append")
+      .format("memory").queryName("tick_out")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      // let a few micro-batches through
+      val deadline = System.currentTimeMillis + 20000
+      while (spark.table("tick_out").count() < 100 &&
+        System.currentTimeMillis < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val rows = spark.table("tick_out").collect()
+    assert(rows.length >= 100)
+    val syms = Seq("AAPL", "GOOG", "MSFT", "AMZN", "TSLA")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      // symbol round-robin and md5-derived price are functions of the id
+      assert(r.getAs[String]("event_type") === syms((id % 5).toInt))
+      val px = r.getAs[Double]("value")
+      assert(px >= 100.0 && px < 110.0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h4 = java.lang.Long.parseLong(
+        md.take(2).map("%02x".format(_)).mkString, 16)
+      assert(px === 100.0 + (h4.toDouble % 1000) / 100.0)
+    }
+    // the feed composes with the batch bar pipeline unchanged
+    val bars = graft.operators.Bars.ohlcv(
+      spark.table("tick_out")).collect()
+    assert(bars.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate (event_type, ts) within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
