@@ -173,16 +173,24 @@ object Similarity {
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
       .orderBy(col("h"), col("cent_id")).limit(IvfK)
       .select(col("cent_id"), col("cv"))
+    ivfProbe(e, cents, k)
+  }
+
+  /** Shared IVF probe: nearest-centroid assignment as a map-side
+    * combinable `min_by` over the (d2, cent_id) struct — no full-corpus
+    * window shuffle+sort; only the bounded query side uses a window for
+    * its nprobe ranking. */
+  private def ivfProbe(e: DataFrame, cents: DataFrame, k: Int): DataFrame = {
     val dists = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cent_id"),
         dist2(col("v"), col("cv")).as("d2"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
     val assign = dists
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"),
+        min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
     val qcells = dists.filter(col("vec_id") < QueryCount)
-      .withColumn("prk", row_number().over(wAssign))
+      .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= IvfProbes)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("cent_id").as("qcell"))
@@ -236,30 +244,7 @@ object Similarity {
   def annIvfLloyd(embeddings: DataFrame, k: Int = 3, iters: Int = 2): DataFrame = {
     val e = withVec(embeddings)
     val cents = ivfCentroidsLloyd(embeddings, iters)
-    val dists = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        dist2(col("v"), col("cv")).as("d2"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
-    val assign = dists
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-    val qcells = dists.filter(col("vec_id") < QueryCount)
-      .withColumn("prk", row_number().over(wAssign))
-      .filter(col("prk") <= IvfProbes)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("cent_id").as("qcell"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
-    assign.join(broadcast(qcells),
-        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("nn_id"), col("cell"),
-        expr("cosine_sim(v, qv)").as("cos"))
-      .filter(col("cos").isNotNull)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("nn_id"), col("cell"),
-        round(col("cos") + lit(5e-9), 4).as("cos"), col("rk"))
-      .orderBy(col("q_id"), col("rk"))
+    ivfProbe(e, cents, k)
   }
 
   /** Embedding-cosine near-dup pairs in an id-banded candidate window
