@@ -51,18 +51,18 @@ object Ema extends Serializable {
       seed: Array[Double], isFirst: Boolean)
 
   /** Distributed prefix scan over chunk summaries: returns the recursion
-    * state ENTERING each chunk. Recursive — groups of at most `fanout`
-    * summaries fold per task; levels = log_fanout(chunks/symbol). */
-  def linearSeeds(sums: Dataset[ChunkSum], fanout: Int = 1024,
-      maxChunksHint: Long = -1L): Dataset[ChunkSeed] = {
+    * state ENTERING each chunk.
+    *
+    * Statically TWO compose levels (chunk → chunk/fanout →
+    * chunk/fanout²) followed by a per-symbol base fold over the
+    * level-2 summaries, then two unfold levels back down. The depth is
+    * fixed so the plan needs NO data-dependent action (no count jobs):
+    * compose/unfold tasks fold at most `fanout` rows, and the base task
+    * folds chunks/fanout² rows per symbol — ~10³ even for a single
+    * 10¹²-row series at the defaults. */
+  def linearSeeds(sums: Dataset[ChunkSum], fanout: Int = 1024): Dataset[ChunkSeed] = {
     val spark = sums.sparkSession
     import spark.implicits._
-    val cached = sums.persist()
-    // callers that know the chunk count (e.g. macd's two scans share one)
-    // pass it to avoid an extra aggregation action
-    val maxChunks =
-      if (maxChunksHint >= 0) maxChunksHint
-      else cached.groupByKey(_.symbol).count().map(_._2).reduce(math.max(_, _))
 
     def foldGroup(arr: Array[ChunkSum], entry: ChunkSeed): Iterator[ChunkSeed] = {
       val k = arr.head.decay.length
@@ -85,14 +85,8 @@ object Ema extends Serializable {
       }
     }
 
-    if (maxChunks <= fanout) {
-      cached.groupByKey(_.symbol).flatMapGroups { (_, it) =>
-        val arr = it.toArray.sortBy(_.chunk)
-        foldGroup(arr, ChunkSeed(arr.head.symbol, arr.head.chunk, Array.empty, isFirst = true))
-      }
-    } else {
-      // compose summaries per super-chunk, recurse, then unfold locally
-      val supers = cached.groupByKey(s => (s.symbol, s.chunk / fanout))
+    def compose(ds: Dataset[ChunkSum]): Dataset[ChunkSum] =
+      ds.groupByKey(s => (s.symbol, s.chunk / fanout))
         .mapGroups { (key: (String, Long), it: Iterator[ChunkSum]) =>
           val arr = it.toArray.sortBy(_.chunk)
           val k = arr.head.decay.length
@@ -111,14 +105,22 @@ object Ema extends Serializable {
           }
           ChunkSum(key._1, key._2, d, p, fx)
         }
-      val superSeeds = linearSeeds(supers, fanout, (maxChunks + fanout - 1) / fanout)
-      cached.groupByKey(s => (s.symbol, s.chunk / fanout))
+
+    def unfold(ds: Dataset[ChunkSum], superSeeds: Dataset[ChunkSeed]): Dataset[ChunkSeed] =
+      ds.groupByKey(s => (s.symbol, s.chunk / fanout))
         .cogroup(superSeeds.groupByKey(s => (s.symbol, s.chunk))) {
           (_: (String, Long), it: Iterator[ChunkSum], seedIt: Iterator[ChunkSeed]) =>
-          val entry = seedIt.next()
-          foldGroup(it.toArray.sortBy(_.chunk), entry)
+          foldGroup(it.toArray.sortBy(_.chunk), seedIt.next())
         }
+
+    val cached = sums.persist()
+    val l1 = compose(cached).persist()
+    val l2 = compose(l1)
+    val baseSeeds = l2.groupByKey(_.symbol).flatMapGroups { (_, it) =>
+      val arr = it.toArray.sortBy(_.chunk)
+      foldGroup(arr, ChunkSeed(arr.head.symbol, arr.head.chunk, Array.empty, isFirst = true))
     }
+    unfold(cached, unfold(l1, baseSeeds))
   }
 
   case class Bar(symbol: String, bar_ts: java.sql.Timestamp,
@@ -207,10 +209,7 @@ object Ema extends Serializable {
       }
       ChunkSum(key._1, key._2, Array(d12, d26), Array(p12, p26), Array(f12, f26))
     }
-    val maxChunks = ch.groupBy(col("symbol"))
-      .agg(countDistinct(col("chunk")).as("n"))
-      .agg(max(col("n"))).head.getLong(0)
-    val seeds12_26 = linearSeeds(sums12_26, fanout, maxChunks)
+    val seeds12_26 = linearSeeds(sums12_26, fanout)
     val keyedBars = ch.groupByKey(b => (b.symbol, b.chunk))
     val keyedSeeds = seeds12_26.groupByKey(s => (s.symbol, s.chunk))
 
@@ -244,7 +243,7 @@ object Ema extends Serializable {
       }
       Iterator.single(ChunkSum(key._1, key._2, Array(d9), Array(p9), Array(f9)))
     }
-    val seeds9 = linearSeeds(sums9, fanout, maxChunks)
+    val seeds9 = linearSeeds(sums9, fanout)
     val joined = seeds12_26.joinWith(seeds9,
         seeds12_26("symbol") === seeds9("symbol") && seeds12_26("chunk") === seeds9("chunk"))
       .map { case (a, b) => ChunkSeed(a.symbol, a.chunk, a.seed ++ b.seed, a.isFirst) }
