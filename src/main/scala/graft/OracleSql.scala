@@ -540,6 +540,26 @@ object OracleSql {
                (acc, c) -> (acc * 31 + c) % 4294967296) END AS poly_fp
       FROM t ORDER BY doc_id""",
 
+    "q_repetition" -> """
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      base AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+                 len(list_distinct(ws))::BIGINT AS n_distinct, ws FROM w),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+             FROM base WHERE n_words >= 2),
+      cnt AS (SELECT doc_id, bg, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+      top AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_n,
+                sum(c)::BIGINT AS n_bigrams FROM cnt GROUP BY 1)
+      SELECT b.doc_id, b.n_words,
+        CASE WHEN b.n_words > 0
+             THEN round((b.n_words - b.n_distinct)::DOUBLE / b.n_words + 5e-9, 4) END AS dup_word_frac,
+        coalesce(t.n_bigrams, 0)::BIGINT AS n_bigrams,
+        CASE WHEN t.n_bigrams > 0
+             THEN round(t.top_bigram_n::DOUBLE / t.n_bigrams + 5e-9, 4) END AS top_bigram_frac
+      FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+      ORDER BY b.doc_id""",
+
     "q_dedup_exact_docs" -> s"""
       WITH t AS (SELECT doc_id, md5($normExpr) AS text_hash FROM documents)
       SELECT text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups

@@ -84,6 +84,7 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "q_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     // F2. training-data export
     "q_train_split" -> ((s, d) => TrainingData.trainSplit(Tables.documents(s, d))),
     "q_shard_pack" -> ((s, d) => TrainingData.shardPack(Tables.documents(s, d))),

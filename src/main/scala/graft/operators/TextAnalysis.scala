@@ -79,6 +79,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1: fraction
+    * of duplicated words and coverage of the most frequent n-gram —
+    * high values flag boilerplate/spam for training-data filtering):
+    * per doc, the duplicate-word fraction (1 − distinct/total) and the
+    * top word-bigram's share of all bigrams. One explode + two
+    * partial-aggregatable groupBys; fractions are single integer
+    * divisions so both engines agree bit-for-bit. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), ws.as("wsarr"))
+      .select(col("doc_id"),
+        size(col("wsarr")).cast("long").as("n_words"),
+        size(array_distinct(col("wsarr"))).cast("long").as("n_distinct"),
+        col("wsarr"))
+    val bigrams = base.filter(col("n_words") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(wsarr) - 2), i -> concat(wsarr[i], ' ', wsarr[i+1]))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).cast("long").as("n_bigrams"))
+    base.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        when(col("n_words") > 0,
+          round((col("n_words") - col("n_distinct")).cast("double") / col("n_words")
+            + lit(5e-9), 4)).as("dup_word_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(col("top_bigram_n").cast("double") / col("n_bigrams") + lit(5e-9), 4))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: md5 of normalized text + 32-bit polynomial
     * rolling hash (base 31, mod 2^32) over the normalized characters. */
   def fingerprint(docs: DataFrame): DataFrame =

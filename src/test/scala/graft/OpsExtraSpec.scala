@@ -58,6 +58,26 @@ class OpsExtraSpec extends SparkSpec {
     assert(out.head.getAs[String]("last_missing") === "16:00:00")
   }
 
+  test("repetition signals: repeated phrase dominates, unique text scores low") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, ("spam ham " * 10).trim, "en", "s", 0L),          // one bigram path dominates
+      (2L, (1 to 20).map(i => s"u$i").mkString(" "), "en", "s", 0L), // all unique
+      (3L, "single", "en", "s", 0L))                          // no bigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextAnalysis.repetition(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: 20 words, 2 distinct → dup_word_frac 0.9; "spam ham" appears
+    // 10 times of 19 bigrams
+    assert(out(1L).getAs[Double]("dup_word_frac") === 0.9)
+    assert(out(1L).getAs[Long]("n_bigrams") === 19L)
+    assert(out(1L).getAs[Double]("top_bigram_frac") === 0.5263)
+    assert(out(2L).getAs[Double]("dup_word_frac") === 0.0)
+    assert(out(2L).getAs[Double]("top_bigram_frac") === 0.0526)
+    assert(out(3L).getAs[Long]("n_bigrams") === 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("top_bigram_frac")))
+  }
+
   test("validateOhlc drops inconsistent and non-positive bars") {
     import spark.implicits._
     val b = Seq(
