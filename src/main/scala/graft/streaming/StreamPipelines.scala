@@ -99,6 +99,49 @@ object StreamPipelines {
         col("c_ts"), col("p_ts"), col("p_value"))
   }
 
+  case class BarIn(symbol: String, bar_ts: java.sql.Timestamp, close: Double)
+  case class EmaState(e12: Double, e26: Double, sig: Double, started: Boolean)
+  case class MacdOut(symbol: String, bar_ts: java.sql.Timestamp,
+      macd: Double, macd_signal: Double, macd_hist: Double)
+
+  /** Streaming MACD(12,26,9): per-symbol EMA recursion state carried
+    * across micro-batches via flatMapGroupsWithState — the streaming
+    * analogue of the batch segmented scan (graft.operators.Ema.macd).
+    * Within a micro-batch rows fold in bar_ts order; with in-order
+    * arrival the emitted values equal the batch recursion exactly
+    * (spec-proven at 4dp across a two-batch replay). */
+  def macdStream(bars: Dataset[BarIn]): Dataset[MacdOut] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val A12 = 2.0 / 13.0; val B12 = 11.0 / 13.0
+    val A26 = 2.0 / 27.0; val B26 = 25.0 / 27.0
+    val A9 = 2.0 / 10.0; val B9 = 8.0 / 10.0
+
+    def fn(sym: String, rows: Iterator[BarIn],
+        state: GroupState[EmaState]): Iterator[MacdOut] = {
+      var st = state.getOption.orNull
+      val out = rows.toSeq.sortBy(_.bar_ts.getTime).map { b =>
+        if (st == null) {
+          // e12 = e26 = x0 → macd 0; the signal seeds with that macd
+          st = EmaState(b.close, b.close, 0.0, started = true)
+          MacdOut(sym, b.bar_ts, 0.0, 0.0, 0.0)
+        } else {
+          val e12 = b.close * A12 + st.e12 * B12
+          val e26 = b.close * A26 + st.e26 * B26
+          val m = e12 - e26
+          val sig = m * A9 + st.sig * B9
+          st = EmaState(e12, e26, sig, started = true)
+          MacdOut(sym, b.bar_ts, m, sig, m - sig)
+        }
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+
+    bars.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -148,6 +148,39 @@ class StreamingSpec extends SparkSpec {
     assert(bars.filter(col("symbol") === "A").head().getAs[Long]("volume") === 2L)
   }
 
+  test("streaming MACD equals the batch recursion across a two-batch replay") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = Tables.events(spark, sf())
+    val bars = graft.operators.Bars.ohlcv(events)
+      .select(col("symbol"), col("bar_ts"), col("close"))
+      .as[StreamPipelines.BarIn]
+      .collect().sortBy(b => (b.symbol, b.bar_ts.getTime))
+    // split by time so batch 2 strictly follows batch 1 per symbol
+    val cut = bars.map(_.bar_ts.getTime).sorted.apply(bars.length / 2)
+    val (b1, b2) = bars.partition(_.bar_ts.getTime < cut)
+    val mem = MemoryStream[StreamPipelines.BarIn]
+    val q = StreamPipelines.macdStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("macd_out")
+      .start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("macd_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val exp = graft.operators.Ema.macdSequential(
+      graft.operators.Bars.ohlcv(events)).collect()
+    assert(exp.length === got.size && exp.length > 500)
+    def r4(x: Double) = math.round((x + 5e-9) * 1e4) / 1e4
+    exp.foreach { r =>
+      val (m, s, h) = got((r.getString(0), r.getTimestamp(1)))
+      assert(r4(m) === r.getDouble(2) && r4(s) === r.getDouble(3) &&
+        r4(h) === r.getDouble(4), s"${r.getString(0)} ${r.getTimestamp(1)}")
+    }
+  }
+
   test("stream-stream join attributes purchases to preceding clicks") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
