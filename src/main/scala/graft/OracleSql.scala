@@ -143,6 +143,45 @@ object OracleSql {
       ORDER BY symbol, bar_ts"""
     },
 
+    "q_processed_table" -> {
+      import graft.operators.Market.Oracle
+      s"""
+      WITH $barsCte,
+      valid AS (SELECT * FROM bars
+                WHERE "open" > 0 AND high > 0 AND low > 0 AND "close" > 0
+                  AND volume > 0 AND high >= low),
+      et AS (SELECT *, ${Oracle.et("bar_ts")} AS et_ts FROM valid),
+      mh AS (SELECT symbol, bar_ts, "open", high, low, "close", volume,
+               CAST(et_ts AS DATE) AS et_date,
+               strftime(et_ts, '%H:%M:%S') AS et_time
+             FROM et
+             WHERE strftime(et_ts, '%H:%M:%S') BETWEEN '09:30:00' AND '16:00:00'
+               AND isodow(et_ts) <= 5
+               AND CAST(et_ts AS DATE) NOT IN (${Oracle.holidaysIn})),
+      daily AS (SELECT symbol, et_date, arg_max("close", bar_ts) AS eod_close
+                FROM mh GROUP BY 1, 2),
+      eod AS (SELECT symbol, et_date,
+                round(sum(CAST(eod_close AS DECIMAL(18,6))) OVER (PARTITION BY symbol ORDER BY et_date
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)::DOUBLE
+                  / count(eod_close) OVER (PARTITION BY symbol ORDER BY et_date
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 5e-9, 4) AS eod_ma5
+              FROM daily),
+      m AS (SELECT symbol, bar_ts, "open", high, low, "close", volume, et_date, et_time,
+              round(sum(CAST("close" AS DECIMAL(18,6))) OVER (PARTITION BY symbol ORDER BY bar_ts
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)::DOUBLE
+                / count("close") OVER (PARTITION BY symbol ORDER BY bar_ts
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 5e-9, 4) AS ma5,
+              round(sum(CAST("close" AS DECIMAL(18,6))) OVER (PARTITION BY symbol ORDER BY bar_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                / count("close") OVER (PARTITION BY symbol ORDER BY bar_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 5e-9, 4) AS cma
+            FROM mh)
+      SELECT m.symbol, m.bar_ts, m."open", m.high, m.low, m."close", m.volume,
+        m.et_date, m.et_time, m.ma5, m.cma, e.eod_ma5
+      FROM m JOIN eod e ON m.symbol = e.symbol AND m.et_date = e.et_date
+      ORDER BY m.symbol, m.bar_ts"""
+    },
+
     "q_eod_ma5" -> s"""
       WITH $barsCte,
       daily AS (

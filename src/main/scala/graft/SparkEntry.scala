@@ -34,6 +34,7 @@ object SparkEntry {
     "q_market_hours" -> ((s, d) => Market.marketHours(bars(s, d))),
     "q_eod_ma5" -> ((s, d) => Market.eodMa5(bars(s, d))),
     "q_missing_report" -> ((s, d) => Market.missingReport(bars(s, d))),
+    "q_processed_table" -> ((s, d) => Market.processedTable(bars(s, d))),
     // B. technical indicators
     "q_sma" -> ((s, d) => Indicators.sma(bars(s, d))),
     "q_bollinger" -> ((s, d) => Indicators.bollinger(bars(s, d))),

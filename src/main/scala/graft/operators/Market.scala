@@ -106,6 +106,47 @@ object Market {
       .orderBy(col("symbol"), col("et_date"))
   }
 
+  /** The reference's full processed table
+    * (preprocessing_pipeline.py:185-209 `process_stock_data` →
+    * `processed_columns`): validate OHLC → ET market-hours filter →
+    * per-symbol rolling MA5 (min_periods=1) + cumulative mean over the
+    * SURVIVING rows → end-of-day MA5 joined back by ET date. One
+    * symbol-hash exchange feeds all three window passes; the day-level
+    * aggregate joins back per (symbol, date). */
+  def processedTable(bars: DataFrame): DataFrame = {
+    val valid = Bars.validateOhlc(bars)
+    val mh = valid
+      .withColumn("et_ts", from_utc_timestamp(col("bar_ts"), "America/New_York"))
+      .withColumn("et_date", to_date(col("et_ts")))
+      .withColumn("et_time", date_format(col("et_ts"), "HH:mm:ss"))
+      .filter(col("et_time") >= "09:30:00" && col("et_time") <= "16:00:00")
+      .filter(expr("weekday(et_date) < 5"))
+      .filter(!col("et_date").isin(Holidays: _*))
+    val w5 = Window.partitionBy(col("symbol")).orderBy(col("bar_ts"))
+      .rowsBetween(-4, 0)
+    val wAll = Window.partitionBy(col("symbol")).orderBy(col("bar_ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wEod = Window.partitionBy(col("symbol")).orderBy(col("et_date"))
+      .rowsBetween(-4, 0)
+    val dec = col("close").cast("decimal(18,6)")
+    val daily = mh.groupBy(col("symbol"), col("et_date"))
+      .agg(max_by(col("close"), col("bar_ts")).as("eod_close"))
+    val eod = daily.select(col("symbol"), col("et_date"),
+      round(sum(col("eod_close").cast("decimal(18,6)")).over(wEod).cast("double")
+          / count(col("eod_close")).over(wEod) + lit(5e-9), 4).as("eod_ma5"))
+    mh.select(col("symbol"), col("bar_ts"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("et_date"), col("et_time"),
+        round(sum(dec).over(w5).cast("double") / count(col("close")).over(w5)
+          + lit(5e-9), 4).as("ma5"),
+        round(sum(dec).over(wAll).cast("double") / count(col("close")).over(wAll)
+          + lit(5e-9), 4).as("cma"))
+      .join(eod, Seq("symbol", "et_date"))
+      .select(col("symbol"), col("bar_ts"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("et_date"), col("et_time"),
+        col("ma5"), col("cma"), col("eod_ma5"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
   /** DuckDB oracle fragments (kept beside the operators so the calendar
     * constants can never drift between engines). */
   object Oracle {
