@@ -734,7 +734,9 @@ object OracleSql {
     * queryProbes} — identical ±1 sign constants, identical fold order
     * (list_reduce from a prepended 0.0 ≡ the native DotProduct loop),
     * identical (|proj|, bit) margin ranking for the probe flips. */
-  private def lshOracleSql(probed: Boolean): String = {
+  /** Shared multi-table LSH corpus CTEs: p1 (projection lists), p2
+    * (per-table buckets), bk (one row per vector per table). */
+  private def lshBkCtes: String = {
     import graft.operators.Similarity._
     def signList(t: Int, j: Int) = (0 until Dim)
       .map(d => if (lshSign(t, j, d) > 0) "1.0" else "-1.0")
@@ -751,6 +753,14 @@ object OracleSql {
     val bkUnion = (0 until LshTables)
       .map(t => s"SELECT vec_id, v, nrm, $t AS t, qb_$t AS bucket FROM p2")
       .mkString(" UNION ALL ")
+    s"""
+      p1 AS (SELECT vec_id, v, nrm, $ptCols FROM nv),
+      p2 AS (SELECT *, $qbCols FROM p1),
+      bk AS ($bkUnion)"""
+  }
+
+  private def lshOracleSql(probed: Boolean): String = {
+    import graft.operators.Similarity._
     def probesExpr(t: Int) =
       if (!probed) s"[qb_$t]"
       else {
@@ -768,10 +778,7 @@ object OracleSql {
       .map(t => s"SELECT q_id, qv, qn, $t AS t, unnest(${probesExpr(t)}) AS probe FROM q0")
       .mkString(" UNION ALL ")
     s"""
-      WITH $vecCtes,
-      p1 AS (SELECT vec_id, v, nrm, $ptCols FROM nv),
-      p2 AS (SELECT *, $qbCols FROM p1),
-      bk AS ($bkUnion),
+      WITH $vecCtes,$lshBkCtes,
       q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, ${(0 until LshTables).map(t => s"pt_$t, qb_$t").mkString(", ")}
              FROM p2 WHERE vec_id < $QueryCount),
       q AS ($qUnion),
@@ -837,7 +844,28 @@ object OracleSql {
 
     "q_ann_lsh" -> lshOracleSql(probed = false),
 
-    "q_ann_lsh_multiprobe" -> lshOracleSql(probed = true)
+    "q_ann_lsh_multiprobe" -> lshOracleSql(probed = true),
+
+    // content-driven near-dup: pairs sharing any LSH table bucket (the
+    // scale path the id-band variant approximates), with the same
+    // bucket-size cap as the dedup family
+    "q_embed_neardup_lsh" -> {
+      import graft.operators.Similarity.{NeardupMaxBucket, NeardupThreshold}
+      s"""
+      WITH $vecCtes,$lshBkCtes,
+      sz AS (SELECT t, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+      bkc AS (SELECT bk.vec_id, bk.v, bk.nrm, bk.t, bk.bucket
+              FROM bk JOIN sz ON bk.t = sz.t AND bk.bucket = sz.bucket
+              WHERE sz.c <= $NeardupMaxBucket),
+      c AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+            FROM bkc a JOIN bkc b
+              ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE a.nrm > 0 AND b.nrm > 0)
+      SELECT vec_a, vec_b, round(cos + 5e-9, 4) AS cos
+      FROM c WHERE cos >= $NeardupThreshold
+      ORDER BY vec_a, vec_b"""
+    }
   )
 
   val all: Map[String, String] = core ++ textOps ++ vectorOps

@@ -75,6 +75,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embedNeardup(Tables.embeddings(s, d))),
+    "q_embed_neardup_lsh" -> ((s, d) => Similarity.embedNeardupLsh(Tables.embeddings(s, d))),
     // E. similarity search
     "q_ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),

@@ -56,6 +56,11 @@ object Similarity {
   val IvfK = 32
   val IvfProbes = 6
 
+  // Content-driven near-dup: cosine floor + bucket-size cap for the
+  // all-corpus LSH-bucket pair join.
+  val NeardupThreshold = 0.25
+  val NeardupMaxBucket = 256
+
   /** Float embedding → double array (exact widening). */
   private def vecd(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -245,6 +250,33 @@ object Similarity {
     val e = withVec(embeddings)
     val cents = ivfCentroidsLloyd(embeddings, iters)
     ivfProbe(e, cents, k)
+  }
+
+  /** Content-driven near-dup pairs over the WHOLE corpus: two vectors
+    * are candidates iff they share any LSH table bucket (the scale path
+    * — no id locality assumed), with the dedup family's bucket-size cap
+    * bounding hot buckets, then exact cosine ≥ threshold. */
+  def embedNeardupLsh(embeddings: DataFrame,
+      threshold: Double = NeardupThreshold,
+      maxBucket: Int = NeardupMaxBucket): DataFrame = {
+    val e = withVec(embeddings)
+    val bk = corpusBuckets(e)
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("t"), col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    bk.as("l")
+      .join(bk.as("r"),
+        col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        expr("cosine_sim(l.v, r.v)").as("cos"))
+      .filter(col("cos").isNotNull)
+      .distinct()
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"),
+        round(col("cos") + lit(5e-9), 4).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Embedding-cosine near-dup pairs in an id-banded candidate window

@@ -121,6 +121,20 @@ class DedupSimilaritySpec extends SparkSpec {
       Set((0L, 1L)))
   }
 
+  test("LSH near-dup finds a scaled copy at distant ids where the id-band cannot") {
+    val base = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
+    val other = (0 until 64).map(i => math.cos(i * 1.3).toFloat)
+    val d = emb(Seq(
+      (20L, base), (470L, base.map(_ * 2f)),   // same direction, 450 ids apart
+      (100L, other)))
+    val lsh = Similarity.embedNeardupLsh(d, threshold = 0.99).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(lsh === Set((20L, 470L)))
+    // the id-banded variant misses it by construction (offset > 10)
+    val banded = Similarity.embedNeardup(d, maxOffset = 10, threshold = 0.99).count()
+    assert(banded === 0L)
+  }
+
   test("LSH ANN only pairs vectors in the same bucket and ranks by cosine") {
     val out = Similarity.annLsh(Tables.embeddings(spark, sf()), k = 3)
     val counts = out.groupBy("q_id").count().collect()
