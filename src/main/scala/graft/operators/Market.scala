@@ -150,8 +150,12 @@ object Market {
   /** DuckDB oracle fragments (kept beside the operators so the calendar
     * constants can never drift between engines). */
   object Oracle {
-    /** ET wall-clock conversion of a naive-UTC timestamp column. */
-    def et(col: String): String = s"timezone('America/New_York', $col::TIMESTAMPTZ)"
+    /** ET wall-clock conversion of a naive-UTC timestamp column.
+      * `timezone('UTC', ts)` pins the naive value to UTC explicitly, so
+      * the expression is correct under ANY DuckDB session timezone
+      * (a bare `::TIMESTAMPTZ` cast would interpret it in session tz). */
+    def et(col: String): String =
+      s"timezone('America/New_York', timezone('UTC', $col))"
 
     def holidaysIn: String = holidayList
 
