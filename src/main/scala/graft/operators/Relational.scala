@@ -178,6 +178,20 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Sketch-based approximate distinct/quantiles — the constant-memory
+    * path when exact distinct state would not fit: HyperLogLog++ for
+    * cardinality and the Greenwald-Khanna quantile sketch, both
+    * mergeable (map-side partial → one small shuffle), which is what
+    * makes them the 100 TB shape. Accuracy is spec-asserted against the
+    * exact operators; not oracle-gated (sketch internals are
+    * engine-specific by nature). */
+  def statsApprox(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("median_value_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Gap-based sessionization (30-min inactivity gap) per user over the
     * event stream — the batch equivalent of the streaming stateful
     * session operator. Single shuffle on user_id. */

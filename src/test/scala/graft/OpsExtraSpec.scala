@@ -58,6 +58,28 @@ class OpsExtraSpec extends SparkSpec {
     assert(out.head.getAs[String]("last_missing") === "16:00:00")
   }
 
+  test("sketch aggregates: HLL distinct within rsd bound, GK median within rank error") {
+    val ev = Tables.events(spark, sf())
+    val exact = Relational.countDistinct_(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    val medians = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("med")).toMap
+    val approx = Relational.statsApprox(ev, rsd = 0.05).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val n = exact(et).toDouble
+      assert(math.abs(r.getAs[Long]("n_users_approx") - n) / n <= 0.15,
+        s"$et HLL error above 3x rsd")
+      // GK sketch: quantile within epsilon rank error → value within the
+      // central band of the distribution; assert within 10% of exact
+      val m = medians(et)
+      assert(math.abs(r.getAs[Double]("median_value_approx") - m) / m <= 0.10,
+        s"$et median approx too far: ${r.getAs[Double]("median_value_approx")} vs $m")
+    }
+  }
+
   test("repetition signals: repeated phrase dominates, unique text scores low") {
     import spark.implicits._
     val d = Seq(
