@@ -788,7 +788,7 @@ object OracleSql {
             WHERE bk.nrm > 0 AND q.qn > 0),
       r AS (SELECT q_id, nn_id, cos,
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c)
-      SELECT q_id, nn_id, round(cos + 5e-9, 4) AS cos, rk
+      SELECT q_id, nn_id, round(cos + 5e-9, 4) + 0.0 AS cos, rk
       FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
   }
 
@@ -815,7 +815,7 @@ object OracleSql {
              WHERE cell.nrm > 0 AND q.qn > 0),
       r AS (SELECT q_id, nn_id, cell, cos,
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c2)
-      SELECT q_id, nn_id, cell, round(cos + 5e-9, 4) AS cos, rk
+      SELECT q_id, nn_id, cell, round(cos + 5e-9, 4) + 0.0 AS cos, rk
       FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
     },
 
@@ -838,7 +838,7 @@ object OracleSql {
             FROM nv, q WHERE nv.vec_id <> q.q_id AND nv.nrm > 0 AND q.qn > 0),
       r AS (SELECT q_id, nn_id, cos,
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c)
-      SELECT q_id, nn_id, round(cos + 5e-9, 4) AS cos, rk
+      SELECT q_id, nn_id, round(cos + 5e-9, 4) + 0.0 AS cos, rk
       FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
     },
 

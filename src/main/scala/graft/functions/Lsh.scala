@@ -79,6 +79,7 @@ case class LshBuckets(child: Expression) extends UnaryExpression {
       val t = ctx.freshName("t"); val j = ctx.freshName("j")
       val d = ctx.freshName("d"); val p = ctx.freshName("p")
       val b = ctx.freshName("b"); val n = ctx.freshName("n")
+      val base = ctx.freshName("base")
       s"""
         int $n = Math.min($v.numElements(), $Dim);
         long[] $out = new long[$Tables];
@@ -86,8 +87,8 @@ case class LshBuckets(child: Expression) extends UnaryExpression {
           long $b = 0L;
           for (int $j = 0; $j < $Bits; $j++) {
             double $p = 0.0;
-            int base = ($t * $Bits + $j) * $Dim;
-            for (int $d = 0; $d < $n; $d++) { $p += $v.getDouble($d) * $sRef[base + $d]; }
+            int $base = ($t * $Bits + $j) * $Dim;
+            for (int $d = 0; $d < $n; $d++) { $p += $v.getDouble($d) * $sRef[$base + $d]; }
             if ($p > 0) $b |= (1L << $j);
           }
           $out[$t] = $b;
@@ -145,6 +146,7 @@ case class LshProjections(child: Expression) extends UnaryExpression {
       val t = ctx.freshName("t"); val j = ctx.freshName("j")
       val d = ctx.freshName("d"); val p = ctx.freshName("p")
       val n = ctx.freshName("n")
+      val base = ctx.freshName("base")
       s"""
         int $n = Math.min($v.numElements(), $Dim);
         Object[] $out = new Object[$Tables];
@@ -152,8 +154,8 @@ case class LshProjections(child: Expression) extends UnaryExpression {
           double[] $pj = new double[$Bits];
           for (int $j = 0; $j < $Bits; $j++) {
             double $p = 0.0;
-            int base = ($t * $Bits + $j) * $Dim;
-            for (int $d = 0; $d < $n; $d++) { $p += $v.getDouble($d) * $sRef[base + $d]; }
+            int $base = ($t * $Bits + $j) * $Dim;
+            for (int $d = 0; $d < $n; $d++) { $p += $v.getDouble($d) * $sRef[$base + $d]; }
             $pj[$j] = $p;
           }
           $out[$t] = new org.apache.spark.sql.catalyst.util.GenericArrayData($pj);

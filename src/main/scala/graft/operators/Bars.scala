@@ -34,13 +34,16 @@ object Bars {
         count(lit(1)).as("volume"),
         sum(col("value")).as("vsum"))
 
-  /** OHLC consistency validation (reference
-    * src/preprocessing/preprocessing_pipeline.py:132-136): drop bars with
-    * non-positive prices/volume or high < low. A pure pushdown-friendly
-    * filter — the checks reach the scan. */
+  /** OHLC consistency predicate (reference
+    * src/preprocessing/preprocessing_pipeline.py:132-136): positive
+    * prices/volume and high >= low. Shared with pipelines that embed the
+    * filter without [[validateOhlc]]'s output sort; pushdown-friendly. */
+  val ohlcValid: org.apache.spark.sql.Column =
+    col("open") > 0 && col("high") > 0 && col("low") > 0 &&
+      col("close") > 0 && col("volume") > 0 && col("high") >= col("low")
+
   def validateOhlc(bars: DataFrame): DataFrame =
-    bars.filter(col("open") > 0 && col("high") > 0 && col("low") > 0 &&
-        col("close") > 0 && col("volume") > 0 && col("high") >= col("low"))
+    bars.filter(ohlcValid)
       .select(col("symbol"), col("bar_ts"), col("open"), col("high"),
         col("low"), col("close"), col("volume"))
       .orderBy(col("symbol"), col("bar_ts"))

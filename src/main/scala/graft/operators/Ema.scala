@@ -129,7 +129,11 @@ object Ema extends Serializable {
   /** Chunked bars, persisted: the segmented scan reads this lineage in
     * several passes (summaries, seed actions, final unfold), and bars are
     * ~300× smaller than the tick input — one materialization beats three
-    * scan→aggregate→shuffle recomputations at any scale. */
+    * scan→aggregate→shuffle recomputations at any scale. The entries are
+    * deliberately NOT unpersisted (the returned DataFrame is lazy, so
+    * there is no safe point inside this method); they use evictable
+    * storage levels and Spark's cache manager dedupes identical plans,
+    * so repeated calls pin one copy, dropped under memory pressure. */
   private def chunked(bars: DataFrame, chunkBars: Int): Dataset[Bar] = {
     val spark = bars.sparkSession
     import spark.implicits._

@@ -39,17 +39,38 @@ object Market {
 
   private def holidayList: String = Holidays.map(d => s"'$d'").mkString(", ")
 
-  /** Bars restricted to ET market hours: 09:30 ≤ wall-clock ≤ 16:00,
-    * Monday–Friday, not a US federal holiday. Mirrors
-    * `is_market_hours` (preprocessing_pipeline.py:80-103). */
-  def marketHours(bars: DataFrame): DataFrame =
-    bars
-      .withColumn("et_ts", from_utc_timestamp(col("bar_ts"), "America/New_York"))
+  /** Adds et_ts/et_date/et_time wall-clock columns (America/New_York). */
+  private def withEt(df: DataFrame): DataFrame =
+    df.withColumn("et_ts", from_utc_timestamp(col("bar_ts"), "America/New_York"))
       .withColumn("et_date", to_date(col("et_ts")))
       .withColumn("et_time", date_format(col("et_ts"), "HH:mm:ss"))
+
+  /** The `is_market_hours` predicate applied to [[withEt]] columns:
+    * 09:30 ≤ wall-clock ≤ 16:00 inclusive, Monday–Friday, not a US
+    * federal holiday (preprocessing_pipeline.py:80-103). The single
+    * definition feeds every operator below so a calendar change cannot
+    * drift between them. */
+  private def marketHoursOnly(df: DataFrame): DataFrame =
+    withEt(df)
       .filter(col("et_time") >= "09:30:00" && col("et_time") <= "16:00:00")
       .filter(expr("weekday(et_date) < 5"))
       .filter(!col("et_date").isin(Holidays: _*))
+
+  /** Rolling 5-day mean (min_periods=1) of the last close per
+    * (symbol, `dateCol`), keyed for the join back. */
+  private def eodMa5On(df: DataFrame, dateCol: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col(dateCol))
+      .rowsBetween(-4, 0)
+    df.groupBy(col("symbol"), col(dateCol))
+      .agg(max_by(col("close"), col("bar_ts")).as("eod_close"))
+      .select(col("symbol"), col(dateCol),
+        round(sum(col("eod_close").cast("decimal(18,6)")).over(w).cast("double")
+            / count(col("eod_close")).over(w) + lit(5e-9), 4).as("eod_ma5"))
+  }
+
+  /** Bars restricted to ET market hours. */
+  def marketHours(bars: DataFrame): DataFrame =
+    marketHoursOnly(bars)
       .select(col("symbol"), col("bar_ts"), col("et_date"), col("et_time"),
         col("close"), col("volume"))
       .orderBy(col("symbol"), col("bar_ts"))
@@ -61,18 +82,9 @@ object Market {
     * picks broadcast when it fits and falls back to a co-partitioned
     * shuffle join on (symbol, date) when the symbol universe is huge. */
   def eodMa5(bars: DataFrame): DataFrame = {
-    val daily = bars
-      .withColumn("bar_date", to_date(col("bar_ts")))
-      .groupBy(col("symbol"), col("bar_date"))
-      .agg(max_by(col("close"), col("bar_ts")).as("eod_close"))
-    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_date"))
-      .rowsBetween(-4, 0)
-    val eod = daily.select(col("symbol"), col("bar_date"),
-      round(sum(col("eod_close").cast("decimal(18,6)")).over(w).cast("double")
-          / count(col("eod_close")).over(w) + lit(5e-9), 4).as("eod_ma5"))
-    bars.select(col("symbol"), col("bar_ts"),
-        to_date(col("bar_ts")).as("bar_date"), col("close"))
-      .join(eod, Seq("symbol", "bar_date"))
+    val dated = bars.withColumn("bar_date", to_date(col("bar_ts")))
+    dated.select(col("symbol"), col("bar_ts"), col("bar_date"), col("close"))
+      .join(eodMa5On(dated, "bar_date"), Seq("symbol", "bar_date"))
       .select(col("symbol"), col("bar_ts"), col("bar_date"), col("close"),
         col("eod_ma5"))
       .orderBy(col("symbol"), col("bar_ts"))
@@ -83,10 +95,7 @@ object Market {
     * one row per (symbol, day) with at least one gap
     * (preprocessing_pipeline.py:213-259). */
   def missingReport(bars: DataFrame): DataFrame = {
-    val et = bars
-      .withColumn("et_ts", from_utc_timestamp(col("bar_ts"), "America/New_York"))
-      .select(col("symbol"), to_date(col("et_ts")).as("et_date"),
-        date_format(col("et_ts"), "HH:mm:ss").as("et_time"))
+    val et = withEt(bars).select(col("symbol"), col("et_date"), col("et_time"))
     val days = et.groupBy(col("symbol"))
       .agg(min(col("et_date")).as("d0"), max(col("et_date")).as("d1"))
       .select(col("symbol"),
@@ -114,26 +123,16 @@ object Market {
     * symbol-hash exchange feeds all three window passes; the day-level
     * aggregate joins back per (symbol, date). */
   def processedTable(bars: DataFrame): DataFrame = {
-    val valid = Bars.validateOhlc(bars)
-    val mh = valid
-      .withColumn("et_ts", from_utc_timestamp(col("bar_ts"), "America/New_York"))
-      .withColumn("et_date", to_date(col("et_ts")))
-      .withColumn("et_time", date_format(col("et_ts"), "HH:mm:ss"))
-      .filter(col("et_time") >= "09:30:00" && col("et_time") <= "16:00:00")
-      .filter(expr("weekday(et_date) < 5"))
-      .filter(!col("et_date").isin(Holidays: _*))
+    // ohlcValid predicate, NOT Bars.validateOhlc: that method ends with
+    // the q_validate_bars output sort, which would pay a useless global
+    // range-exchange mid-pipeline
+    val mh = marketHoursOnly(bars.filter(Bars.ohlcValid))
     val w5 = Window.partitionBy(col("symbol")).orderBy(col("bar_ts"))
       .rowsBetween(-4, 0)
     val wAll = Window.partitionBy(col("symbol")).orderBy(col("bar_ts"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wEod = Window.partitionBy(col("symbol")).orderBy(col("et_date"))
-      .rowsBetween(-4, 0)
     val dec = col("close").cast("decimal(18,6)")
-    val daily = mh.groupBy(col("symbol"), col("et_date"))
-      .agg(max_by(col("close"), col("bar_ts")).as("eod_close"))
-    val eod = daily.select(col("symbol"), col("et_date"),
-      round(sum(col("eod_close").cast("decimal(18,6)")).over(wEod).cast("double")
-          / count(col("eod_close")).over(wEod) + lit(5e-9), 4).as("eod_ma5"))
+    val eod = eodMa5On(mh, "et_date")
     mh.select(col("symbol"), col("bar_ts"), col("open"), col("high"),
         col("low"), col("close"), col("volume"), col("et_date"), col("et_time"),
         round(sum(dec).over(w5).cast("double") / count(col("close")).over(w5)

@@ -29,18 +29,18 @@ object TrainingData {
         when(bucket < trainPct, "train").otherwise("eval").as("split"))
       .orderBy(col("doc_id"))
 
+  /** Shard count targeting ~`tokensPerShard` tokens per output shard —
+    * [[shardPack]]'s default `shards = 8` keeps the oracle reproducible,
+    * but at corpus scale the caller should size shards to the data (8
+    * sorted partitions would cap write parallelism). */
+  def autoShards(totalTokens: Long, tokensPerShard: Long = 100000000L): Int =
+    math.max(8, math.min(1 << 20, totalTokens / tokensPerShard).toInt)
+
   /** Global pseudo-shuffle + shard assignment + greedy token packing:
     * order docs by a stable hash, deal them into `shards`, and bin each
     * shard's stream into ~`packTokens`-token packs by running token count
     * (a doc starting before a boundary joins the earlier pack — the usual
     * streaming-packing approximation). */
-  /** Shard count targeting ~`tokensPerShard` tokens per output shard —
-    * the default `shards = 8` below keeps the oracle reproducible, but
-    * at corpus scale the caller should size shards to the data (8
-    * sorted partitions would cap write parallelism). */
-  def autoShards(totalTokens: Long, tokensPerShard: Long = 100000000L): Int =
-    math.max(8, math.min(1 << 20, totalTokens / tokensPerShard).toInt)
-
   def shardPack(docs: DataFrame, shards: Int = 8, packTokens: Int = 4096): DataFrame = {
     val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long")

@@ -80,6 +80,20 @@ class OpsExtraSpec extends SparkSpec {
     }
   }
 
+  test("autoShards sizes shard count to the corpus, bounded both ways") {
+    import graft.operators.TrainingData
+    assert(TrainingData.autoShards(1000L) === 8)                 // floor
+    assert(TrainingData.autoShards(100000000000L) === 1000)      // 1e11 tokens
+    assert(TrainingData.autoShards(Long.MaxValue) === (1 << 20)) // cap
+    // shardPack honors the computed count
+    val d = (1 to 50).map(i => (i.toLong, s"w$i w$i", "en", "s", 0L))
+    import spark.implicits._
+    val df = d.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val shards = TrainingData.shardPack(df, shards = TrainingData.autoShards(1000L))
+      .select("shard").distinct().count()
+    assert(shards <= 8)
+  }
+
   test("repetition signals: repeated phrase dominates, unique text scores low") {
     import spark.implicits._
     val d = Seq(
