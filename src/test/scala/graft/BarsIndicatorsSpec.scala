@@ -127,6 +127,34 @@ class BarsIndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("segmented drift is orders of magnitude inside the rounding margin") {
+    // the oracle gate rounds at 4dp(+5e-9 nudge); the segmented scan's
+    // re-association drift must sit far below every cell's distance to
+    // its nearest rounding boundary, or a data refresh could flip a cell
+    val bars = Bars.ohlcv(Tables.events(spark, sf()))
+    val seg = Ema.emaSegmented(bars, span = 26, chunkBars = 64)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+    val rows = bars.select("symbol", "bar_ts", "close").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val alpha = 2.0 / 27.0
+    var maxDrift = 0.0; var minMargin = Double.MaxValue
+    rows.foreach { case (sym, rs) =>
+      var e = 0.0; var first = true
+      rs.sortBy(_._2.getTime).foreach { case (_, ts, x) =>
+        e = if (first) { first = false; x } else x * alpha + e * (1 - alpha)
+        maxDrift = math.max(maxDrift, math.abs(seg((sym, ts)) - e))
+        val scaled = (e + 5e-9) * 1e4
+        val frac = scaled - math.floor(scaled)
+        minMargin = math.min(minMargin, math.min(frac, 1.0 - frac) / 1e4)
+      }
+    }
+    info(f"max drift $maxDrift%.3e, min boundary margin $minMargin%.3e")
+    assert(maxDrift < 1e-10)
+    assert(minMargin > 100 * math.max(maxDrift, 1e-15),
+      f"margin $minMargin%.3e too close to drift $maxDrift%.3e")
+  }
+
   test("obv: rising bars accumulate volume, falling subtract") {
     val rows = Seq(
       (1L, "2024-01-01 10:01:00", "A", 10.0),
