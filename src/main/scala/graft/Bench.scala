@@ -5,7 +5,15 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Each query is executed twice and the faster run
   * reported — a long-lived local-mode session accumulates driver-side
   * bookkeeping (AQE stage state, cleaner GC) that injects one-off
-  * multi-second stalls; min-of-2 measures the query, not the stall. */
+  * multi-second stalls; min-of-2 measures the query, not the stall.
+  *
+  * Session hygiene between queries: persisted intermediates are released
+  * (`Ema.unpersistAll` + `catalog.clearCache`, so every timed run pays
+  * its own materialization — comparable numbers, no cross-query cache
+  * growth) and a periodic driver GC drives Spark's ContextCleaner, which
+  * only reclaims shuffle files and broadcasts after their weak refs are
+  * collected — in a 59-query × 2 session an 8 GiB heap can otherwise go
+  * long stretches without a collection while per-query state piles up. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,20 +23,30 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (JVM, codegen, FS handles) so the first timed query
     // is not charged Spark startup cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    def cleanup(): Unit = {
+      graft.operators.Ema.unpersistAll()
+      spark.catalog.clearCache()
+    }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      dt
     }
+    var sinceGc = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = timeOnce(fn)
+      sinceGc += 1
+      if (sinceGc >= 8) { System.gc(); sinceGc = 0 } // drive ContextCleaner
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

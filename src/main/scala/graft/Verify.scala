@@ -35,6 +35,11 @@ object Verify {
           .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // Release per-query persisted intermediates (segmented-scan
+        // caches) so the 60-query dump session stays flat.
+        graft.operators.Ema.unpersistAll()
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -76,16 +76,25 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  // Sessions already registered — weak keys so a stopped session can be
+  // collected. Guarding makes repeat calls (one per operator invocation)
+  // true no-ops instead of re-registrations that WARN on every query in
+  // a long-lived bench/verify session.
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Idempotent per-session registration; after this,
     * `expr("cosine_sim(a, b)")` resolves to the native expression. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_buckets", exprs => LshBuckets(exprs(0)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_proj", exprs => LshProjections(exprs(0)), "built-in")
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.add(spark)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "lsh_buckets", exprs => LshBuckets(exprs(0)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "lsh_proj", exprs => LshProjections(exprs(0)), "built-in")
+    }
   }
 }

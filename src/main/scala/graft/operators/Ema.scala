@@ -38,6 +38,27 @@ object Ema extends Serializable {
   private val A26 = 2.0 / 27.0; private val B26 = 25.0 / 27.0
   private val A9 = 2.0 / 10.0; private val B9 = 8.0 / 10.0
 
+  // Persisted intermediates created by the segmented scans, so a
+  // long-lived session (bench harness, notebook, service) can release
+  // them between queries: the returned DataFrames are lazy, so there is
+  // no safe unpersist point inside the builders themselves.
+  private val persistedSets =
+    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  private def persistTracked[T](ds: Dataset[T]): Dataset[T] = {
+    val p = ds.persist(StorageLevel.MEMORY_AND_DISK)
+    persistedSets.add(p)
+    p
+  }
+
+  /** Release every intermediate this object has persisted. Call after
+    * the terminal action on a [[macd]]/[[emaSegmented]] result; a
+    * subsequent action on an old result simply re-materializes. */
+  def unpersistAll(): Unit = {
+    var d = persistedSets.poll()
+    while (d != null) { d.unpersist(blocking = false); d = persistedSets.poll() }
+  }
+
   /** Per-chunk summary of k parallel linear recurrences e' = d·e + p.
     * `firstExit` is the chunk's exact sequential exit value under
     * `e_0 = x_0` seeding — used when this is the symbol's first chunk so
@@ -113,8 +134,8 @@ object Ema extends Serializable {
           foldGroup(it.toArray.sortBy(_.chunk), seedIt.next())
         }
 
-    val cached = sums.persist()
-    val l1 = compose(cached).persist()
+    val cached = persistTracked(sums)
+    val l1 = persistTracked(compose(cached))
     val l2 = compose(l1)
     val baseSeeds = l2.groupByKey(_.symbol).flatMapGroups { (_, it) =>
       val arr = it.toArray.sortBy(_.chunk)
@@ -127,21 +148,20 @@ object Ema extends Serializable {
       close: Double, chunk: Long)
 
   /** Chunked bars, persisted: the segmented scan reads this lineage in
-    * several passes (summaries, seed actions, final unfold), and bars are
-    * ~300× smaller than the tick input — one materialization beats three
-    * scan→aggregate→shuffle recomputations at any scale. The entries are
-    * deliberately NOT unpersisted (the returned DataFrame is lazy, so
-    * there is no safe point inside this method); they use evictable
-    * storage levels and Spark's cache manager dedupes identical plans,
-    * so repeated calls pin one copy, dropped under memory pressure. */
+    * two passes (summaries, final regeneration), and bars are ~300×
+    * smaller than the tick input — one materialization beats repeated
+    * scan→aggregate→shuffle recomputations at any scale. Entries use
+    * evictable storage levels, Spark's cache manager dedupes identical
+    * plans so repeated calls pin one copy, and [[unpersistAll]] releases
+    * them once the caller's action completes. */
   private def chunked(bars: DataFrame, chunkBars: Int): Dataset[Bar] = {
     val spark = bars.sparkSession
     import spark.implicits._
     val span = Bars.BucketMicros * chunkBars
-    bars.select(col("symbol"), col("bar_ts"), col("close"),
-        expr(s"unix_micros(bar_ts) div $span").as("chunk"))
-      .as[Bar]
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistTracked(
+      bars.select(col("symbol"), col("bar_ts"), col("close"),
+          expr(s"unix_micros(bar_ts) div $span").as("chunk"))
+        .as[Bar])
   }
 
   private def sortedBars(it: Iterator[Bar]): Array[Bar] = {
@@ -187,10 +207,21 @@ object Ema extends Serializable {
       .orderBy(col("symbol"), col("bar_ts"))
   }
 
-  /** MACD(12,26,9) as three segmented scans: EMA12/EMA26 seeds from one
-    * joint pass over the close series, then the signal EMA9 seeded from a
-    * second metadata pass over the macd values each chunk regenerates
-    * from its (seed12, seed26). Every stage is parallel across
+  /** One chunk's regenerated macd series: sorted bar timestamps (epoch
+    * micros — bar_ts is micros-exact by construction, Bars.scala:27) and
+    * the macd value per bar. Persisted so the EMA9 summary pass and the
+    * final row pass read it instead of re-sorting bars and re-running
+    * the EMA12/26 recursions (the r2 shape regenerated this array twice
+    * — one extra full cogroup pass over bars per query). */
+  case class MacdChunk(symbol: String, chunk: Long,
+      ts: Array[Long], m: Array[Double])
+
+  /** MACD(12,26,9) as two segmented scans over bars plus metadata-scale
+    * seed scans: pass 1 computes joint EMA12/EMA26 chunk summaries, the
+    * seed scan distributes entry seeds, pass 2 regenerates each chunk's
+    * macd array ONCE (persisted, [[MacdChunk]]); the EMA9 summaries and
+    * the final signal rows both derive from that persisted array with no
+    * further pass over bars. Every stage is parallel across
     * (symbol, chunk); summaries/seeds are n/chunkBars rows. */
   def macd(bars: DataFrame, chunkBars: Int = 1024, fanout: Int = 1024): DataFrame = {
     val spark = bars.sparkSession
@@ -214,61 +245,62 @@ object Ema extends Serializable {
       ChunkSum(key._1, key._2, Array(d12, d26), Array(p12, p26), Array(f12, f26))
     }
     val seeds12_26 = linearSeeds(sums12_26, fanout)
-    val keyedBars = ch.groupByKey(b => (b.symbol, b.chunk))
-    val keyedSeeds = seeds12_26.groupByKey(s => (s.symbol, s.chunk))
 
-    // macd values of one chunk, regenerated from its entry seeds
-    def macdOfChunk(arr: Array[Bar], sd: ChunkSeed): Array[Double] = {
-      val out = new Array[Double](arr.length)
-      var e12 = if (sd.isFirst) 0.0 else sd.seed(0)
-      var e26 = if (sd.isFirst) 0.0 else sd.seed(1)
-      var i = 0
-      while (i < arr.length) {
-        val x = arr(i).close
-        if (sd.isFirst && i == 0) { e12 = x; e26 = x }
-        else { e12 = x * A12 + e12 * B12; e26 = x * A26 + e26 * B26 }
-        out(i) = e12 - e26
-        i += 1
-      }
-      out
-    }
+    // pass 2 (the last full-data pass): regenerate each chunk's macd
+    // array from its entry seeds, exactly as the sequential recursion
+    // would inside the chunk, and persist it.
+    val mchunks = persistTracked(
+      ch.groupByKey(b => (b.symbol, b.chunk))
+        .cogroup(seeds12_26.groupByKey(s => (s.symbol, s.chunk))) {
+          (key: (String, Long), it: Iterator[Bar], seedIt: Iterator[ChunkSeed]) =>
+          val sd = seedIt.next()
+          val arr = sortedBars(it)
+          val ts = new Array[Long](arr.length)
+          val m = new Array[Double](arr.length)
+          var e12 = if (sd.isFirst) 0.0 else sd.seed(0)
+          var e26 = if (sd.isFirst) 0.0 else sd.seed(1)
+          var i = 0
+          while (i < arr.length) {
+            val x = arr(i).close
+            if (sd.isFirst && i == 0) { e12 = x; e26 = x }
+            else { e12 = x * A12 + e12 * B12; e26 = x * A26 + e26 * B26 }
+            ts(i) = arr(i).bar_ts.getTime * 1000L +
+              (arr(i).bar_ts.getNanos / 1000L) % 1000L
+            m(i) = e12 - e26
+            i += 1
+          }
+          Iterator.single(MacdChunk(key._1, key._2, ts, m))
+        })
 
-    // pass 2: EMA9 chunk summaries over the regenerated macd series
-    val sums9 = keyedBars.cogroup(keyedSeeds) {
-      (key: (String, Long), it: Iterator[Bar], seedIt: Iterator[ChunkSeed]) =>
-      val sd = seedIt.next()
-      val m = macdOfChunk(sortedBars(it), sd)
+    // EMA9 chunk summaries: a NARROW map over the persisted macd arrays
+    // (one row per chunk already — no shuffle, no bars re-read).
+    val sums9 = mchunks.map { mc =>
       var d9 = 1.0; var p9 = 0.0; var f9 = 0.0
       var i = 0
-      while (i < m.length) {
-        d9 *= B9; p9 = m(i) * A9 + p9 * B9
-        f9 = if (i == 0) m(i) else m(i) * A9 + f9 * B9
+      while (i < mc.m.length) {
+        d9 *= B9; p9 = mc.m(i) * A9 + p9 * B9
+        f9 = if (i == 0) mc.m(i) else mc.m(i) * A9 + f9 * B9
         i += 1
       }
-      Iterator.single(ChunkSum(key._1, key._2, Array(d9), Array(p9), Array(f9)))
+      ChunkSum(mc.symbol, mc.chunk, Array(d9), Array(p9), Array(f9))
     }
     val seeds9 = linearSeeds(sums9, fanout)
-    val joined = seeds12_26.joinWith(seeds9,
-        seeds12_26("symbol") === seeds9("symbol") && seeds12_26("chunk") === seeds9("chunk"))
-      .map { case (a, b) => ChunkSeed(a.symbol, a.chunk, a.seed ++ b.seed, a.isFirst) }
 
-    // pass 3: exact recursions from the seeds, emit macd/signal/hist rows
-    val rows = keyedBars.cogroup(joined.groupByKey(s => (s.symbol, s.chunk))) {
-      (key: (String, Long), it: Iterator[Bar], seedIt: Iterator[ChunkSeed]) =>
+    // final rows: the exact EMA9 recursion over each persisted chunk
+    // array from its seed — chunk-level cogroup, not a bars pass.
+    val rows = mchunks.groupByKey(mc => (mc.symbol, mc.chunk))
+      .cogroup(seeds9.groupByKey(s => (s.symbol, s.chunk))) {
+        (key: (String, Long), it: Iterator[MacdChunk], seedIt: Iterator[ChunkSeed]) =>
+        val mc = it.next()
         val sd = seedIt.next()
-        val arr = sortedBars(it)
-        val m = macdOfChunk(arr, sd)
-        var sig = if (sd.isFirst) 0.0 else sd.seed(2)
-        var i = 0
-        arr.iterator.map { b =>
-          sig = if (sd.isFirst && i == 0) m(i) else m(i) * A9 + sig * B9
-          val out = (key._1, b.bar_ts, m(i), sig, m(i) - sig)
-          i += 1
-          out
+        var sig = if (sd.isFirst) 0.0 else sd.seed(0)
+        (0 until mc.m.length).iterator.map { i =>
+          sig = if (sd.isFirst && i == 0) mc.m(i) else mc.m(i) * A9 + sig * B9
+          (key._1, mc.ts(i), mc.m(i), sig, mc.m(i) - sig)
         }
-    }
-    rows.toDF("symbol", "bar_ts", "m", "s", "h")
-      .select(col("symbol"), col("bar_ts"),
+      }
+    rows.toDF("symbol", "ts_us", "m", "s", "h")
+      .select(col("symbol"), timestamp_micros(col("ts_us")).as("bar_ts"),
         round(col("m") + lit(5e-9), 4).as("macd"),
         round(col("s") + lit(5e-9), 4).as("macd_signal"),
         round(col("h") + lit(5e-9), 4).as("macd_hist"))

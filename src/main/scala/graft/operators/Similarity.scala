@@ -255,25 +255,37 @@ object Similarity {
   /** Content-driven near-dup pairs over the WHOLE corpus: two vectors
     * are candidates iff they share any LSH table bucket (the scale path
     * — no id locality assumed), with the dedup family's bucket-size cap
-    * bounding hot buckets, then exact cosine ≥ threshold. */
+    * bounding hot buckets, then exact cosine ≥ threshold.
+    *
+    * Pair generation and cosine are SPLIT: the bucket self-join carries
+    * only (t, bucket, vec_id) — never the 64-double vector — and a pair
+    * sharing several tables is collapsed to ONE row by the id-pair
+    * `distinct` BEFORE the vectors are joined back and the cosine runs
+    * once per distinct pair. (The first cut computed the cosine per
+    * shared table and deduped after — up to `LshTables`× redundant
+    * arithmetic and, worse, `LshTables`× shuffle amplification of the
+    * full vectors through the join.) */
   def embedNeardupLsh(embeddings: DataFrame,
       threshold: Double = NeardupThreshold,
       maxBucket: Int = NeardupMaxBucket): DataFrame = {
     val e = withVec(embeddings)
     val bk = corpusBuckets(e)
+      .select(col("vec_id"), col("t"), col("bucket"))
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy(col("t"), col("bucket"))))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
-    bk.as("l")
+    val pairs = bk.as("l")
       .join(bk.as("r"),
         col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        expr("cosine_sim(l.v, r.v)").as("cos"))
-      .filter(col("cos").isNotNull)
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
       .distinct()
-      .filter(col("cos") >= threshold)
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), expr("cosine_sim(va, vb)").as("cos"))
+      .filter(col("cos").isNotNull && col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"),
         round(col("cos") + lit(5e-9), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
