@@ -421,6 +421,17 @@ object OracleSql {
       SELECT event_type, max(ts) AS latest_ts, count(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // fetch-freshness guard: whole-minute watermark age at a fixed asOf
+    // instant, fetch iff age >= 30 min (integer micros arithmetic on
+    // both engines — epoch_us ≡ unix_micros, // ≡ div)
+    "q_fetch_guard" -> """
+      WITH w AS (SELECT event_type AS symbol, max(ts) AS latest_ts
+                 FROM events GROUP BY 1)
+      SELECT symbol, latest_ts,
+        (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(latest_ts)) // 60000000 AS age_min,
+        ((epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(latest_ts)) // 60000000) >= 30 AS should_fetch
+      FROM w ORDER BY symbol""",
+
     "q_time_filter" -> """
       SELECT event_id, ts, event_type, value
       FROM events
@@ -815,6 +826,47 @@ object OracleSql {
              WHERE cell.nrm > 0 AND q.qn > 0),
       r AS (SELECT q_id, nn_id, cell, cos,
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c2)
+      SELECT q_id, nn_id, cell, round(cos + 5e-9, 4) + 0.0 AS cos, rk
+      FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
+    },
+
+    // Lloyd-refined IVF: the md5-sampled centroids pushed through two
+    // k-means iterations (assignment by (d2, cent_id); per-dimension
+    // means rounded to 6dp, the determinism device that also absorbs
+    // the engines' avg() summation-order drift), then the same
+    // nprobe/cosine probe as q_ann_ivf.
+    "q_ann_ivf_lloyd" -> {
+      import graft.operators.Similarity.{IvfK, IvfProbes, QueryCount}
+      def d2Sql(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i]))), (p, s) -> p + s)"
+      val iters = (1 to 2).map { k =>
+        s"""
+      a$k AS (SELECT nv.vec_id, nv.v, c.cent_id, ${d2Sql("nv.v", "c.cv")} AS d2
+              FROM nv, c${k - 1} c),
+      s$k AS (SELECT vec_id, v, cent_id FROM a$k
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      x$k AS (SELECT cent_id, unnest(range(0, len(v))) AS d, unnest(v) AS x FROM s$k),
+      m$k AS (SELECT cent_id, d, round(avg(x), 6) AS m FROM x$k GROUP BY 1, 2),
+      c$k AS (SELECT cent_id, list(m ORDER BY d) AS cv FROM m$k GROUP BY cent_id)"""
+      }.mkString(",")
+      s"""
+      WITH $vecCtes,
+      c0 AS (SELECT vec_id AS cent_id, v AS cv FROM nv
+             ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfK),$iters,
+      a AS (SELECT nv.vec_id, nv.v, nv.nrm, c.cent_id, ${d2Sql("nv.v", "c.cv")} AS d2
+            FROM nv, c2 c),
+      cell AS (SELECT vec_id, v, nrm, cent_id AS cell FROM a
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cent_id AS qcell
+            FROM a WHERE vec_id < $QueryCount
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) <= $IvfProbes),
+      cc AS (SELECT q.q_id, cell.vec_id AS nn_id, cell.cell,
+               ${dotSql("cell.v", "q.qv")} / (q.qn * cell.nrm) AS cos
+             FROM cell JOIN q ON cell.cell = q.qcell AND cell.vec_id <> q.q_id
+             WHERE cell.nrm > 0 AND q.qn > 0),
+      r AS (SELECT q_id, nn_id, cell, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM cc)
       SELECT q_id, nn_id, cell, round(cos + 5e-9, 4) + 0.0 AS cos, rk
       FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
     },

@@ -27,6 +27,7 @@ object SparkEntry {
     "q_gap_fill" -> ((s, d) => Bars.gapFill(bars(s, d))),
     "q_dedup_latest" -> ((s, d) => Relational.dedupLatest(Tables.events(s, d))),
     "q_latest_ts" -> ((s, d) => Relational.latestTs(Tables.events(s, d))),
+    "q_fetch_guard" -> ((s, d) => Relational.fetchGuard(Tables.events(s, d))),
     "q_time_filter" -> ((s, d) =>
       Relational.timeFilter(Tables.eventsFrom(s, d, "2024-01-20 00:00:00"))),
     "q_validate_clean" -> ((s, d) => Relational.validateClean(Tables.events(s, d))),
@@ -81,6 +82,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiprobe(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
+    "q_ann_ivf_lloyd" -> ((s, d) => Similarity.annIvfLloyd(Tables.embeddings(s, d))),
     // F. text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),

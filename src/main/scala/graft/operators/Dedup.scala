@@ -138,25 +138,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Hamming-≤-maxDist SimHash near-dup pairs (spec-tested; block by the
-    * top 16 bits so the join is equi rather than all-pairs — near-dups
-    * with identical high bits, the standard multi-probe trade-off).
-    * Within a block the join is all-pairs, so `maxBlock` drops blocks
-    * above the cap — the quadratic hot-block risk on template-heavy
-    * corpora — mirroring [[minhashLshPairs]]'s bucket cap. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+  /** Number of disjoint SimHash index blocks and their width: 4 × 15
+    * bits cover all 60 hash bits, so by pigeonhole ANY pair within
+    * Hamming distance 3 (= [[simhashPairs]]'s default maxDist, ≤
+    * blocks − 1) agrees exactly on at least one whole block — recall
+    * is structural, not probabilistic. (The first cut blocked on the
+    * top 16 bits only, a single-probe design that silently missed
+    * near-dups differing in any high bit.) */
+  val SimhashBlocks = 4
+  val SimhashBlockBits = 15
+
+  /** Hamming-≤-maxDist pairs from precomputed (doc_id, simhash) rows —
+    * the blocked join core of [[simhashPairs]], factored out so the
+    * block guarantee is testable on planted hashes. Each hash is
+    * indexed under its [[SimhashBlocks]] disjoint bit windows; pairs
+    * sharing any window are deduped BEFORE the Hamming filter. Within
+    * a block the join is all-pairs, so `maxBlock` drops blocks above
+    * the cap — the quadratic hot-block risk on template-heavy corpora —
+    * mirroring [[minhashLshPairs]]'s bucket cap. */
+  def simhashPairsFromHashes(sh: DataFrame, maxDist: Int = 3,
       maxBlock: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = simhash(docs).select(col("doc_id"), col("simhash"),
-        expr("shiftright(simhash, 44)").as("blk"))
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("blk"))))
+    val mask = (1L << SimhashBlockBits) - 1
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+        posexplode(expr(s"transform(sequence(0, ${SimhashBlocks - 1}), " +
+          s"b -> shiftright(simhash, b * $SimhashBlockBits) & $mask)"))
+          .as(Seq("bi", "bv")))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("bi"), col("bv"))))
       .filter(col("bsz") <= maxBlock)
       .drop("bsz")
-    sh.as("l").join(sh.as("r"),
-        col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+    blocks.as("l").join(blocks.as("r"),
+        col("l.bi") === col("r.bi") && col("l.bv") === col("r.bv") &&
+          col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         expr("bit_count(l.simhash ^ r.simhash)").as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Hamming-≤-maxDist SimHash near-dup pairs over documents — see
+    * [[simhashPairsFromHashes]] for the multi-block index guarantee. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      maxBlock: Int = 64): DataFrame =
+    simhashPairsFromHashes(
+      simhash(docs).select(col("doc_id"), col("simhash")), maxDist, maxBlock)
 }

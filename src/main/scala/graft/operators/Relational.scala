@@ -91,6 +91,23 @@ object Relational {
       .agg(max(col("ts")).as("latest_ts"), count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Fetch-freshness guard (reference src/ingestion/stocks_pipeline.py:109-121
+    * `should_fetch_data`: skip the upstream fetch when the stored
+    * watermark is younger than the staleness threshold). Per symbol:
+    * the [[latestTs]] watermark, its age in whole minutes at `asOf`,
+    * and the fetch decision (age ≥ `staleMinutes`; a symbol with no
+    * stored rows never reaches the aggregate and is fetched by the
+    * caller's anti-join). Metadata-scale: at 100 TB the guard reads the
+    * partial-aggregated max, never shuffling raw events. */
+  def fetchGuard(events: DataFrame, asOf: String = "2024-01-31 00:00:00",
+      staleMinutes: Int = 30): DataFrame =
+    events.groupBy(col("event_type").as("symbol"))
+      .agg(max(col("ts")).as("latest_ts"))
+      .withColumn("age_min",
+        expr(s"(unix_micros(timestamp'$asOf') - unix_micros(latest_ts)) div 60000000"))
+      .withColumn("should_fetch", col("age_min") >= staleMinutes)
+      .orderBy(col("symbol"))
+
   /** Time-range scan + ordered projection (reference app/dashboard.py:32-48
     * `WHERE timestamp >= now − N days ORDER BY timestamp`). The predicate
     * is pushed to the parquet scan. */

@@ -82,6 +82,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped >= 120L * 119 / 2)
   }
 
+  test("simhash multi-block index finds pairs differing only in top bits") {
+    import spark.implicits._
+    // Planted hashes: the single-prefix design (block = top 16 bits)
+    // misses any pair differing in a high bit; the 4×15-bit pigeonhole
+    // index must find every pair within hamming <= 3.
+    val base = 0x0ABCDEF012345L // arbitrary 60-bit pattern
+    val hashes = Seq(
+      1L -> base,
+      2L -> (base ^ (1L << 59) ^ (1L << 57)),         // top-block-only diff
+      3L -> (base ^ (1L << 3) ^ (1L << 20) ^ (1L << 40)), // one bit in 3 blocks
+      4L -> (base ^ 0x5555L))                          // hamming 8: too far
+      .toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairsFromHashes(hashes).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)), "top-bit-only near-dup must be found")
+    assert(pairs.contains((1L, 3L)), "spread 3-bit near-dup must be found")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // each reported pair appears once despite sharing multiple blocks
+    val all = Dedup.simhashPairsFromHashes(hashes).collect()
+    assert(all.length === all.map(r => (r.getLong(0), r.getLong(1))).distinct.length)
+  }
+
   test("simhash: identical docs at hamming 0, disjoint docs far apart") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"

@@ -241,6 +241,31 @@ class OpsExtraSpec extends SparkSpec {
     assert(out.count() === ev.filter(col("ts") >= cutoff).count())
   }
 
+  test("fetchGuard: stale symbols are fetched, fresh ones skipped") {
+    import spark.implicits._
+    val ev = Seq(
+      // AAA last seen 90 min before asOf -> stale; BBB 10 min -> fresh
+      (1L, java.sql.Timestamp.valueOf("2024-01-30 22:30:00"), 1L, "AAA", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-30 23:50:00"), 1L, "BBB", 1.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-30 20:00:00"), 1L, "BBB", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.fetchGuard(ev, asOf = "2024-01-31 00:00:00",
+        staleMinutes = 30).collect()
+      .map(r => r.getAs[String]("symbol") ->
+        (r.getAs[Long]("age_min"), r.getAs[Boolean]("should_fetch"))).toMap
+    assert(out("AAA") === (90L, true))
+    assert(out("BBB") === (10L, false)) // watermark = max ts, not min
+    // consistency with the latestTs watermark on real data
+    val real = Tables.events(spark, sf())
+    val wm = Relational.latestTs(real).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[java.sql.Timestamp]("latest_ts")).toMap
+    Relational.fetchGuard(real).collect().foreach { r =>
+      assert(r.getAs[java.sql.Timestamp]("latest_ts") ===
+        wm(r.getAs[String]("symbol")))
+    }
+  }
+
   test("typed TopKAgg aggregator equals the window top-k exactly") {
     val orders = Tables.orders(spark, sf())
     val win = Relational.topkPerGroup(orders).collect().toSeq
