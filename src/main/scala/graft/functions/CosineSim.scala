@@ -95,6 +95,10 @@ object GraftFunctions {
         "lsh_buckets", exprs => LshBuckets(exprs(0)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "lsh_proj", exprs => LshProjections(exprs(0)), "built-in")
+      // aggregate: the analyzer wraps the bare AggregateFunction in an
+      // AggregateExpression, as with built-in aggregates
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash_agg", exprs => SimhashAgg(exprs(0)), "built-in")
     }
   }
 }

@@ -123,18 +123,20 @@ object Dedup {
   }
 
   /** 60-bit SimHash over distinct unigram tokens (md5-derived 60-bit
-    * token hashes; bit i set iff the +1/−1 vote sum over tokens > 0). */
+    * token hashes; bit i set iff the +1/−1 vote sum over tokens > 0).
+    * The vote fold runs in the ONE fused native aggregate
+    * [[graft.functions.SimhashAgg]] — a 240 B int[60] buffer per doc
+    * with map-side partial merge — instead of 60 separate per-bit sum
+    * columns (integer votes, so both formulations are bit-identical;
+    * the DuckDB oracle keeps the per-bit-sum form). */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), explode(array_distinct(split(trim(col("text")), "\\s+"))).as("w"))
       .select(col("doc_id"),
         conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
-    val votes = (0 until 60).map(i =>
-      sum(expr(s"(shiftright(h, $i) & 1) * 2 - 1")).as(s"s$i")) :+ count(lit(1)).as("n_tokens")
-    val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val hash = (0 until 60).map(i =>
-      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("doc_id"), hash.as("simhash"), col("n_tokens"))
+      .groupBy(col("doc_id"))
+      .agg(expr("simhash_agg(h)").as("simhash"), count(lit(1)).as("n_tokens"))
       .orderBy(col("doc_id"))
   }
 

@@ -82,6 +82,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped >= 120L * 119 / 2)
   }
 
+  test("fused simhash aggregate equals the per-bit-sum formulation") {
+    val d = Tables.documents(spark, sf())
+    val fused = Dedup.simhash(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("simhash"), r.getAs[Long]("n_tokens"))).toMap
+    // reference: the declarative 60-column per-bit vote sums
+    val toks = d
+      .select(col("doc_id"), explode(array_distinct(split(trim(col("text")), "\\s+"))).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = (0 until 60).map(i =>
+      sum(expr(s"(shiftright(h, $i) & 1) * 2 - 1")).as(s"s$i")) :+ count(lit(1)).as("n")
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*).collect().foreach { r =>
+      val expected = (0 until 60).map(i =>
+        if (r.getAs[Long](s"s$i") > 0) 1L << i else 0L).sum
+      assert(fused(r.getAs[Long]("doc_id")) === ((expected, r.getAs[Long]("n"))))
+    }
+  }
+
   test("simhash multi-block index finds pairs differing only in top bits") {
     import spark.implicits._
     // Planted hashes: the single-prefix design (block = top 16 bits)
