@@ -226,13 +226,16 @@ object Similarity {
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
       .orderBy(col("h"), col("cent_id")).limit(IvfK)
       .select(col("cent_id"), col("cv"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
     for (_ <- 1 to iters) {
+      // nearest-centroid assignment as a map-side combinable min_by
+      // (same (d2, cent_id) lexicographic order as a rank-1 window,
+      // without the full-corpus shuffle+sort per iteration)
       val assign = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"), col("cent_id"),
           dist2(col("v"), col("cv")).as("d2"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"),
+          min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cent_id"))
       cents = assign
         .select(col("cent_id"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cent_id"), col("d"))
