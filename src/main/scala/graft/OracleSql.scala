@@ -644,6 +644,32 @@ object OracleSql {
       FROM h GROUP BY doc_id ORDER BY doc_id"""
     },
 
+    // MinHash/LSH banding pairs: 16 bands × r=4 permutation slices, band
+    // key = md5 of the '_'-joined slice, 64-member bucket cap applied
+    // BEFORE the self-join, distinct id pairs (mirrors minhashLshPairs)
+    "q_dedup_minhash_pairs" -> {
+      import graft.operators.Dedup.MinhashPrime
+      val mh = (0 until 64).map(j =>
+        s"min((h * ${2L * j + 1} + $j) % $MinhashPrime) AS mh$j").mkString(",\n        ")
+      val bandSelects = (0 until 16).map { b =>
+        val key = (0 until 4).map(i => s"mh${b * 4 + i}::VARCHAR").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH $ngramCtes,
+      h AS (SELECT doc_id, CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT) AS h FROM ng),
+      sig AS (SELECT doc_id,
+        $mh
+       FROM h GROUP BY doc_id),
+      bands AS ($bandSelects),
+      capped AS (SELECT * FROM bands
+                 QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 64),
+      p AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM capped l JOIN capped r
+              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+      SELECT doc_a, doc_b FROM p ORDER BY doc_a, doc_b"""
+    },
+
     "q_dedup_simhash" -> {
       val votes = (0 until 60).map(i =>
         s"sum(((h >> $i) & 1) * 2 - 1) AS s$i").mkString(",\n        ")
@@ -658,6 +684,36 @@ object OracleSql {
        FROM h GROUP BY doc_id)
       SELECT doc_id, CAST($bits AS BIGINT) AS simhash, n_tokens
       FROM v ORDER BY doc_id"""
+    },
+
+    // SimHash Hamming-<=3 pairs: 4 disjoint 15-bit index blocks
+    // (pigeonhole recall guarantee), 64-member block cap, distinct
+    // pairs before the Hamming filter (mirrors simhashPairsFromHashes)
+    "q_dedup_simhash_pairs" -> {
+      import graft.operators.Dedup.{SimhashBlockBits, SimhashBlocks}
+      val votes = (0 until 60).map(i =>
+        s"sum(((h >> $i) & 1) * 2 - 1) AS s$i").mkString(",\n        ")
+      val bits = (0 until 60).map(i =>
+        s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      val mask = (1L << SimhashBlockBits) - 1
+      s"""
+      WITH toks AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
+      h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+      v AS (SELECT doc_id,
+        $votes
+       FROM h GROUP BY doc_id),
+      sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v),
+      blocks AS (SELECT doc_id, simhash, b AS bi,
+                   (simhash >> (b * $SimhashBlockBits)) & $mask AS bv
+                 FROM sh, (SELECT unnest(range($SimhashBlocks)) AS b)),
+      capped AS (SELECT * FROM blocks
+                 QUALIFY count(*) OVER (PARTITION BY bi, bv) <= 64),
+      p AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+              bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+            FROM capped l JOIN capped r
+              ON l.bi = r.bi AND l.bv = r.bv AND l.doc_id < r.doc_id)
+      SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+      ORDER BY doc_a, doc_b"""
     },
 
     "q_multimodal_meta" -> """

@@ -74,7 +74,9 @@ object SparkEntry {
     "q_dedup_exact_docs" -> ((s, d) => Dedup.exactDocs(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
+    "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embedNeardup(Tables.embeddings(s, d))),
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.embedNeardupLsh(Tables.embeddings(s, d))),
     // E. similarity search

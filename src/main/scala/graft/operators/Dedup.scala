@@ -129,7 +129,13 @@ object Dedup {
     * with map-side partial merge — instead of 60 separate per-bit sum
     * columns (integer votes, so both formulations are bit-identical;
     * the DuckDB oracle keeps the per-bit-sum form). */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    simhashUnordered(docs).orderBy(col("doc_id"))
+
+  /** [[simhash]] without the deterministic output sort — the input for
+    * downstream joins ([[simhashPairs]]) that would immediately destroy
+    * the ordering (a pointless range exchange otherwise). */
+  private def simhashUnordered(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), explode(array_distinct(split(trim(col("text")), "\\s+"))).as("w"))
@@ -137,7 +143,6 @@ object Dedup {
         conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy(col("doc_id"))
       .agg(expr("simhash_agg(h)").as("simhash"), count(lit(1)).as("n_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   /** Number of disjoint SimHash index blocks and their width: 4 × 15
@@ -174,7 +179,7 @@ object Dedup {
         col("l.bi") === col("r.bi") && col("l.bv") === col("r.bv") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        expr("bit_count(l.simhash ^ r.simhash)").as("hamming"))
+        expr("bit_count(l.simhash ^ r.simhash)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -185,5 +190,6 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       maxBlock: Int = 64): DataFrame =
     simhashPairsFromHashes(
-      simhash(docs).select(col("doc_id"), col("simhash")), maxDist, maxBlock)
+      simhashUnordered(docs).select(col("doc_id"), col("simhash")),
+      maxDist, maxBlock)
 }
