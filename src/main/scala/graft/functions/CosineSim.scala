@@ -99,6 +99,8 @@ object GraftFunctions {
       // AggregateExpression, as with built-in aggregates
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "simhash_agg", exprs => SimhashAgg(exprs(0)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_mean6", exprs => VecMeanAgg(exprs(0)), "built-in")
     }
   }
 }

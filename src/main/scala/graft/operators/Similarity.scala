@@ -236,13 +236,12 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg(first(col("v")).as("v"),
           min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cent_id"))
+      // centroid update: ONE native vector-mean aggregate (6dp-rounded,
+      // ≡ the per-dim round(avg(x), 6) the oracle mirrors) instead of a
+      // dim× posexplode + two groupBy shuffles per iteration
       cents = assign
-        .select(col("cent_id"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("cent_id"), col("d"))
-        .agg(round(avg(col("x")), 6).as("m"))
         .groupBy(col("cent_id"))
-        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("cent_id"), expr("transform(dm, s -> s.m)").as("cv"))
+        .agg(expr("vec_mean6(v)").as("cv"))
     }
     cents
   }

@@ -241,6 +241,25 @@ class OpsExtraSpec extends SparkSpec {
     assert(out.count() === ev.filter(col("ts") >= cutoff).count())
   }
 
+  test("vec_mean6 native aggregate equals per-dim round(avg, 6)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      ("a", Seq(1.0, -0.0000001, 2.5)),
+      ("a", Seq(2.0, 0.0000002, 3.5)),
+      ("b", Seq(10.0, 0.1234567, -4.0)))
+      .toDF("k", "v")
+    val fused = df.groupBy(col("k")).agg(expr("vec_mean6(v)").as("cv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exploded = df.select(col("k"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("k"), col("d")).agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("k"))
+      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(col("k"), expr("transform(dm, s -> s.m)").as("cv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(fused === exploded)
+  }
+
   test("fetchGuard: stale symbols are fetched, fresh ones skipped") {
     import spark.implicits._
     val ev = Seq(
