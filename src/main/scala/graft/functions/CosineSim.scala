@@ -101,6 +101,10 @@ object GraftFunctions {
         "simhash_agg", exprs => SimhashAgg(exprs(0)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "vec_mean6", exprs => VecMeanAgg(exprs(0)), "built-in")
+      // k must be a foldable literal — it sizes the signature buffer
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_agg", exprs => MinhashAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
     }
   }
 }

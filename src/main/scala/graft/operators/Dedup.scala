@@ -70,18 +70,25 @@ object Dedup {
       .orderBy(col("doc_a"))
   }
 
-  /** MinHash permutation j of a 32-bit shingle hash: (a_j·h + b_j) mod p
-    * with a_j = 2j+1, b_j = j (declared, engine-reproducible). */
-  private def perm(j: Int, h: Column): Column =
-    (h * (2L * j + 1) + lit(j.toLong)) % MinhashPrime
+  /** k-permutation MinHash signature array per doc, via the ONE fused
+    * native aggregate [[graft.functions.MinhashAgg]] (long[k] running
+    * minima per group, map-side merge) instead of k separate min
+    * columns — integer arithmetic, bit-identical to the per-column
+    * form `min((2j+1)·h + j mod p)` the DuckDB oracle keeps. */
+  private def minhashArray(docs: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    wordNgrams(docs)
+      .select(col("doc_id"), h32.as("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr(s"minhash_agg(h, $k)").as("mh"), count(lit(1)).as("n_ngrams"))
+  }
 
   /** MinHash signatures (first `k` permutations as columns). */
   def minhashSignatures(docs: DataFrame, k: Int = 8): DataFrame = {
-    val ng = wordNgrams(docs)
-    val aggs = (0 until k).map(j => min(perm(j, h32)).as(s"mh$j")) :+
-      count(lit(1)).as("n_ngrams")
-    ng.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .orderBy(col("doc_id"))
+    val cols = col("doc_id") +:
+      (0 until k).map(j => element_at(col("mh"), j + 1).as(s"mh$j")) :+
+      col("n_ngrams")
+    minhashArray(docs, k).select(cols: _*).orderBy(col("doc_id"))
   }
 
   /** Full MinHash/LSH near-dup candidate pairs: k = bands·r permutations,
@@ -100,11 +107,10 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = bands * r
-    val ng = wordNgrams(docs)
-    val aggs = (0 until k).map(j => min(perm(j, h32)).as(s"mh$j"))
-    val sig = ng.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = minhashArray(docs, k)
     val bandCols = (0 until bands).map { b =>
-      val slice = (0 until r).map(i => col(s"mh${b * r + i}").cast("string"))
+      val slice = (0 until r).map(i =>
+        element_at(col("mh"), b * r + i + 1).cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("_", slice: _*)).as("bkey"))
     }
     val exploded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
