@@ -241,6 +241,23 @@ class OpsExtraSpec extends SparkSpec {
     assert(out.count() === ev.filter(col("ts") >= cutoff).count())
   }
 
+  test("Ema.unpersistAll releases every segmented-scan cache entry") {
+    import graft.operators.{Bars, Ema}
+    Ema.unpersistAll()
+    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty)
+    val bars = Bars.ohlcv(Tables.events(spark, sf()))
+    val first = Ema.macd(bars).collect()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "macd should persist its intermediates while in use")
+    Ema.unpersistAll()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "unpersistAll must drain the registry")
+    // a released query still recomputes correctly
+    assert(Ema.macd(bars).collect().map(_.toSeq) === first.map(_.toSeq))
+    Ema.unpersistAll()
+  }
+
   test("vec_mean6 native aggregate equals per-dim round(avg, 6)") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
