@@ -610,6 +610,35 @@ object OracleSql {
       FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
       ORDER BY b.doc_id""",
 
+    // corpus heavy hitters: ALL 3-gram occurrences (no per-doc distinct),
+    // deterministic tie-break on the n-gram string
+    "q_top_ngrams" -> """
+      WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      ex AS (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i FROM t),
+      ng AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng FROM ex)
+      SELECT ng, count(*) AS n_occurrences FROM ng GROUP BY ng
+      ORDER BY n_occurrences DESC, ng LIMIT 20""",
+
+    "q_corpus_stats" -> """
+      SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+        count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+        round(sum(n_chars)::DOUBLE / count(*) + 5e-9, 4) AS avg_chars,
+        grouping(source)::BIGINT AS g_source, grouping(lang)::BIGINT AS g_lang
+      FROM documents GROUP BY CUBE (source, lang)
+      ORDER BY source, lang""",
+
+    // sliding-window chunking: starts at multiples of stride=150; a last
+    // window fully contained in the previous one (n_chars <= start+50)
+    // is dropped
+    "q_doc_chunk" -> """
+      WITH t AS (SELECT doc_id, text, n_chars,
+          unnest(generate_series(0::BIGINT, n_chars - 1, 150)) AS cs FROM documents)
+      SELECT doc_id, (cs // 150)::BIGINT AS chunk_id, cs AS chunk_start,
+        length(substr(text, (cs + 1)::INTEGER, 200))::BIGINT AS chunk_len,
+        md5(substr(text, (cs + 1)::INTEGER, 200)) AS chunk_md5
+      FROM t WHERE cs = 0 OR n_chars > cs + 50
+      ORDER BY doc_id, chunk_id""",
+
     "q_dedup_exact_docs" -> s"""
       WITH t AS (SELECT doc_id, md5($normExpr) AS text_hash FROM documents)
       SELECT text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
@@ -794,7 +823,68 @@ object OracleSql {
       SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start, event_type,
         count(*) AS n_events, round(sum(value) + 5e-9, 4) AS sum_value,
         min(value) AS min_value, max(value) AS max_value
-      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+
+    // plain join — the salted Spark plan must be result-transparent
+    "q_salted_join" -> """
+      WITH s AS (SELECT event_type,
+          round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE / count(*) + 5e-9, 4) AS sym_avg,
+          count(*) AS sym_n
+        FROM events GROUP BY event_type)
+      SELECT e.event_id, e.ts, e.event_type, e.value, s.sym_avg, s.sym_n,
+        round(e.value - s.sym_avg + 5e-9, 4) + 0.0 AS dev
+      FROM events e JOIN s USING (event_type)
+      ORDER BY e.event_id""",
+
+    // range join: 8 equal-width close-price bands per symbol; band-edge
+    // arithmetic written in the same association order as the Spark side
+    "q_range_join" -> s"""
+      WITH $barsCte,
+      ext AS (SELECT symbol, min("close") AS minc, max("close") AS maxc FROM bars GROUP BY symbol),
+      bd AS (SELECT symbol, unnest(generate_series(0::BIGINT, 7::BIGINT)) AS band, minc, maxc FROM ext),
+      bands AS (SELECT symbol AS band_symbol, band,
+          minc + band * ((maxc - minc) / 8.0::DOUBLE) AS lo,
+          CASE WHEN band = 7 THEN maxc + 1.0
+               ELSE minc + (band + 1) * ((maxc - minc) / 8.0::DOUBLE) END AS hi
+        FROM bd)
+      SELECT b.symbol, d.band, count(*) AS n_bars,
+        round(min(d.lo) + 5e-9, 4) AS band_lo,
+        round(sum(CAST(b."close" AS DECIMAL(18,6)))::DOUBLE / count(*) + 5e-9, 4) AS avg_close,
+        sum(b.volume)::BIGINT AS total_volume
+      FROM bars b JOIN bands d
+        ON b.symbol = d.band_symbol AND b."close" >= d.lo AND b."close" < d.hi
+      GROUP BY b.symbol, d.band ORDER BY b.symbol, d.band""",
+
+    // exact quantiles: dyadic fractions make both engines' linear
+    // interpolation exact, so the doubles agree bit-for-bit
+    "q_quantiles" -> s"""
+      WITH $barsCte
+      SELECT symbol, count(*) AS n_bars,
+        min(volume) AS min_volume, max(volume) AS max_volume,
+        round(quantile_cont(volume, 0.25) + 5e-9, 4) AS p25,
+        round(quantile_cont(volume, 0.50) + 5e-9, 4) AS p50,
+        round(quantile_cont(volume, 0.75) + 5e-9, 4) AS p75
+      FROM bars GROUP BY symbol ORDER BY symbol""",
+
+    // Pearson correlation from exact DECIMAL(9,2) moment sums (products
+    // scale 4: unscaled sums < 2^53, so ::DOUBLE is exactly rounded in
+    // both engines); final formula in double, same association order
+    "q_price_corr" -> s"""
+      WITH $barsCte,
+      j AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+              CAST(a."close" AS DECIMAL(9,2)) AS x, CAST(b."close" AS DECIMAL(9,2)) AS y
+            FROM bars a JOIN bars b ON a.bar_ts = b.bar_ts AND a.symbol < b.symbol),
+      m AS (SELECT sym_a, sym_b, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+            FROM j GROUP BY 1, 2)
+      SELECT sym_a, sym_b, n,
+        CASE WHEN n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+              AND n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+             THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / sqrt((n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)) + 5e-9, 4) + 0.0
+        END AS corr
+      FROM m ORDER BY sym_a, sym_b"""
   )
 
   /** Multi-table LSH oracle: mirrors Similarity.{corpusBuckets,

@@ -70,6 +70,10 @@ object SparkEntry {
     "q_count_distinct" -> ((s, d) => Relational.countDistinct_(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) =>
       AsofJoin.eventsToLastBar(Tables.events(s, d), bars(s, d))),
+    "q_salted_join" -> ((s, d) => Relational.saltedSymbolJoin(Tables.events(s, d))),
+    "q_range_join" -> ((s, d) => RangeJoin.priceBands(bars(s, d))),
+    "q_quantiles" -> ((s, d) => Indicators.volumeQuantiles(bars(s, d))),
+    "q_price_corr" -> ((s, d) => Indicators.priceCorr(bars(s, d))),
     // D. dedup family
     "q_dedup_exact_docs" -> ((s, d) => Dedup.exactDocs(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
@@ -91,8 +95,11 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "q_top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(Tables.documents(s, d))),
+    "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     // F2. training-data export
     "q_train_split" -> ((s, d) => TrainingData.trainSplit(Tables.documents(s, d))),
+    "q_doc_chunk" -> ((s, d) => TrainingData.docChunk(Tables.documents(s, d))),
     "q_shard_pack" -> ((s, d) => TrainingData.shardPack(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => TrainingData.decontaminate(Tables.documents(s, d))),
     "q_redact" -> ((s, d) => TrainingData.redact(Tables.documents(s, d))),

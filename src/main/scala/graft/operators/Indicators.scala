@@ -246,4 +246,56 @@ object Indicators {
           round((col("last_volume") - col("mean_volume")) / col("mean_volume") * 100 + lit(5e-9), 4))
           .as("volume_change_pct"))
       .orderBy(col("symbol"))
+
+  /** Exact per-symbol volume quantiles (p25/p50/p75, linear
+    * interpolation) — the distribution summary behind the dashboard's
+    * volume box plots. Exact `percentile` buffers each group's values
+    * once (volumes are small longs); the constant-memory sketch path for
+    * heavier columns is [[Relational.statsApprox]]. Quantile fractions
+    * are dyadic (k/4), so the interpolation weights are exact doubles and
+    * both engines' `lo + (hi-lo)·frac` agree bit-for-bit. */
+  def volumeQuantiles(bars: DataFrame): DataFrame =
+    bars.groupBy(col("symbol"))
+      .agg(expr("percentile(volume, array(0.25D, 0.5D, 0.75D))").as("q"),
+        count(lit(1)).as("n_bars"),
+        min(col("volume")).as("min_volume"), max(col("volume")).as("max_volume"))
+      .select(col("symbol"), col("n_bars"), col("min_volume"), col("max_volume"),
+        round(element_at(col("q"), 1) + lit(5e-9), 4).as("p25"),
+        round(element_at(col("q"), 2) + lit(5e-9), 4).as("p50"),
+        round(element_at(col("q"), 3) + lit(5e-9), 4).as("p75"))
+      .orderBy(col("symbol"))
+
+  /** Pairwise Pearson correlation of close prices across symbols over
+    * aligned 5-min bars — the dashboard-style correlation matrix, upper
+    * triangle only. The moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * in exact DECIMAL (2-decimal prices ⇒ 4-decimal products, no
+    * rounding, engine-order-independent); only the final corr formula
+    * runs in double, written in the same association order as the
+    * oracle. One shuffle on bar_ts for the self-join + one on the
+    * symbol pair; at scale the bar_ts join is dense-per-timestamp
+    * (|symbols| rows per key), so partitioning stays balanced. */
+  def priceCorr(bars: DataFrame): DataFrame = {
+    val a = bars.select(col("symbol").as("sym_a"), col("bar_ts"), col("close").as("ca"))
+    val b = bars.select(col("symbol").as("sym_b"), col("bar_ts"), col("close").as("cb"))
+    // DECIMAL(9,2): prices are exact 2-decimals, so products carry scale 4
+    // and every moment sum's unscaled value stays below 2^53 — the
+    // decimal→double cast is then exactly rounded in BOTH engines (a
+    // scale-12 sum would round differently: DuckDB converts the hugeint
+    // before dividing by 10^scale, Java rounds the true rational once).
+    val x = col("ca").cast("decimal(9,2)")
+    val y = col("cb").cast("decimal(9,2)")
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val denx = nD * col("sx2").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val deny = nD * col("sy2").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    a.join(b, Seq("bar_ts")).filter(col("sym_a") < col("sym_b"))
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sx2"), sum(y * y).as("sy2"))
+      .select(col("sym_a"), col("sym_b"), col("n"),
+        when(denx > 0 && deny > 0,
+          round(num / sqrt(denx * deny) + lit(5e-9), 4)).as("corr"))
+      .orderBy(col("sym_a"), col("sym_b"))
+  }
 }

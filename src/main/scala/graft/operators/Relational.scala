@@ -209,6 +209,26 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Events enriched with per-symbol aggregate stats via the
+    * [[Skew.saltedJoin]] — the oracle-gated proof that salting is
+    * result-transparent. `events` is maximally skewed on the join key
+    * (5 symbols across the whole table), exactly the shape where a
+    * plain shuffle join sends 1/5 of 100 TB to single reducers; the
+    * salt spreads each symbol over 8 reducers while the tiny stats side
+    * replicates 8×. The oracle is the PLAIN join — identical output is
+    * the correctness claim. */
+  def saltedSymbolJoin(events: DataFrame): DataFrame = {
+    val stats = events.groupBy(col("event_type"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1))
+          + lit(5e-9), 4).as("sym_avg"),
+        count(lit(1)).as("sym_n"))
+    Skew.saltedJoin(events, stats, "event_type", "event_id")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        col("sym_avg"), col("sym_n"),
+        round(col("value") - col("sym_avg") + lit(5e-9), 4).as("dev"))
+      .orderBy(col("event_id"))
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) per user over the
     * event stream — the batch equivalent of the streaming stateful
     * session operator. Single shuffle on user_id. */

@@ -111,6 +111,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-level heavy hitters: the top-k word 3-grams by occurrence
+    * count (all occurrences, not per-doc distinct — the boilerplate /
+    * template detector of a training-data pipeline).
+    *
+    * Scale: the n-gram count is a map-side partial aggregate (each mapper
+    * ships one (ngram, count) row per distinct local n-gram) and the
+    * top-k is `TakeOrderedAndProject` — every partition returns its local
+    * top-k, the driver merges k·p rows; no global sort shuffle. Ties
+    * break on the n-gram string so the result is deterministic. */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    val terms = (0 until n).map(i => s"wsarr[i+$i]").mkString(", ")
+    docs.select(ws.as("wsarr"))
+      .filter(size(col("wsarr")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(wsarr) - $n), i -> concat_ws(' ', $terms))")).as("ng"))
+      .groupBy(col("ng")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ng"))
+      .limit(k)
+  }
+
+  /** Corpus composition report: doc/char counts by (source, lang) with
+    * CUBE subtotals — the mix table a data-curation run reads before
+    * weighting sources ([[TrainingData.dataMix]]). Subtotal rows surface
+    * as 'ALL'; `grouping()` flags disambiguate a real 'ALL' value.
+    * One partial-aggregatable grouping-sets pass; at 100 TB the cube
+    * expands each input row into its 4 grouping sets map-side, so the
+    * shuffle carries 4× the (tiny) group cardinality, not the data. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)) + lit(5e-9), 4).as("avg_chars"),
+        grouping(col("source")).cast("long").as("g_source"),
+        grouping(col("lang")).cast("long").as("g_lang"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("total_chars"), col("avg_chars"),
+        col("g_source"), col("g_lang"))
+      .orderBy(col("source"), col("lang"))
+
   /** Document fingerprint: md5 of normalized text + 32-bit polynomial
     * rolling hash (base 31, mod 2^32) over the normalized characters. */
   def fingerprint(docs: DataFrame): DataFrame =

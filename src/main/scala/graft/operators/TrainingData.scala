@@ -89,6 +89,70 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Sliding-window document chunking: split each document into
+    * `size`-char windows advancing by `size - overlap` — the
+    * context-window packing step before tokenization in a training-data
+    * export. Chunk starts are 0, stride, 2·stride, …; a final window
+    * whose text is entirely contained in the previous one (i.e.
+    * n_chars ≤ start + overlap) is dropped. Pure integer + substring
+    * arithmetic so the oracle reproduces chunks bit-for-bit; output
+    * carries the chunk md5 (not the text) to keep the dump compact.
+    *
+    * Scale: a narrow per-row explode — no shuffle; each doc expands to
+    * ceil(n_chars/stride) rows partition-locally, so the operator
+    * streams at scan speed on any corpus size. */
+  def docChunk(docs: DataFrame, size: Int = 200, overlap: Int = 50): DataFrame = {
+    require(overlap < size, "overlap must be < size")
+    val stride = size - overlap
+    docs
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        posexplode(sequence(lit(0L), col("n_chars") - 1, lit(stride.toLong)))
+          .as(Seq("chunk_id", "chunk_start")))
+      .filter(col("chunk_start") === 0 || col("n_chars") > col("chunk_start") + overlap)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_start"),
+        length(expr(s"substring(text, chunk_start + 1, $size)")).cast("long").as("chunk_len"),
+        md5(expr(s"substring(text, chunk_start + 1, $size)")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Bloom-filter decontamination — the constant-memory scale path for
+    * [[decontaminate]]'s n-gram semi-join. The benchmark side's distinct
+    * 5-grams are folded into a single Bloom filter (one aggregation pass;
+    * the filter is megabytes even for 10⁸ n-grams at 1% fpp), broadcast
+    * to every executor, and each candidate doc's n-grams probe it
+    * partition-locally — NO shuffle of the corpus n-grams at all, which
+    * at 100 TB replaces the semi-join's biggest exchange with a
+    * broadcast. Bloom semantics: zero false negatives (every truly
+    * contaminated doc is flagged) with an fpp-bounded rate of clean docs
+    * flagged spuriously — the conservative direction for
+    * decontamination. Spec-gated (the filter's bit layout is
+    * engine-specific, so no DuckDB oracle). */
+  def decontaminateBloom(docs: DataFrame, benchmarkSource: String = "src0",
+      expectedNgrams: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    val ng5 = Dedup.wordNgrams(docs.select(col("doc_id"), col("text")), 5)
+    val sources = docs.select(col("doc_id"), col("source"))
+    val benchNg = ng5.join(sources.filter(col("source") === benchmarkSource), Seq("doc_id"))
+      .select(col("ng"))
+    val bloom = benchNg.stat.bloomFilter("ng", expectedNgrams, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val candNg = ng5.join(sources.filter(col("source") =!= benchmarkSource), Seq("doc_id"))
+      .select(col("doc_id"), col("ng")).as[(Long, String)]
+    // mapPartitions (not a per-row UDF) so the broadcast value is bound
+    // once per partition; Catalyst has no native bloom-probe expression.
+    val hits = candNg.mapPartitions { it =>
+      val f = bc.value
+      it.collect { case (id, ng) if f.mightContainString(ng) => id }
+    }.toDF("doc_id").groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))
+    sources.filter(col("source") =!= benchmarkSource)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("n_flagged"), lit(0L)) > 0, 1L).otherwise(0L).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII-style redaction: emails then 3+-digit runs, with counts. Output
     * carries the redacted-text hash so the check stays compact. */
   def redact(docs: DataFrame): DataFrame = {

@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bars, Indicators, RangeJoin, TextAnalysis, TrainingData}
+
+/** Specs for the round-3 extension operators: range join (binned ≡
+  * broadcast), document chunking, bloom decontamination, corpus heavy
+  * hitters, quantiles, and pairwise correlation. */
+class RangeChunkSpec extends SparkSpec {
+
+  private def mkDocs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("binnedRange matches broadcastRange on overlapping bin-crossing intervals") {
+    import spark.implicits._
+    val points = Seq(("a", 0.5), ("a", 3.0), ("a", 9.99), ("b", 3.0), ("b", 25.0))
+      .toDF("k", "p")
+    // overlapping intervals, widths straddling several bins of width 2.5
+    val intervals = Seq(("a", 0.0, 4.0, "i1"), ("a", 2.9, 10.0, "i2"),
+        ("b", 3.0, 3.5, "i3"), ("b", 20.0, 30.0, "i4"), ("a", 11.0, 12.0, "i5"))
+      .toDF("ik", "lo", "hi", "iv_id")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("p"), col("iv_id")).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    val bc = key(RangeJoin.broadcastRange(points, intervals, "p", "lo", "hi", Seq("k" -> "ik")))
+    val bn = key(RangeJoin.binnedRange(points, intervals, "p", "lo", "hi", 2.5, Seq("k" -> "ik")))
+    assert(bc === bn)
+    assert(bc === Set(("a", 0.5, "i1"), ("a", 3.0, "i1"), ("a", 3.0, "i2"),
+      ("a", 9.99, "i2"), ("b", 3.0, "i3"), ("b", 25.0, "i4")))
+    // boundary semantics: lo inclusive, hi exclusive
+    val edge = Seq(("a", 4.0)).toDF("k", "p")
+    assert(key(RangeJoin.broadcastRange(edge, intervals, "p", "lo", "hi", Seq("k" -> "ik")))
+      === Set(("a", 4.0, "i2")))
+  }
+
+  test("docChunk: starts at stride multiples, drops contained tail, md5s match recomputation") {
+    val text1 = ('a' to 'z').mkString * 10 // 260 chars → chunks at 0, 150
+    val text2 = "x" * 160                  // 160 chars → start 150 dropped (160 <= 150+50)
+    val text3 = "y" * 210                  // 210 chars → starts 0, 150 (210 > 200)
+    val docs = mkDocs(Seq((1L, text1, "s"), (2L, text2, "s"), (3L, text3, "s")))
+    val out = TrainingData.docChunk(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_len"), r.getAs[String]("chunk_md5")))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = Seq(
+      (1L, 0L, 0L, 200L, md5hex(text1.substring(0, 200))),
+      (1L, 1L, 150L, 110L, md5hex(text1.substring(150))),
+      (2L, 0L, 0L, 160L, md5hex(text2)),
+      (3L, 0L, 0L, 200L, md5hex(text3.substring(0, 200))),
+      (3L, 1L, 150L, 60L, md5hex(text3.substring(150))))
+    assert(out.toSeq.sorted === expected.sorted)
+  }
+
+  test("decontaminateBloom flags every exactly-contaminated doc (no false negatives)") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = mkDocs(Seq(
+      (1L, benchText, "src0"),
+      (2L, "unrelated words only here none shared at all", "src1"),
+      (3L, "prefix alpha beta gamma delta epsilon suffix tail", "src1"), // shares a 5-gram
+      (4L, "beta gamma delta epsilon zeta more words here", "src2"),     // shares a 5-gram
+      (5L, "completely different content again nothing common", "src2")))
+    val exact = TrainingData.decontaminate(docs).collect()
+      .filter(_.getAs[Long]("is_contaminated") == 1L).map(_.getAs[Long]("doc_id")).toSet
+    val bloom = TrainingData.decontaminateBloom(docs, expectedNgrams = 1000L).collect()
+      .filter(_.getAs[Long]("is_contaminated") == 1L).map(_.getAs[Long]("doc_id")).toSet
+    assert(exact === Set(3L, 4L))
+    assert(exact.subsetOf(bloom), s"bloom missed ${exact -- bloom}")
+    // at fpp=1% on this tiny set the bloom verdict should be exact too
+    assert(bloom === exact)
+  }
+
+  test("topNgrams counts all occurrences and breaks ties on the n-gram") {
+    val docs = mkDocs(Seq(
+      (1L, "a b c a b c a b c", "s"), // "a b c"×3, "b c a"×2, "c a b"×2
+      (2L, "a b c d", "s")))          // "a b c"×1, "b c d"×1
+    val out = TextAnalysis.topNgrams(docs, n = 3, k = 3).collect()
+      .map(r => (r.getAs[String]("ng"), r.getAs[Long]("n_occurrences")))
+    assert(out.toSeq === Seq(("a b c", 4L), ("b c a", 2L), ("c a b", 2L)))
+  }
+
+  test("volumeQuantiles interpolates dyadic fractions exactly") {
+    import spark.implicits._
+    // volumes 1,2,3,4 → p25 = 1.75, p50 = 2.5, p75 = 3.25
+    val bars = Seq(1L, 2L, 3L, 4L).zipWithIndex.map { case (v, i) =>
+      ("A", Timestamp.valueOf(s"2024-01-02 10:0$i:00"), 1.0, 1.0, 1.0, 1.0, v, 1.0)
+    }.toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume", "vsum")
+    val r = Indicators.volumeQuantiles(bars).collect().head
+    assert(r.getAs[Double]("p25") === 1.75)
+    assert(r.getAs[Double]("p50") === 2.5)
+    assert(r.getAs[Double]("p75") === 3.25)
+    assert(r.getAs[Long]("min_volume") === 1L && r.getAs[Long]("max_volume") === 4L)
+  }
+
+  test("priceCorr agrees with Spark's built-in corr to 4dp") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val bars = Bars.ohlcv(ev)
+    val ours = Indicators.priceCorr(bars).collect()
+      .map(r => ((r.getAs[String]("sym_a"), r.getAs[String]("sym_b")), r.getAs[Double]("corr")))
+      .toMap
+    val builtin = bars.select(col("symbol").as("sym_a"), col("bar_ts"), col("close").as("ca"))
+      .join(bars.select(col("symbol").as("sym_b"), col("bar_ts"), col("close").as("cb")), Seq("bar_ts"))
+      .filter(col("sym_a") < col("sym_b"))
+      .groupBy(col("sym_a"), col("sym_b")).agg(corr(col("ca"), col("cb")).as("c"))
+      .collect()
+      .map(r => ((r.getAs[String]("sym_a"), r.getAs[String]("sym_b")), r.getAs[Double]("c")))
+      .toMap
+    assert(ours.keySet === builtin.keySet)
+    ours.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 5e-4, s"$k: $v vs ${builtin(k)}")
+    }
+  }
+}
