@@ -532,6 +532,30 @@ object OracleSql {
     e AS (SELECT vec_id, list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)) AS v FROM embeddings),
     nv AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)"""
 
+  /** CTE chain ending in `p(doc_a, doc_b)`: the MinHash/LSH banding
+    * candidate pairs (16 bands × r=4, md5 band keys, 64-member bucket
+    * cap) — shared by q_dedup_minhash_pairs and q_dedup_clusters. */
+  private val minhashPairsCtes: String = {
+    import graft.operators.Dedup.MinhashPrime
+    val mh = (0 until 64).map(j =>
+      s"min((h * ${2L * j + 1} + $j) % $MinhashPrime) AS mh$j").mkString(",\n        ")
+    val bandSelects = (0 until 16).map { b =>
+      val key = (0 until 4).map(i => s"mh${b * 4 + i}::VARCHAR").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""$ngramCtes,
+      h AS (SELECT doc_id, CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT) AS h FROM ng),
+      sig AS (SELECT doc_id,
+        $mh
+       FROM h GROUP BY doc_id),
+      bands AS ($bandSelects),
+      capped AS (SELECT * FROM bands
+                 QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 64),
+      p AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM capped l JOIN capped r
+              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)"""
+  }
+
   private val textOps: Map[String, String] = Map(
     "q_token_count" -> """
       SELECT doc_id,
@@ -610,6 +634,45 @@ object OracleSql {
       FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
       ORDER BY b.doc_id""",
 
+    // composite quality filter: thresholds over the SAME 4dp-rounded
+    // signals as q_text_quality / q_repetition, so flags inherit parity
+    "q_quality_filter" -> """
+      WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      q AS (SELECT doc_id,
+          len(ws)::BIGINT AS n_tokens,
+          length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS n_nonws,
+          len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+          length(text)::BIGINT AS n_chars
+        FROM w),
+      qr AS (SELECT doc_id, n_tokens,
+          CASE WHEN n_tokens > 0 THEN round(n_nonws::DOUBLE / n_tokens + 5e-9, 4) END AS avg_word_len,
+          CASE WHEN n_chars > 0 THEN round(n_punct::DOUBLE / n_chars + 5e-9, 4) END AS punct_ratio
+        FROM q),
+      base AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+                 len(list_distinct(ws))::BIGINT AS n_distinct, ws FROM w),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+             FROM base WHERE n_words >= 2),
+      cnt AS (SELECT doc_id, bg, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+      top AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_n,
+                sum(c)::BIGINT AS n_bigrams FROM cnt GROUP BY 1),
+      rep AS (SELECT b.doc_id,
+          CASE WHEN b.n_words > 0
+               THEN round((b.n_words - b.n_distinct)::DOUBLE / b.n_words + 5e-9, 4) END AS dup_word_frac,
+          CASE WHEN t.n_bigrams > 0
+               THEN round(t.top_bigram_n::DOUBLE / t.n_bigrams + 5e-9, 4) END AS top_bigram_frac
+        FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id),
+      f AS (SELECT qr.doc_id,
+          (qr.n_tokens < 10) AS too_short,
+          (coalesce(qr.avg_word_len, 0.0) < 2.5 OR coalesce(qr.avg_word_len, 0.0) > 10.0) AS word_len_bad,
+          (coalesce(qr.punct_ratio, 0.0) > 0.1) AS punct_heavy,
+          (coalesce(rep.dup_word_frac, 0.0) > 0.4 OR coalesce(rep.top_bigram_frac, 0.0) > 0.3) AS repetitive
+        FROM qr JOIN rep ON rep.doc_id = qr.doc_id)
+      SELECT doc_id, too_short, word_len_bad, punct_heavy, repetitive,
+        NOT (too_short OR word_len_bad OR punct_heavy OR repetitive) AS keep
+      FROM f ORDER BY doc_id""",
+
     // corpus heavy hitters: ALL 3-gram occurrences (no per-doc distinct),
     // deterministic tie-break on the n-gram string
     "q_top_ngrams" -> """
@@ -676,28 +739,26 @@ object OracleSql {
     // MinHash/LSH banding pairs: 16 bands × r=4 permutation slices, band
     // key = md5 of the '_'-joined slice, 64-member bucket cap applied
     // BEFORE the self-join, distinct id pairs (mirrors minhashLshPairs)
-    "q_dedup_minhash_pairs" -> {
-      import graft.operators.Dedup.MinhashPrime
-      val mh = (0 until 64).map(j =>
-        s"min((h * ${2L * j + 1} + $j) % $MinhashPrime) AS mh$j").mkString(",\n        ")
-      val bandSelects = (0 until 16).map { b =>
-        val key = (0 until 4).map(i => s"mh${b * 4 + i}::VARCHAR").mkString(" || '_' || ")
-        s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
-      }.mkString("\n        UNION ALL ")
-      s"""
-      WITH $ngramCtes,
-      h AS (SELECT doc_id, CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT) AS h FROM ng),
-      sig AS (SELECT doc_id,
-        $mh
-       FROM h GROUP BY doc_id),
-      bands AS ($bandSelects),
-      capped AS (SELECT * FROM bands
-                 QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 64),
-      p AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM capped l JOIN capped r
-              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
-      SELECT doc_a, doc_b FROM p ORDER BY doc_a, doc_b"""
-    },
+    "q_dedup_minhash_pairs" -> s"""
+      WITH $minhashPairsCtes
+      SELECT doc_a, doc_b FROM p ORDER BY doc_a, doc_b""",
+
+    // connected components over the LSH pair graph: DuckDB reaches the
+    // min-label fixpoint via a recursive transitive closure; the Spark
+    // side iterates min-label propagation to the same fixpoint
+    "q_dedup_clusters" -> s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION ALL SELECT doc_b, doc_a FROM p),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+      lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+      SELECT doc_id, cluster_id,
+        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+        (doc_id = cluster_id) AS is_canonical
+      FROM lab ORDER BY doc_id""",
 
     "q_dedup_simhash" -> {
       val votes = (0 until 60).map(i =>
@@ -854,6 +915,19 @@ object OracleSql {
       FROM bars b JOIN bands d
         ON b.symbol = d.band_symbol AND b."close" >= d.lo AND b."close" < d.hi
       GROUP BY b.symbol, d.band ORDER BY b.symbol, d.band""",
+
+    // unique (volume, bar_ts) peer order ⇒ percent_rank/cume_dist are
+    // exact small-integer ratios, identical across engines unrounded
+    "q_window_ranks" -> s"""
+      WITH $barsCte
+      SELECT symbol, bar_ts, volume,
+        (ntile(10) OVER wv)::BIGINT AS vol_decile,
+        percent_rank() OVER wv AS vol_pct_rank,
+        cume_dist() OVER wv AS vol_cume_dist,
+        (row_number() OVER wv)::BIGINT AS vol_rank
+      FROM bars
+      WINDOW wv AS (PARTITION BY symbol ORDER BY volume, bar_ts)
+      ORDER BY symbol, bar_ts""",
 
     // exact quantiles: dyadic fractions make both engines' linear
     // interpolation exact, so the doubles agree bit-for-bit

@@ -74,11 +74,13 @@ object SparkEntry {
     "q_range_join" -> ((s, d) => RangeJoin.priceBands(bars(s, d))),
     "q_quantiles" -> ((s, d) => Indicators.volumeQuantiles(bars(s, d))),
     "q_price_corr" -> ((s, d) => Indicators.priceCorr(bars(s, d))),
+    "q_window_ranks" -> ((s, d) => Indicators.windowRanks(bars(s, d))),
     // D. dedup family
     "q_dedup_exact_docs" -> ((s, d) => Dedup.exactDocs(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
+    "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embedNeardup(Tables.embeddings(s, d))),
@@ -96,6 +98,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "q_top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(Tables.documents(s, d))),
+    "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     // F2. training-data export
     "q_train_split" -> ((s, d) => TrainingData.trainSplit(Tables.documents(s, d))),

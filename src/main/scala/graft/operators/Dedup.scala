@@ -128,6 +128,62 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected-component dedup clusters over the MinHash/LSH candidate
+    * pair graph: each doc gets `cluster_id` = the smallest doc_id
+    * reachable through near-dup pairs, the canonical representative a
+    * dedup pass keeps. Isolated docs form singleton clusters.
+    *
+    * Algorithm: iterated min-label propagation — `label(v) ←
+    * min(label(v), min over neighbors label(u))` until a fixpoint, with
+    * convergence detected by the (strictly decreasing) global label sum,
+    * so each iteration costs one join + two tiny aggregates. Iteration
+    * count is the cluster diameter — near-dup clusters are shallow
+    * (template families hub through their most-copied member), so a
+    * handful of passes closes 100 TB-scale graphs too; for
+    * adversarially long path graphs the known fix is the large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14), which squares the convergence
+    * rate with the same per-round join shape. The driver-side loop is
+    * inherent to iterative graph algorithms (each round's result gates
+    * the next); per-round work is fully distributed and the previous
+    * round's cache is released every step. */
+  def dedupClusters(docs: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLshPairs(docs).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum // labels only decrease ⇒ sum strictly falls until fixpoint
+      prevSum = nextSum
+      it += 1
+    }
+    edges.unpersist()
+    val out = labels
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+    // Materialization note: callers that hold the result past their
+    // action should copy it; the labels cache is the loop's last persist
+    // and stays registered until unpersistAll/clearCache.
+    out
+  }
+
   /** 60-bit SimHash over distinct unigram tokens (md5-derived 60-bit
     * token hashes; bit i set iff the +1/−1 vote sum over tokens > 0).
     * The vote fold runs in the ONE fused native aggregate

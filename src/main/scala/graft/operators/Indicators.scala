@@ -265,6 +265,23 @@ object Indicators {
         round(element_at(col("q"), 3) + lit(5e-9), 4).as("p75"))
       .orderBy(col("symbol"))
 
+  /** Distribution ranks per symbol ordered by (volume, bar_ts): decile
+    * bucket (ntile), percent_rank, cume_dist, and the dense row rank.
+    * The (volume, bar_ts) compound order makes every row a unique peer,
+    * so percent_rank = (rank−1)/(n−1) and cume_dist = rank/n are exact
+    * small-integer ratios — bit-identical across engines with no
+    * rounding needed. One hash exchange on symbol, same as the rest of
+    * the indicator suite. */
+  def windowRanks(bars: DataFrame): DataFrame = {
+    val wv = Window.partitionBy(col("symbol")).orderBy(col("volume"), col("bar_ts"))
+    bars.select(col("symbol"), col("bar_ts"), col("volume"),
+        ntile(10).over(wv).cast("long").as("vol_decile"),
+        percent_rank().over(wv).as("vol_pct_rank"),
+        cume_dist().over(wv).as("vol_cume_dist"),
+        row_number().over(wv).cast("long").as("vol_rank"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
   /** Pairwise Pearson correlation of close prices across symbols over
     * aligned 5-min bars — the dashboard-style correlation matrix, upper
     * triangle only. The moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate

@@ -111,6 +111,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Composite Gopher/C4-style quality filter: combines the [[quality]]
+    * and [[repetition]] signals into per-rule flags and a final keep
+    * decision (too short, implausible word length, punctuation-heavy,
+    * repetitive). Thresholds compare the 4dp-rounded signals, so the
+    * flags inherit the signals' bit-exact cross-engine parity. The
+    * filter reuses the signal operators via a doc_id join here for
+    * auditability; a production pass fuses all signals into the one
+    * projection + one bigram aggregation the constituents already are. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val q = quality(docs)
+    val r = repetition(docs)
+    q.join(r, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("n_tokens") < 10).as("too_short"),
+        (coalesce(col("avg_word_len"), lit(0.0)) < 2.5 ||
+          coalesce(col("avg_word_len"), lit(0.0)) > 10.0).as("word_len_bad"),
+        (coalesce(col("punct_ratio"), lit(0.0)) > 0.1).as("punct_heavy"),
+        (coalesce(col("dup_word_frac"), lit(0.0)) > 0.4 ||
+          coalesce(col("top_bigram_frac"), lit(0.0)) > 0.3).as("repetitive"))
+      .withColumn("keep",
+        !(col("too_short") || col("word_len_bad") || col("punct_heavy") || col("repetitive")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-level heavy hitters: the top-k word 3-grams by occurrence
     * count (all occurrences, not per-doc distinct — the boilerplate /
     * template detector of a training-data pipeline).

@@ -99,6 +99,66 @@ class RangeChunkSpec extends SparkSpec {
     assert(r.getAs[Long]("min_volume") === 1L && r.getAs[Long]("max_volume") === 4L)
   }
 
+  test("dedupClusters equals an independent union-find over the LSH pair graph") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    // reference union-find
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.dedupClusters(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_canonical")))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    val sizes = expected.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    expected.foreach { case (id, root) =>
+      val (cid, csz, canon) = got(id)
+      assert(cid === root, s"doc $id")
+      assert(csz === sizes(root))
+      assert(canon === (id == root))
+    }
+    assert(pairs.nonEmpty, "test corpus should contain near-dup pairs")
+  }
+
+  test("windowRanks: exact ratios on a unique peer order") {
+    import spark.implicits._
+    val bars = Seq(10L, 20L, 30L, 40L).zipWithIndex.map { case (v, i) =>
+      ("A", Timestamp.valueOf(s"2024-01-02 10:0$i:00"), 1.0, 1.0, 1.0, 1.0, v, 1.0)
+    }.toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume", "vsum")
+    val out = Indicators.windowRanks(bars).collect()
+      .map(r => (r.getAs[Long]("volume"), r.getAs[Long]("vol_decile"),
+        r.getAs[Double]("vol_pct_rank"), r.getAs[Double]("vol_cume_dist"), r.getAs[Long]("vol_rank")))
+    assert(out.toSeq === Seq(
+      (10L, 1L, 0.0, 0.25, 1L), (20L, 2L, 1.0 / 3, 0.5, 2L),
+      (30L, 3L, 2.0 / 3, 0.75, 3L), (40L, 4L, 1.0, 1.0, 4L)))
+  }
+
+  test("qualityFilter: each rule fires on its planted doc, clean doc kept") {
+    val clean = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the green field where many other animals live quietly together"
+    val docs = mkDocs(Seq(
+      (1L, clean, "s"),
+      (2L, "too few words here", "s"),                              // too_short
+      (3L, "a b c d e f g h i j k l m n o p q r s t", "s"),         // word_len_bad (avg 1)
+      (4L, "wow!!! such,,, punct... very;;; much::: more!!! yes... ok??? fine!!! done... end!!!", "s"), // punct_heavy
+      (5L, ("spam ham " * 20).trim, "s")))                          // repetitive
+    val out = TextAnalysis.qualityFilter(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Boolean]("too_short") && !out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Boolean]("word_len_bad") && !out(3L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Boolean]("punct_heavy") && !out(4L).getAs[Boolean]("keep"))
+    assert(out(5L).getAs[Boolean]("repetitive") && !out(5L).getAs[Boolean]("keep"))
+  }
+
   test("priceCorr agrees with Spark's built-in corr to 4dp") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val bars = Bars.ohlcv(ev)
