@@ -673,6 +673,19 @@ object OracleSql {
         NOT (too_short OR word_len_bad OR punct_heavy OR repetitive) AS keep
       FROM f ORDER BY doc_id""",
 
+    // integer TF-IDF flavor: rank by (df ASC, tf DESC, term ASC) — no
+    // log(), so ranking parity is purely integer/lexicographic
+    "q_distinctive_terms" -> """
+      WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                    FROM documents),
+      tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      r AS (SELECT t.doc_id, t.term, t.tf, d.df,
+          (row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tf DESC, t.term))::BIGINT AS rk
+        FROM tf t JOIN df d USING (term))
+      SELECT doc_id, term, tf, df, rk
+      FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+
     // corpus heavy hitters: ALL 3-gram occurrences (no per-doc distinct),
     // deterministic tie-break on the n-gram string
     "q_top_ngrams" -> """
@@ -885,6 +898,34 @@ object OracleSql {
         count(*) AS n_events, round(sum(value) + 5e-9, 4) AS sum_value,
         min(value) AS min_value, max(value) AS max_value
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+
+    // ordered conversion funnel: stacked running-min windows, strict-
+    // after semantics at each stage, same frame/order as the Spark side
+    "q_funnel" -> """
+      WITH o AS (SELECT user_id, ts, event_id, event_type,
+          min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS first_view_sofar
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      c AS (SELECT *,
+          min(CASE WHEN event_type = 'click' AND first_view_sofar IS NOT NULL
+                AND ts > first_view_sofar THEN ts END) OVER w AS first_click_sofar
+        FROM o
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      a AS (SELECT user_id,
+          min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+          min(CASE WHEN event_type = 'click' AND first_view_sofar IS NOT NULL
+                AND ts > first_view_sofar THEN ts END) AS t_click,
+          min(CASE WHEN event_type = 'purchase' AND first_click_sofar IS NOT NULL
+                AND ts > first_click_sofar THEN ts END) AS t_purchase
+        FROM c GROUP BY user_id)
+      SELECT user_id, t_view, t_click, t_purchase,
+        CASE WHEN t_purchase IS NOT NULL THEN 'purchase'
+             WHEN t_click IS NOT NULL THEN 'click'
+             WHEN t_view IS NOT NULL THEN 'view'
+             ELSE 'none' END AS stage
+      FROM a ORDER BY user_id""",
 
     // plain join — the salted Spark plan must be result-transparent
     "q_salted_join" -> """

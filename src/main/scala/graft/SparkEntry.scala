@@ -61,6 +61,7 @@ object SparkEntry {
     "q_topk_per_group" -> ((s, d) => Relational.topkPerGroup(Tables.orders(s, d))),
     "q_topk_agg" -> ((s, d) => Relational.topkPerGroupAgg(Tables.orders(s, d))),
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
+    "q_funnel" -> ((s, d) => Relational.funnel(Tables.events(s, d))),
     "q_incremental_ingest" -> ((s, d) => {
       val ev = Tables.events(s, d)
       import org.apache.spark.sql.functions._
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "q_top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(Tables.documents(s, d))),
     "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
+    "q_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     // F2. training-data export
     "q_train_split" -> ((s, d) => TrainingData.trainSplit(Tables.documents(s, d))),

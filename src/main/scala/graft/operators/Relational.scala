@@ -229,6 +229,42 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Sequential-pattern funnel per user: first view, first click AFTER
+    * that view, first purchase AFTER that click — the classic ordered
+    * conversion funnel. Implemented as three stacked running-min windows
+    * over ONE user_id exchange: each row carries the earliest view seen
+    * so far, a click qualifies when strictly later than it, a purchase
+    * when strictly later than the earliest qualifying click so far; the
+    * per-user firsts then fall out of a same-key aggregate that reuses
+    * the window's partitioning (no second exchange, only the output
+    * sort). A self-join formulation would shuffle events three times;
+    * this shape scans once and scales with the user-hash exchange. */
+  def funnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val viewSoFar = min(when(col("event_type") === "view", col("ts"))).over(w)
+    val withView = events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), viewSoFar.as("first_view_sofar"))
+    val clickQ = when(col("event_type") === "click" &&
+      col("first_view_sofar").isNotNull && col("ts") > col("first_view_sofar"), col("ts"))
+    val withClick = withView.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), col("first_view_sofar"),
+      min(clickQ).over(w).as("first_click_sofar"))
+    val purchaseQ = when(col("event_type") === "purchase" &&
+      col("first_click_sofar").isNotNull && col("ts") > col("first_click_sofar"), col("ts"))
+    withClick
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(clickQ).as("t_click"),
+        min(purchaseQ).as("t_purchase"))
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, "purchase")
+          .when(col("t_click").isNotNull, "click")
+          .when(col("t_view").isNotNull, "view")
+          .otherwise("none"))
+      .orderBy(col("user_id"))
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) per user over the
     * event stream — the batch equivalent of the streaming stateful
     * session operator. Single shuffle on user_id. */

@@ -175,6 +175,28 @@ object TextAnalysis {
         col("g_source"), col("g_lang"))
       .orderBy(col("source"), col("lang"))
 
+  /** Per-document distinctive terms: the top-`k` terms ranked by
+    * (document frequency ASC, term frequency DESC, term ASC) — the
+    * TF-IDF idea with a purely integer/lexicographic ranking, so both
+    * engines order identically with no log() parity risk. One token
+    * explode feeding two partial-aggregatable counts (tf per (doc,term),
+    * df per term over the tf table — already one row per doc-term, no
+    * second distinct), an equi-join on term, and a per-doc top-k
+    * window. */
+  def distinctiveTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(ws).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("tf").desc, col("term"))
+    tf.join(df_, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        row_number().over(wk).cast("long").as("rk"))
+      .filter(col("rk") <= k)
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Document fingerprint: md5 of normalized text + 32-bit polynomial
     * rolling hash (base 31, mod 2^32) over the normalized characters. */
   def fingerprint(docs: DataFrame): DataFrame =

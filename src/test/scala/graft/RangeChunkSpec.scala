@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bars, Indicators, RangeJoin, TextAnalysis, TrainingData}
+import graft.operators.{Bars, Indicators, RangeJoin, Relational, TextAnalysis, TrainingData}
 
 /** Specs for the round-3 extension operators: range join (binned ≡
   * broadcast), document chunking, bloom decontamination, corpus heavy
@@ -157,6 +157,46 @@ class RangeChunkSpec extends SparkSpec {
     assert(out(3L).getAs[Boolean]("word_len_bad") && !out(3L).getAs[Boolean]("keep"))
     assert(out(4L).getAs[Boolean]("punct_heavy") && !out(4L).getAs[Boolean]("keep"))
     assert(out(5L).getAs[Boolean]("repetitive") && !out(5L).getAs[Boolean]("keep"))
+  }
+
+  test("funnel enforces strict stage ordering per user") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, t: String, typ: String) =
+      (id, Timestamp.valueOf(t), u, typ, 1.0, "{}")
+    val events = Seq(
+      // u1: full ordered funnel
+      ev(1, 1, "2024-01-01 10:00:00", "view"), ev(2, 1, "2024-01-01 10:01:00", "click"),
+      ev(3, 1, "2024-01-01 10:02:00", "purchase"),
+      // u2: click BEFORE the first view → click doesn't qualify
+      ev(4, 2, "2024-01-01 09:00:00", "click"), ev(5, 2, "2024-01-01 10:00:00", "view"),
+      // u3: purchase before the qualifying click → purchase doesn't qualify
+      ev(6, 3, "2024-01-01 10:00:00", "view"), ev(7, 3, "2024-01-01 10:30:00", "purchase"),
+      ev(8, 3, "2024-01-01 11:00:00", "click"),
+      // u4: never views
+      ev(9, 4, "2024-01-01 10:00:00", "error"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.funnel(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("stage")).toMap
+    assert(out === Map(1L -> "purchase", 2L -> "view", 3L -> "click", 4L -> "none"))
+  }
+
+  test("distinctiveTerms ranks rare-then-frequent with lexicographic ties") {
+    val docs = mkDocs(Seq(
+      (1L, "common common rare1 rare1 rare1 unique1", "s"),
+      (2L, "common rare1 unique2 unique2", "s"),
+      (3L, "common other", "s")))
+    val out = TextAnalysis.distinctiveTerms(docs, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"))).toMap
+    // doc1: unique1 df=1 beats rare1 df=2 beats common df=3
+    assert(out((1L, 1L)) === (("unique1", 1L, 1L)))
+    assert(out((1L, 2L)) === (("rare1", 3L, 2L)))
+    // doc2: unique2 df=1, then rare1 df=2
+    assert(out((2L, 1L)) === (("unique2", 2L, 1L)))
+    assert(out((2L, 2L)) === (("rare1", 1L, 2L)))
+    // doc3: other df=1, then common df=3
+    assert(out((3L, 1L)) === (("other", 1L, 1L)))
+    assert(out((3L, 2L)) === (("common", 1L, 3L)))
   }
 
   test("priceCorr agrees with Spark's built-in corr to 4dp") {
