@@ -104,7 +104,15 @@ object Dedup {
     * to all-pairs; oversized buckets are near-exact duplicate clusters
     * that exact dedup ([[exactDocs]]) already catches cheaply. */
   def minhashLshPairs(docs: DataFrame, bands: Int = 16, r: Int = 4,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64): DataFrame =
+    minhashLshPairsUnordered(docs, bands, r, maxBucket)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[minhashLshPairs]] without the deterministic output sort — the
+    * input for consumers ([[dedupClusters]]) that immediately re-shuffle
+    * the pairs (the range exchange + sort would be dead work). */
+  private def minhashLshPairsUnordered(docs: DataFrame, bands: Int = 16,
+      r: Int = 4, maxBucket: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = bands * r
     val sig = minhashArray(docs, k)
@@ -125,7 +133,6 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Connected-component dedup clusters over the MinHash/LSH candidate
@@ -149,7 +156,7 @@ object Dedup {
     * round's cache is released every step. */
   def dedupClusters(docs: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minhashLshPairs(docs).select(col("doc_a"), col("doc_b"))
+    val pairs = minhashLshPairsUnordered(docs).select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()

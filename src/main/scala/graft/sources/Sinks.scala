@@ -40,4 +40,13 @@ object Sinks {
 
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** Columnar ORC archive — the second built-in columnar interchange
+    * format (some warehouse stacks are ORC-native); same predicate/
+    * column pushdown behavior as parquet through the v1 ORC source. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -234,6 +234,21 @@ class OpsExtraSpec extends SparkSpec {
     assert(Sinks.readJson(spark, s"$tmp/json").count() === docs.count())
   }
 
+  test("sinks: orc round-trips values and pushes scan filters down") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val docs = Tables.documents(spark, sf()).select("doc_id", "lang", "n_chars")
+    Sinks.writeOrc(docs, s"$tmp/orc")
+    val back = Sinks.readOrc(spark, s"$tmp/orc")
+    assert(back.count() === docs.count())
+    assert(back.agg(sum(col("n_chars"))).head().getLong(0) ===
+      docs.agg(sum(col("n_chars"))).head().getLong(0))
+    val filtered = back.filter(col("doc_id") < 100)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(doc_id,100)"),
+      s"ORC scan should push the range predicate:\n$plan")
+    assert(filtered.count() === docs.filter(col("doc_id") < 100).count())
+  }
+
   test("incremental ingest keeps exactly the not-yet-ingested rows") {
     val ev = Tables.events(spark, sf())
     val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")

@@ -244,4 +244,31 @@ class StreamingSpec extends SparkSpec {
     val n = spark.read.parquet(s"$tmp/out").count()
     assert(n >= 0)  // append emits only watermark-closed windows; sink must be readable
   }
+
+  test("watermark drops late data: an event older than the watermark never lands") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val q = StreamPipelines.windowedAggStream(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("late_out")
+      .start()
+    // batch 1: one on-time event; then advance event time far enough that
+    // the 30-min watermark passes the 10:00 window
+    mem.addData(RawEv(1, ts("2024-01-01 10:01:00"), 1, "A", 10.0))
+    q.processAllAvailable()
+    mem.addData(RawEv(2, ts("2024-01-01 12:00:00"), 1, "Z", 1.0))
+    q.processAllAvailable()
+    // batch 3: a LATE event for the already-closed 10:00 window — state
+    // for that window is gone; the row must be dropped, not re-emitted
+    mem.addData(RawEv(3, ts("2024-01-01 10:02:00"), 1, "A", 99.0))
+    q.processAllAvailable()
+    // close remaining windows so everything emittable is out
+    mem.addData(RawEv(4, ts("2024-01-01 14:00:00"), 1, "Z", 1.0))
+    q.processAllAvailable(); q.stop()
+    val aRows = spark.table("late_out").filter(col("event_type") === "A")
+      .collect().map(r => (r.getAs[Timestamp]("win_start").toString,
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    // only the on-time event counts; the late 99.0 never appears anywhere
+    assert(aRows.toSeq === Seq(("2024-01-01 10:00:00.0", 1L, 10.0)))
+  }
 }
