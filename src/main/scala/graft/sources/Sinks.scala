@@ -49,4 +49,31 @@ object Sinks {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Size-targeted parquet write: repartition so each output file holds
+    * ~`rowsPerFile` rows. THE small-files control at scale — a 1000-task
+    * job writing a 1 GB table otherwise leaves 1000 tiny files whose
+    * open/footer cost dominates every later scan; conversely one task
+    * writing 1 TB stalls the job. Callers size `rowsPerFile` from the
+    * row width (target ≈128-512 MB per file). Requires one count() of
+    * the input — at scale pass a known `totalRows` to skip it. */
+  def writeSized(df: DataFrame, path: String, rowsPerFile: Long,
+      totalRows: Long = -1L): Unit = {
+    val n = if (totalRows >= 0) totalRows else df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Range-clustered parquet write: repartitionByRange on `cols` +
+    * sortWithinPartitions, so each output file covers a disjoint key
+    * range and its parquet min/max footer stats prune whole files for
+    * key-range scans (poor-man's Z-order for a single sort axis — the
+    * standard layout for time-series tables like bars(symbol, ts)). */
+  def writeClustered(df: DataFrame, path: String, nFiles: Int,
+      cols: String*): Unit = {
+    val cs = cols.map(col)
+    df.repartitionByRange(nFiles, cs: _*)
+      .sortWithinPartitions(cs: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -249,6 +249,29 @@ class OpsExtraSpec extends SparkSpec {
     assert(filtered.count() === docs.filter(col("doc_id") < 100).count())
   }
 
+  test("writeSized controls the output file count; writeClustered gives disjoint key ranges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val ev = Tables.events(spark, sf())
+    val n = ev.count()
+    Sinks.writeSized(ev, s"$tmp/sized", rowsPerFile = (n / 4) + 1)
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(parquetFiles(s"$tmp/sized").length === 4)
+    assert(spark.read.parquet(s"$tmp/sized").count() === n)
+
+    Sinks.writeClustered(ev, s"$tmp/clustered", nFiles = 4, "user_id")
+    val ranges = parquetFiles(s"$tmp/clustered").map { f =>
+      val r = spark.read.parquet(f).agg(min(col("user_id")), max(col("user_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.nonEmpty && ranges.length <= 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping file ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+    assert(spark.read.parquet(s"$tmp/clustered").count() === n)
+  }
+
   test("incremental ingest keeps exactly the not-yet-ingested rows") {
     val ev = Tables.events(spark, sf())
     val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
