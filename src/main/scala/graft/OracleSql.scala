@@ -773,6 +773,22 @@ object OracleSql {
         (doc_id = cluster_id) AS is_canonical
       FROM lab ORDER BY doc_id""",
 
+    // same fixpoint, different physical algorithm (large-star/small-star
+    // contraction) — deliberately shares the q_dedup_clusters oracle
+    "q_dedup_clusters_lss" -> s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION ALL SELECT doc_b, doc_a FROM p),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+      lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+      SELECT doc_id, cluster_id,
+        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+        (doc_id = cluster_id) AS is_canonical
+      FROM lab ORDER BY doc_id""",
+
     "q_dedup_simhash" -> {
       val votes = (0 until 60).map(i =>
         s"sum(((h >> $i) & 1) * 2 - 1) AS s$i").mkString(",\n        ")

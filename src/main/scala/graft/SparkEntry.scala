@@ -82,6 +82,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
+    "q_dedup_clusters_lss" -> ((s, d) => Dedup.dedupClustersLSS(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embedNeardup(Tables.embeddings(s, d))),

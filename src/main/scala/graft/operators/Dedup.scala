@@ -160,7 +160,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
+    // localCheckpoint per round: each round's plan references the
+    // previous labels twice (neighbor-min + merge join), so bare persist
+    // leaves an exponentially growing lineage; truncation is the
+    // standard iterative-graph pattern (reliable checkpoint at cluster
+    // scale).
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
     var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var it = 0
@@ -170,25 +176,111 @@ object Dedup {
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       val nextSum = next.agg(sum(col("label"))).head().getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum // labels only decrease ⇒ sum strictly falls until fixpoint
       prevSum = nextSum
       it += 1
     }
     edges.unpersist()
-    val out = labels
+    // the returned plan reads the final labels checkpoint (its blocks
+    // are held alive by the plan's RDD reference, reclaimed on GC)
+    labels
       .select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id"))
-    // Materialization note: callers that hold the result past their
-    // action should copy it; the labels cache is the loop's last persist
-    // and stays registered until unpersistAll/clearCache.
-    out
+  }
+
+  /** One large-star round (Kiveris et al., SoCC'14): every node u links
+    * each LARGER neighbor v to m = min(Γ(u) ∪ {u}). Edges stay in the
+    * canonical (a > b) orientation since v > u ≥ m. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    val m = nbrs.groupBy(col("u"))
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+    nbrs.join(m, Seq("u"))
+      .filter(col("v") > col("u") && col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** One small-star round: orient edges toward the larger endpoint; every
+    * node u links its smaller neighborhood (and itself) to its minimum. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("a").as("u"), col("b").as("v")) // a > b already
+    val m = nbrs.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val linkNbrs = nbrs.join(m, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+    val linkSelf = m.select(col("u").as("a"), col("m").as("b"))
+    linkNbrs.union(linkSelf).filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** Connected components via ALTERNATING large-star/small-star
+    * contraction — the O(log n)-round formulation for graphs whose
+    * diameter defeats per-hop min-label propagation ([[dedupClusters]]'s
+    * loop runs one round per hop; a 10⁶-long chain of near-dup docs
+    * would need 10⁶ rounds there but ~20 here). Each round is two
+    * groupBy-join passes over the (shrinking) edge list; convergence =
+    * edge multiset unchanged (count + order-independent hash sum).
+    * Returns (id, label) with label = component minimum. */
+  def connectedComponentsLSS(edges0: DataFrame, ids: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    // localCheckpoint (not bare persist): each round's logical plan
+    // embeds the previous round's SEVERAL times (neighbor union + min
+    // join), so lineage grows exponentially with rounds — truncating it
+    // per round is the standard iterative-graph pattern (at cluster
+    // scale, a reliable checkpoint dir plays this role). Blocks are
+    // reclaimed by the ContextCleaner once the round's frame is
+    // unreferenced.
+    var edges = edges0
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    def sig(df: DataFrame): (Long, Long) = {
+      // order-independent set signature: count + XOR of per-edge hashes
+      // (xor, unlike sum, cannot overflow under ANSI mode)
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = sig(edges)
+    var it = 0
+    var converged = prev._1 == 0L
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val s = sig(next)
+      edges = next
+      converged = s == prev
+      prev = s
+      it += 1
+    }
+    // stars: every non-minimum node holds exactly one outgoing (a → min);
+    // the min() aggregate also keeps the output well-formed if maxIter
+    // cut the loop before the fixpoint. The returned plan reads the last
+    // round's checkpoint blocks (held alive by the plan's RDD reference).
+    val ptr = edges.groupBy(col("a")).agg(min(col("b")).as("label"))
+      .select(col("a").as("id"), col("label"))
+    ids.join(ptr, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
+  /** [[dedupClusters]] computed by [[connectedComponentsLSS]] — same
+    * output contract and the SAME DuckDB oracle (both reach the unique
+    * min-label fixpoint), different physical algorithm. */
+  def dedupClustersLSS(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLshPairsUnordered(docs)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponentsLSS(pairs, docs.select(col("doc_id").as("id")))
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** 60-bit SimHash over distinct unigram tokens (md5-derived 60-bit
