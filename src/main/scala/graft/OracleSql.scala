@@ -338,6 +338,20 @@ object OracleSql {
       FROM bars GROUP BY 1 ORDER BY day_name"""
     },
 
+    // wide→long inverse of q_volume_pivot (pivot→unpivot round trip):
+    // dense 7×24 grid with zero-filled empty cells
+    "q_volume_unpivot" -> s"""
+      WITH $barsCte,
+      g AS (SELECT dayname(bar_ts) AS day_name, hour(bar_ts)::BIGINT AS hour,
+              sum(volume)::BIGINT AS volume
+            FROM bars GROUP BY 1, 2),
+      grid AS (SELECT d.day_name, h.hour
+               FROM (SELECT DISTINCT day_name FROM g) d,
+                    (SELECT unnest(generate_series(0::BIGINT, 23::BIGINT)) AS hour) h)
+      SELECT grid.day_name, grid.hour, coalesce(g.volume, 0)::BIGINT AS volume
+      FROM grid LEFT JOIN g ON g.day_name = grid.day_name AND g.hour = grid.hour
+      ORDER BY grid.day_name, grid.hour""",
+
     "q_rollup_revenue" -> """
       SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
         round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,

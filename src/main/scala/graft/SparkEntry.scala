@@ -51,6 +51,7 @@ object SparkEntry {
     "q_weekly_range" -> ((s, d) => Indicators.weeklyRange(bars(s, d))),
     "q_volume_heatmap" -> ((s, d) => Indicators.volumeHeatmap(bars(s, d))),
     "q_volume_pivot" -> ((s, d) => Indicators.volumePivot(bars(s, d))),
+    "q_volume_unpivot" -> ((s, d) => Indicators.volumeUnpivot(bars(s, d))),
     "q_latest_metrics" -> ((s, d) => Indicators.latestMetrics(bars(s, d))),
     // C. relational core
     "q1_agg" -> ((s, d) => Relational.q1(Tables.lineitem(s, d))),

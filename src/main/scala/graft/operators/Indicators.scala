@@ -265,6 +265,21 @@ object Indicators {
         round(element_at(col("q"), 3) + lit(5e-9), 4).as("p75"))
       .orderBy(col("symbol"))
 
+  /** Inverse of [[volumePivot]]: unpivot (melt) the wide day×hour matrix
+    * back to long (day_name, hour, volume) rows — the wide↔long bridge
+    * every reporting layer needs. A narrow per-row explode of the 24
+    * hour columns (no shuffle beyond the pivot's own); round-trips the
+    * pivot exactly, which the oracle checks end to end. */
+  def volumeUnpivot(bars: DataFrame): DataFrame = {
+    val hourCols = (0 to 23).map(h => f"h$h%02d")
+    volumePivot(bars)
+      .unpivot(Array(col("day_name")), hourCols.map(col).toArray, "hour_col", "volume")
+      .select(col("day_name"),
+        substring(col("hour_col"), 2, 2).cast("int").cast("long").as("hour"),
+        col("volume"))
+      .orderBy(col("day_name"), col("hour"))
+  }
+
   /** Distribution ranks per symbol ordered by (volume, bar_ts): decile
     * bucket (ntile), percent_rank, cume_dist, and the dense row rank.
     * The (volume, bar_ts) compound order makes every row a unique peer,

@@ -81,6 +81,15 @@ object StreamPipelines {
       .option("checkpointLocation", s"$outDir/ckpt")
       .start()
 
+  /** Stream-static enrichment: join the unbounded stream against a
+    * (small) static dimension with an explicit broadcast — per
+    * micro-batch this is a stateless map-side hash join, the cheapest
+    * join a stream can do (no state store, no watermark needed on
+    * either side). The reference enriches each tick with per-symbol config
+    * the same way. */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"))
+
   /** Stream-stream join: purchases attributed to a preceding click by the
     * same user within 30 minutes (watermarked range condition so state is
     * bounded on both sides). */

@@ -245,6 +245,27 @@ class StreamingSpec extends SparkSpec {
     assert(n >= 0)  // append emits only watermark-closed windows; sink must be readable
   }
 
+  test("stream-static broadcast enrichment joins every event to its dim row") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq(("A", "alpha", 2.0), ("B", "beta", 3.0))
+      .toDF("event_type", "sym_name", "factor")
+    val mem = MemoryStream[RawEv]
+    val q = StreamPipelines.enrichStream(mem.toDF(), dim)
+      .select(col("event_id"), col("sym_name"), (col("value") * col("factor")).as("scaled"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out")
+      .start()
+    mem.addData(
+      RawEv(1, ts("2024-01-01 10:00:00"), 1, "A", 10.0),
+      RawEv(2, ts("2024-01-01 10:01:00"), 1, "B", 10.0),
+      RawEv(3, ts("2024-01-01 10:02:00"), 1, "C", 10.0)) // no dim row → dropped
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enrich_out").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("sym_name"), r.getAs[Double]("scaled")))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "alpha", 20.0), (2L, "beta", 30.0)))
+  }
+
   test("watermark drops late data: an event older than the watermark never lands") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
