@@ -904,6 +904,72 @@ object OracleSql {
       FROM t WHERE source = 'src0' OR bucket < 50
       ORDER BY doc_id""",
 
+    // capstone: the end-to-end export decision — quality ∧ canonical
+    // ∧ decontaminated ∧ non-benchmark, assembled from the SAME CTE
+    // fragments the constituent oracles use (fixpoint clusters via the
+    // recursive closure, 5-gram decontamination, md5 split)
+    "q_export_plan" -> s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION ALL SELECT doc_b, doc_a FROM p),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+      lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      $ngramCtes5,
+      bench AS (SELECT DISTINCT ng FROM ng5 JOIN documents USING (doc_id)
+                WHERE source = 'src0'),
+      cand AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+      shared AS (SELECT n.doc_id, count(*) AS n_shared
+                 FROM ng5 n JOIN cand USING (doc_id) JOIN bench USING (ng)
+                 GROUP BY n.doc_id),
+      w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+      q AS (SELECT doc_id,
+          len(ws)::BIGINT AS n_tokens,
+          length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS n_nonws,
+          len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+          length(text)::BIGINT AS n_chars
+        FROM w),
+      qr AS (SELECT doc_id, n_tokens,
+          CASE WHEN n_tokens > 0 THEN round(n_nonws::DOUBLE / n_tokens + 5e-9, 4) END AS avg_word_len,
+          CASE WHEN n_chars > 0 THEN round(n_punct::DOUBLE / n_chars + 5e-9, 4) END AS punct_ratio
+        FROM q),
+      base AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+                 len(list_distinct(ws))::BIGINT AS n_distinct, ws FROM w),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+             FROM base WHERE n_words >= 2),
+      cnt AS (SELECT doc_id, bg, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+      top AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_n,
+                sum(c)::BIGINT AS n_bigrams FROM cnt GROUP BY 1),
+      rep AS (SELECT b.doc_id,
+          CASE WHEN b.n_words > 0
+               THEN round((b.n_words - b.n_distinct)::DOUBLE / b.n_words + 5e-9, 4) END AS dup_word_frac,
+          CASE WHEN t.n_bigrams > 0
+               THEN round(t.top_bigram_n::DOUBLE / t.n_bigrams + 5e-9, 4) END AS top_bigram_frac
+        FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id),
+      qf AS (SELECT qr.doc_id,
+          NOT ((qr.n_tokens < 10)
+            OR (coalesce(qr.avg_word_len, 0.0) < 2.5 OR coalesce(qr.avg_word_len, 0.0) > 10.0)
+            OR (coalesce(qr.punct_ratio, 0.0) > 0.1)
+            OR (coalesce(rep.dup_word_frac, 0.0) > 0.4 OR coalesce(rep.top_bigram_frac, 0.0) > 0.3))
+            AS keep_quality
+        FROM qr JOIN rep ON rep.doc_id = qr.doc_id)
+      SELECT d.doc_id, d.source, qf.keep_quality,
+        lab.cluster_id, (d.doc_id = lab.cluster_id) AS is_canonical,
+        (CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS is_contaminated,
+        CASE WHEN CAST(concat('0x', substr(md5(d.doc_id::VARCHAR), 1, 4)) AS BIGINT) % 100 < 90
+             THEN 'train' ELSE 'eval' END AS split,
+        (qf.keep_quality AND d.doc_id = lab.cluster_id
+          AND coalesce(s.n_shared, 0) = 0 AND d.source <> 'src0') AS final_keep
+      FROM documents d
+      JOIN qf ON qf.doc_id = d.doc_id
+      JOIN lab ON lab.doc_id = d.doc_id
+      LEFT JOIN shared s ON s.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+
     "q_redact" -> """
       SELECT doc_id,
         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,

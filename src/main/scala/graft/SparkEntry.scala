@@ -111,6 +111,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => TrainingData.decontaminate(Tables.documents(s, d))),
     "q_redact" -> ((s, d) => TrainingData.redact(Tables.documents(s, d))),
     "q_data_mix" -> ((s, d) => TrainingData.dataMix(Tables.documents(s, d))),
+    "q_export_plan" -> ((s, d) => TrainingData.exportPlan(Tables.documents(s, d))),
     // G. multimodal
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),

@@ -153,6 +153,42 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Capstone export plan — the END-TO-END curation decision per doc,
+    * composing the pipeline a training export actually runs:
+    * quality filter ([[TextAnalysis.qualityFilter]]) → near-dup
+    * canonicalization ([[Dedup.dedupClusters]], keep only cluster
+    * representatives) → benchmark decontamination ([[decontaminate]])
+    * → deterministic split ([[trainSplit]]). `final_keep` = passes
+    * quality AND is its cluster's canonical doc AND shares no 5-gram
+    * with the benchmark AND is not itself benchmark data.
+    *
+    * Composition is by doc_id equi-joins over the (tiny relative to
+    * text) per-doc verdict tables — at 100 TB each stage shuffles only
+    * (doc_id, flags), never documents; the stages themselves are the
+    * already-audited operators. */
+  def exportPlan(docs: DataFrame, benchmarkSource: String = "src0"): DataFrame = {
+    val qf = TextAnalysis.qualityFilter(docs)
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+    val cl = Dedup.dedupClusters(docs)
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+    val dc = decontaminate(docs, benchmarkSource)
+      .select(col("doc_id"), col("is_contaminated"))
+    val sp = trainSplit(docs).select(col("doc_id"), col("split"))
+    docs.select(col("doc_id"), col("source"))
+      .join(qf, Seq("doc_id"))
+      .join(cl, Seq("doc_id"))
+      .join(sp, Seq("doc_id"))
+      .join(dc, Seq("doc_id"), "left") // benchmark docs carry no verdict
+      .select(col("doc_id"), col("source"), col("keep_quality"),
+        col("cluster_id"), col("is_canonical"),
+        coalesce(col("is_contaminated"), lit(0L)).as("is_contaminated"),
+        col("split"),
+        (col("keep_quality") && col("is_canonical") &&
+          coalesce(col("is_contaminated"), lit(0L)) === 0 &&
+          col("source") =!= benchmarkSource).as("final_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII-style redaction: emails then 3+-digit runs, with counts. Output
     * carries the redacted-text hash so the check stays compact. */
   def redact(docs: DataFrame): DataFrame = {

@@ -221,6 +221,31 @@ class RangeChunkSpec extends SparkSpec {
     assert(out((3L, 2L)) === (("common", 1L, 3L)))
   }
 
+  test("exportPlan composes its four stages faithfully") {
+    import graft.operators.{Dedup, TrainingData}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = TrainingData.exportPlan(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val keepQ = TextAnalysis.qualityFilter(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    spark.catalog.clearCache()
+    val canon = Dedup.dedupClusters(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_canonical")).toMap
+    val contam = TrainingData.decontaminate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("is_contaminated")).toMap
+    val src = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(plan.keySet === src.keySet)
+    plan.foreach { case (id, r) =>
+      val expected = keepQ(id) && canon(id) &&
+        contam.getOrElse(id, 0L) == 0L && src(id) != "src0"
+      assert(r.getAs[Boolean]("final_keep") === expected, s"doc $id")
+    }
+    // the plan must actually separate docs (not all-keep / all-drop)
+    val kept = plan.values.count(_.getAs[Boolean]("final_keep"))
+    assert(kept > 0 && kept < plan.size)
+  }
+
   test("priceCorr agrees with Spark's built-in corr to 4dp") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val bars = Bars.ohlcv(ev)
