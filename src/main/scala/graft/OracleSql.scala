@@ -570,6 +570,65 @@ object OracleSql {
               ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)"""
   }
 
+  /** CTE chain ending in `lab(doc_id, cluster_id)`: connected components
+    * (the unique min-label fixpoint) over the minhash pair graph via a
+    * recursive transitive closure. Must follow a `WITH RECURSIVE`. */
+  private val clusterLabCtes: String = s"""$minhashPairsCtes,
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION ALL SELECT doc_b, doc_a FROM p),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+      lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)"""
+
+  /** Full cluster query — shared VERBATIM by q_dedup_clusters and
+    * q_dedup_clusters_lss: both Spark algorithms reach the same
+    * fixpoint, so they share one oracle. */
+  private val clusterSelectSql: String = s"""
+      WITH RECURSIVE $clusterLabCtes
+      SELECT doc_id, cluster_id,
+        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+        (doc_id = cluster_id) AS is_canonical
+      FROM lab ORDER BY doc_id"""
+
+  /** CTE chain ending in `flags(doc_id, too_short, word_len_bad,
+    * punct_heavy, repetitive)` — the quality-filter rules over the same
+    * 4dp-rounded signals as q_text_quality / q_repetition; shared by
+    * q_quality_filter and q_export_plan. */
+  private val qualityFlagCtes: String = """w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      q AS (SELECT doc_id,
+          len(ws)::BIGINT AS n_tokens,
+          length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS n_nonws,
+          len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+          length(text)::BIGINT AS n_chars
+        FROM w),
+      qr AS (SELECT doc_id, n_tokens,
+          CASE WHEN n_tokens > 0 THEN round(n_nonws::DOUBLE / n_tokens + 5e-9, 4) END AS avg_word_len,
+          CASE WHEN n_chars > 0 THEN round(n_punct::DOUBLE / n_chars + 5e-9, 4) END AS punct_ratio
+        FROM q),
+      base AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+                 len(list_distinct(ws))::BIGINT AS n_distinct, ws FROM w),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+             FROM base WHERE n_words >= 2),
+      cnt AS (SELECT doc_id, bg, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+      top AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_n,
+                sum(c)::BIGINT AS n_bigrams FROM cnt GROUP BY 1),
+      rep AS (SELECT b.doc_id,
+          CASE WHEN b.n_words > 0
+               THEN round((b.n_words - b.n_distinct)::DOUBLE / b.n_words + 5e-9, 4) END AS dup_word_frac,
+          CASE WHEN t.n_bigrams > 0
+               THEN round(t.top_bigram_n::DOUBLE / t.n_bigrams + 5e-9, 4) END AS top_bigram_frac
+        FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id),
+      flags AS (SELECT qr.doc_id,
+          (qr.n_tokens < 10) AS too_short,
+          (coalesce(qr.avg_word_len, 0.0) < 2.5 OR coalesce(qr.avg_word_len, 0.0) > 10.0) AS word_len_bad,
+          (coalesce(qr.punct_ratio, 0.0) > 0.1) AS punct_heavy,
+          (coalesce(rep.dup_word_frac, 0.0) > 0.4 OR coalesce(rep.top_bigram_frac, 0.0) > 0.3) AS repetitive
+        FROM qr JOIN rep ON rep.doc_id = qr.doc_id)"""
+
   private val textOps: Map[String, String] = Map(
     "q_token_count" -> """
       SELECT doc_id,
@@ -650,42 +709,11 @@ object OracleSql {
 
     // composite quality filter: thresholds over the SAME 4dp-rounded
     // signals as q_text_quality / q_repetition, so flags inherit parity
-    "q_quality_filter" -> """
-      WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-      q AS (SELECT doc_id,
-          len(ws)::BIGINT AS n_tokens,
-          length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS n_nonws,
-          len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
-          length(text)::BIGINT AS n_chars
-        FROM w),
-      qr AS (SELECT doc_id, n_tokens,
-          CASE WHEN n_tokens > 0 THEN round(n_nonws::DOUBLE / n_tokens + 5e-9, 4) END AS avg_word_len,
-          CASE WHEN n_chars > 0 THEN round(n_punct::DOUBLE / n_chars + 5e-9, 4) END AS punct_ratio
-        FROM q),
-      base AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
-                 len(list_distinct(ws))::BIGINT AS n_distinct, ws FROM w),
-      bg AS (SELECT doc_id,
-               unnest(list_transform(generate_series(1, len(ws) - 1),
-                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
-             FROM base WHERE n_words >= 2),
-      cnt AS (SELECT doc_id, bg, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
-      top AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_n,
-                sum(c)::BIGINT AS n_bigrams FROM cnt GROUP BY 1),
-      rep AS (SELECT b.doc_id,
-          CASE WHEN b.n_words > 0
-               THEN round((b.n_words - b.n_distinct)::DOUBLE / b.n_words + 5e-9, 4) END AS dup_word_frac,
-          CASE WHEN t.n_bigrams > 0
-               THEN round(t.top_bigram_n::DOUBLE / t.n_bigrams + 5e-9, 4) END AS top_bigram_frac
-        FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id),
-      f AS (SELECT qr.doc_id,
-          (qr.n_tokens < 10) AS too_short,
-          (coalesce(qr.avg_word_len, 0.0) < 2.5 OR coalesce(qr.avg_word_len, 0.0) > 10.0) AS word_len_bad,
-          (coalesce(qr.punct_ratio, 0.0) > 0.1) AS punct_heavy,
-          (coalesce(rep.dup_word_frac, 0.0) > 0.4 OR coalesce(rep.top_bigram_frac, 0.0) > 0.3) AS repetitive
-        FROM qr JOIN rep ON rep.doc_id = qr.doc_id)
+    "q_quality_filter" -> s"""
+      WITH $qualityFlagCtes
       SELECT doc_id, too_short, word_len_bad, punct_heavy, repetitive,
         NOT (too_short OR word_len_bad OR punct_heavy OR repetitive) AS keep
-      FROM f ORDER BY doc_id""",
+      FROM flags ORDER BY doc_id""",
 
     // integer TF-IDF flavor: rank by (df ASC, tf DESC, term ASC) — no
     // log(), so ranking parity is purely integer/lexicographic
@@ -773,35 +801,11 @@ object OracleSql {
     // connected components over the LSH pair graph: DuckDB reaches the
     // min-label fixpoint via a recursive transitive closure; the Spark
     // side iterates min-label propagation to the same fixpoint
-    "q_dedup_clusters" -> s"""
-      WITH RECURSIVE $minhashPairsCtes,
-      e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-            UNION ALL SELECT doc_b, doc_a FROM p),
-      reach(a, b) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
-      lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
-      SELECT doc_id, cluster_id,
-        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
-        (doc_id = cluster_id) AS is_canonical
-      FROM lab ORDER BY doc_id""",
+    "q_dedup_clusters" -> clusterSelectSql,
 
     // same fixpoint, different physical algorithm (large-star/small-star
     // contraction) — deliberately shares the q_dedup_clusters oracle
-    "q_dedup_clusters_lss" -> s"""
-      WITH RECURSIVE $minhashPairsCtes,
-      e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-            UNION ALL SELECT doc_b, doc_a FROM p),
-      reach(a, b) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
-      lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
-      SELECT doc_id, cluster_id,
-        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
-        (doc_id = cluster_id) AS is_canonical
-      FROM lab ORDER BY doc_id""",
+    "q_dedup_clusters_lss" -> clusterSelectSql,
 
     "q_dedup_simhash" -> {
       val votes = (0 until 60).map(i =>
@@ -909,14 +913,7 @@ object OracleSql {
     // fragments the constituent oracles use (fixpoint clusters via the
     // recursive closure, 5-gram decontamination, md5 split)
     "q_export_plan" -> s"""
-      WITH RECURSIVE $minhashPairsCtes,
-      e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-            UNION ALL SELECT doc_b, doc_a FROM p),
-      reach(a, b) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
-      lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      WITH RECURSIVE $clusterLabCtes,
       $ngramCtes5,
       bench AS (SELECT DISTINCT ng FROM ng5 JOIN documents USING (doc_id)
                 WHERE source = 'src0'),
@@ -924,39 +921,10 @@ object OracleSql {
       shared AS (SELECT n.doc_id, count(*) AS n_shared
                  FROM ng5 n JOIN cand USING (doc_id) JOIN bench USING (ng)
                  GROUP BY n.doc_id),
-      w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
-      q AS (SELECT doc_id,
-          len(ws)::BIGINT AS n_tokens,
-          length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS n_nonws,
-          len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
-          length(text)::BIGINT AS n_chars
-        FROM w),
-      qr AS (SELECT doc_id, n_tokens,
-          CASE WHEN n_tokens > 0 THEN round(n_nonws::DOUBLE / n_tokens + 5e-9, 4) END AS avg_word_len,
-          CASE WHEN n_chars > 0 THEN round(n_punct::DOUBLE / n_chars + 5e-9, 4) END AS punct_ratio
-        FROM q),
-      base AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
-                 len(list_distinct(ws))::BIGINT AS n_distinct, ws FROM w),
-      bg AS (SELECT doc_id,
-               unnest(list_transform(generate_series(1, len(ws) - 1),
-                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
-             FROM base WHERE n_words >= 2),
-      cnt AS (SELECT doc_id, bg, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
-      top AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_n,
-                sum(c)::BIGINT AS n_bigrams FROM cnt GROUP BY 1),
-      rep AS (SELECT b.doc_id,
-          CASE WHEN b.n_words > 0
-               THEN round((b.n_words - b.n_distinct)::DOUBLE / b.n_words + 5e-9, 4) END AS dup_word_frac,
-          CASE WHEN t.n_bigrams > 0
-               THEN round(t.top_bigram_n::DOUBLE / t.n_bigrams + 5e-9, 4) END AS top_bigram_frac
-        FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id),
-      qf AS (SELECT qr.doc_id,
-          NOT ((qr.n_tokens < 10)
-            OR (coalesce(qr.avg_word_len, 0.0) < 2.5 OR coalesce(qr.avg_word_len, 0.0) > 10.0)
-            OR (coalesce(qr.punct_ratio, 0.0) > 0.1)
-            OR (coalesce(rep.dup_word_frac, 0.0) > 0.4 OR coalesce(rep.top_bigram_frac, 0.0) > 0.3))
-            AS keep_quality
-        FROM qr JOIN rep ON rep.doc_id = qr.doc_id)
+      $qualityFlagCtes,
+      qf AS (SELECT doc_id,
+          NOT (too_short OR word_len_bad OR punct_heavy OR repetitive) AS keep_quality
+        FROM flags)
       SELECT d.doc_id, d.source, qf.keep_quality,
         lab.cluster_id, (d.doc_id = lab.cluster_id) AS is_canonical,
         (CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS is_contaminated,

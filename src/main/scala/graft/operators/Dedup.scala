@@ -167,8 +167,15 @@ object Dedup {
     // scale).
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
-    var converged = false
+    // order-independent (count, XOR-of-hashes) signature — a label SUM
+    // would overflow Long under ANSI mode at exactly the id scales the
+    // operator targets, and xor detects any label flip just as well
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, label))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = sig(labels)
+    var converged = prev._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
@@ -177,10 +184,10 @@ object Dedup {
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      val s = sig(next)
       labels = next
-      converged = nextSum == prevSum // labels only decrease ⇒ sum strictly falls until fixpoint
-      prevSum = nextSum
+      converged = s == prev // labels only decrease ⇒ any change flips the signature
+      prev = s
       it += 1
     }
     edges.unpersist()

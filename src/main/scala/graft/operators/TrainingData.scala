@@ -105,6 +105,9 @@ object TrainingData {
     require(overlap < size, "overlap must be < size")
     val stride = size - overlap
     docs
+      // empty docs contribute no chunks (and sequence(0, -1, stride)
+      // would throw); mirrors the oracle's empty generate_series
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("text"), col("n_chars"),
         posexplode(sequence(lit(0L), col("n_chars") - 1, lit(stride.toLong)))
           .as(Seq("chunk_id", "chunk_start")))

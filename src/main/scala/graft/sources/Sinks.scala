@@ -59,6 +59,7 @@ object Sinks {
     * the input — at scale pass a known `totalRows` to skip it. */
   def writeSized(df: DataFrame, path: String, rowsPerFile: Long,
       totalRows: Long = -1L): Unit = {
+    require(rowsPerFile > 0, "rowsPerFile must be positive")
     val n = if (totalRows >= 0) totalRows else df.count()
     val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
