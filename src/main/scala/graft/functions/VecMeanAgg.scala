@@ -50,15 +50,20 @@ case class VecMeanAgg(
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val sums = if (buf.sums == null) new Array[Double](n) else buf.sums
-    val m = math.min(n, sums.length)
+    // Registered as a general session function, so mixed-length input is
+    // reachable — fail fast instead of silently truncating dimensions.
+    if (n != sums.length) throw new IllegalArgumentException(
+      s"vec_mean6: vector length $n != group's first vector length ${sums.length}")
     var i = 0
-    while (i < m) { sums(i) += arr.getDouble(i); i += 1 }
+    while (i < n) { sums(i) += arr.getDouble(i); i += 1 }
     VecMeanAgg.Buf(sums, buf.count + 1)
   }
 
   override def merge(a: VecMeanAgg.Buf, b: VecMeanAgg.Buf): VecMeanAgg.Buf = {
     if (b.sums == null) return a
     if (a.sums == null) return b
+    if (a.sums.length != b.sums.length) throw new IllegalArgumentException(
+      s"vec_mean6: cannot merge buffers of length ${a.sums.length} and ${b.sums.length}")
     var i = 0
     while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
     VecMeanAgg.Buf(a.sums, a.count + b.count)

@@ -142,8 +142,10 @@ object Dedup {
     *
     * Algorithm: iterated min-label propagation — `label(v) ←
     * min(label(v), min over neighbors label(u))` until a fixpoint, with
-    * convergence detected by the (strictly decreasing) global label sum,
-    * so each iteration costs one join + two tiny aggregates. Iteration
+    * convergence detected by an order-independent (count,
+    * bit_xor(xxhash64(doc, label))) signature — overflow-safe under ANSI
+    * where a label sum is not — so each iteration costs one join + two
+    * tiny aggregates. Iteration
     * count is the cluster diameter — near-dup clusters are shallow
     * (template families hub through their most-copied member), so a
     * handful of passes closes 100 TB-scale graphs too; for

@@ -42,12 +42,23 @@ object Ema extends Serializable {
   // long-lived session (bench harness, notebook, service) can release
   // them between queries: the returned DataFrames are lazy, so there is
   // no safe unpersist point inside the builders themselves.
+  //
+  // CONTRACT: call [[unpersistAll]] after the terminal action on each
+  // macd/emaSegmented result. A caller that never does is still bounded:
+  // the registry caps itself at MaxTracked entries by evicting (and
+  // unpersisting) the oldest — an evicted intermediate that is somehow
+  // still live just recomputes on its next action.
+  private val MaxTracked = 64
   private val persistedSets =
     new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
 
   private def persistTracked[T](ds: Dataset[T]): Dataset[T] = {
     val p = ds.persist(StorageLevel.MEMORY_AND_DISK)
     persistedSets.add(p)
+    while (persistedSets.size > MaxTracked) {
+      val old = persistedSets.poll()
+      if (old != null) old.unpersist(blocking = false)
+    }
     p
   }
 

@@ -104,10 +104,14 @@ object Market {
       .filter(!col("et_date").isin(Holidays: _*))
     val slotArr = Slots.map(s => s"'$s'").mkString("array(", ", ", ")")
     val grid = days.withColumn("slot", explode(expr(slotArr)))
-    val obs = et.distinct()
+    // Rename the observed side: grid shares et's lineage, so same-name
+    // column refs resolve to the same attribute (trivially-true-predicate
+    // warning + reliance on Spark's self-join disambiguation).
+    val obs = et.distinct().select(col("symbol").as("o_symbol"),
+      col("et_date").as("o_date"), col("et_time").as("o_time"))
     grid.join(obs,
-        grid("symbol") === obs("symbol") && grid("et_date") === obs("et_date") &&
-          grid("slot") === obs("et_time"), "left_anti")
+        grid("symbol") === obs("o_symbol") && grid("et_date") === obs("o_date") &&
+          grid("slot") === obs("o_time"), "left_anti")
       .groupBy(col("symbol"), col("et_date"))
       .agg(count(lit(1)).as("n_missing"),
         min(col("slot")).as("first_missing"),
