@@ -1063,7 +1063,59 @@ object OracleSql {
                / sqrt((n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
                     * (n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)) + 5e-9, 4) + 0.0
         END AS corr
-      FROM m ORDER BY sym_a, sym_b"""
+      FROM m ORDER BY sym_a, sym_b""",
+
+    // running peak is exact; the ratio is one double expression in the
+    // same association order as the Spark side, and >= 0 by construction
+    "q_drawdown" -> s"""
+      WITH $barsCte
+      SELECT symbol, bar_ts, "close",
+        max("close") OVER wp AS peak,
+        round((max("close") OVER wp - "close") / max("close") OVER wp
+          * 100.0::DOUBLE + 5e-9, 4) AS drawdown_pct
+      FROM bars
+      WINDOW wp AS (PARTITION BY symbol ORDER BY bar_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY symbol, bar_ts""",
+
+    // dyadic quantiles over integer volumes ⇒ fences are exact
+    // multiples of 1/8 in both engines; the flag is bit-deterministic
+    "q_iqr_outliers" -> s"""
+      WITH $barsCte,
+      f AS (SELECT symbol AS f_symbol,
+              quantile_cont(volume, 0.25) AS p25,
+              quantile_cont(volume, 0.75) AS p75
+            FROM bars GROUP BY symbol),
+      g AS (SELECT f_symbol,
+              p25 - (p75 - p25) * 1.5::DOUBLE AS lo_fence,
+              p75 + (p75 - p25) * 1.5::DOUBLE AS hi_fence FROM f)
+      SELECT b.symbol, b.bar_ts, b.volume,
+        round(g.lo_fence + 5e-9, 4) AS lo_fence,
+        round(g.hi_fence + 5e-9, 4) AS hi_fence,
+        (b.volume < g.lo_fence OR b.volume > g.hi_fence) AS is_outlier
+      FROM bars b JOIN g ON b.symbol = g.f_symbol
+      ORDER BY b.symbol, b.bar_ts""",
+
+    // beta vs the composite close-sum index; DECIMAL moment sums as in
+    // q_price_corr (index capped at DECIMAL(12,2): products stay scale 4
+    // inside precision 38, unscaled sums < 2^53); beta can be negative →
+    // signed-zero canonicalization (+ 0.0)
+    "q_beta" -> s"""
+      WITH $barsCte,
+      idx AS (SELECT bar_ts,
+                CAST(sum(CAST("close" AS DECIMAL(9,2))) AS DECIMAL(12,2)) AS idx
+              FROM bars GROUP BY bar_ts),
+      j AS (SELECT b.symbol, CAST(b."close" AS DECIMAL(9,2)) AS x, i.idx AS y
+            FROM bars b JOIN idx i ON b.bar_ts = i.bar_ts),
+      m AS (SELECT symbol, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(y * y) AS sy2
+            FROM j GROUP BY 1)
+      SELECT symbol, n,
+        CASE WHEN n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+             THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE) + 5e-9, 4) + 0.0
+        END AS beta
+      FROM m ORDER BY symbol"""
   )
 
   /** Multi-table LSH oracle: mirrors Similarity.{corpusBuckets,

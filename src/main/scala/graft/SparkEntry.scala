@@ -77,6 +77,9 @@ object SparkEntry {
     "q_quantiles" -> ((s, d) => Indicators.volumeQuantiles(bars(s, d))),
     "q_price_corr" -> ((s, d) => Indicators.priceCorr(bars(s, d))),
     "q_window_ranks" -> ((s, d) => Indicators.windowRanks(bars(s, d))),
+    "q_drawdown" -> ((s, d) => Indicators.drawdown(bars(s, d))),
+    "q_iqr_outliers" -> ((s, d) => Indicators.iqrOutliers(bars(s, d))),
+    "q_beta" -> ((s, d) => Indicators.marketBeta(bars(s, d))),
     // D. dedup family
     "q_dedup_exact_docs" -> ((s, d) => Dedup.exactDocs(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),

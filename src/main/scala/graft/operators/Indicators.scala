@@ -330,4 +330,73 @@ object Indicators {
           round(num / sqrt(denx * deny) + lit(5e-9), 4)).as("corr"))
       .orderBy(col("sym_a"), col("sym_b"))
   }
+
+  /** Peak-to-trough drawdown per bar: running close-price peak and the
+    * percentage fall from it — the risk metric a dashboard plots under
+    * the price chart. `peak` is a running max (exact, no float drift);
+    * the ratio is computed in one association order mirrored by the
+    * oracle and is ≥ 0 by construction (no signed-zero hazard). Same
+    * single symbol-hash exchange as the rest of the indicator suite. */
+  def drawdown(bars: DataFrame): DataFrame = {
+    val wPeak = w.rowsBetween(Window.unboundedPreceding, 0)
+    bars.select(col("symbol"), col("bar_ts"), col("close"),
+        max(col("close")).over(wPeak).as("peak"))
+      .select(col("symbol"), col("bar_ts"), col("close"), col("peak"),
+        round((col("peak") - col("close")) / col("peak") * lit(100.0)
+          + lit(5e-9), 4).as("drawdown_pct"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Tukey-fence volume outliers per symbol: flag bars whose volume
+    * falls outside [p25 − 1.5·IQR, p75 + 1.5·IQR]. Dyadic quantile
+    * fractions (1/4, 3/4) over integer volumes make the interpolated
+    * quantiles — and therefore the fences, multiples of 1/8 — exact
+    * doubles in both engines, so the flag is bit-deterministic. The
+    * 5-row fence table broadcasts; bars never shuffle for the join. */
+  def iqrOutliers(bars: DataFrame): DataFrame = {
+    val iqr = col("p75") - col("p25")
+    val fences = bars.groupBy(col("symbol"))
+      .agg(expr("percentile(volume, array(0.25D, 0.75D))").as("q"))
+      .select(col("symbol").as("f_symbol"),
+        element_at(col("q"), 1).as("p25"), element_at(col("q"), 2).as("p75"))
+      .select(col("f_symbol"),
+        (col("p25") - iqr * lit(1.5)).as("lo_fence"),
+        (col("p75") + iqr * lit(1.5)).as("hi_fence"))
+    bars.join(broadcast(fences), col("symbol") === col("f_symbol"))
+      .select(col("symbol"), col("bar_ts"), col("volume"),
+        round(col("lo_fence") + lit(5e-9), 4).as("lo_fence"),
+        round(col("hi_fence") + lit(5e-9), 4).as("hi_fence"),
+        (col("volume") < col("lo_fence") || col("volume") > col("hi_fence"))
+          .as("is_outlier"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Per-symbol beta against a composite market index (the per-bar_ts
+    * sum of all symbols' closes — an equal-share price index):
+    * beta = cov(close, index) / var(index) over the symbol's bars.
+    * Moment sums accumulate in exact DECIMAL exactly like [[priceCorr]]
+    * (index capped at DECIMAL(12,2) so every product stays inside
+    * precision 38 with scale 4 and unscaled sums < 2^53 — the
+    * decimal→double casts are then exactly rounded in both engines);
+    * only the final ratio runs in double, in the oracle's association
+    * order. Two shuffles: the per-bar_ts index aggregate and the
+    * per-symbol moment aggregate; the bar_ts equi-join is
+    * dense-per-timestamp so partitioning stays balanced at scale. */
+  def marketBeta(bars: DataFrame): DataFrame = {
+    val idx = bars.groupBy(col("bar_ts"))
+      .agg(sum(col("close").cast("decimal(9,2)")).cast("decimal(12,2)").as("idx"))
+    val x = col("close").cast("decimal(9,2)")
+    val y = col("idx")
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val den = nD * col("sy2").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    bars.join(idx, Seq("bar_ts"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(y * y).as("sy2"))
+      .select(col("symbol"), col("n"),
+        when(den > 0, round(num / den + lit(5e-9), 4)).as("beta"))
+      .orderBy(col("symbol"))
+  }
 }
