@@ -630,6 +630,80 @@ object OracleSql {
         FROM qr JOIN rep ON rep.doc_id = qr.doc_id)"""
 
   private val textOps: Map[String, String] = Map(
+    // CCNet-style segment dedup: segments = consecutive 10-word windows;
+    // a hash seen in >=2 distinct docs is boilerplate, all instances
+    // removed; cleaned text checked via md5 of the ordered rejoin
+    "q_seg_dedup" -> """
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents WHERE len(trim(text)) > 0),
+      e AS (SELECT doc_id, ws, unnest(generate_series(0, (len(ws)-1)//10)) AS seg_id FROM t),
+      sg AS (SELECT doc_id, seg_id,
+               array_to_string(ws[(seg_id*10+1):(seg_id*10+10)], ' ') AS seg FROM e),
+      sh AS (SELECT md5(seg) AS h FROM sg GROUP BY 1
+             HAVING count(DISTINCT doc_id) >= 2),
+      f AS (SELECT doc_id, seg_id, seg,
+              (md5(seg) IN (SELECT h FROM sh)) AS dup FROM sg)
+      SELECT doc_id, count(*)::BIGINT AS n_seg,
+        sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_shared_seg,
+        sum(CASE WHEN NOT dup THEN len(string_split(seg, ' ')) ELSE 0 END)::BIGINT AS kept_words,
+        md5(coalesce(string_agg(CASE WHEN NOT dup THEN seg END, ' ' ORDER BY seg_id), '')) AS clean_md5
+      FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+    // MinHash calibration: estimated vs exact Jaccard on the LSH pairs;
+    // both are exact integer ratios so the error doubles agree bitwise
+    "q_minhash_est" -> {
+      val matches = (0 until 64).map(j =>
+        s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+      WITH $minhashPairsCtes,
+      szs AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS m
+                FROM p JOIN ng x ON x.doc_id = p.doc_a
+                       JOIN ng y ON y.doc_id = p.doc_b AND y.ng = x.ng
+                GROUP BY 1, 2),
+      sm AS (SELECT p.doc_a, p.doc_b, ($matches)::BIGINT AS sig_matches
+             FROM p JOIN sig a ON a.doc_id = p.doc_a
+                    JOIN sig b ON b.doc_id = p.doc_b)
+      SELECT sm.doc_a, sm.doc_b, sm.sig_matches,
+        round(sm.sig_matches::DOUBLE / 64::DOUBLE + 5e-9, 4) AS est_jaccard,
+        round(coalesce(i.m, 0)::DOUBLE
+          / (sa.n + sb.n - coalesce(i.m, 0))::DOUBLE + 5e-9, 4) AS jaccard,
+        round(abs(sm.sig_matches::DOUBLE / 64::DOUBLE
+          - coalesce(i.m, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.m, 0))::DOUBLE)
+          + 5e-9, 4) AS abs_err
+      FROM sm JOIN szs sa ON sa.doc_id = sm.doc_a
+              JOIN szs sb ON sb.doc_id = sm.doc_b
+              LEFT JOIN inter i ON i.doc_a = sm.doc_a AND i.doc_b = sm.doc_b
+      ORDER BY sm.doc_a, sm.doc_b"""
+    },
+
+    // token-count histogram: integer bucket key, exact integer sums
+    "q_token_hist" -> """
+      WITH t AS (SELECT len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens
+                 FROM documents),
+      b AS (SELECT ws_tokens // 16 AS bucket, ws_tokens FROM t)
+      SELECT bucket, bucket * 16 AS bucket_lo, count(*)::BIGINT AS n_docs,
+        sum(ws_tokens)::BIGINT AS total_tokens,
+        round(sum(ws_tokens)::DOUBLE / count(*)::DOUBLE + 5e-9, 4) AS avg_tokens
+      FROM b GROUP BY bucket ORDER BY bucket""",
+
+    // per-benchmark-doc contamination exposure (reverse of
+    // q_decontaminate): distinct-5-gram overlap with the candidate corpus
+    "q_contam_report" -> s"""
+      WITH $ngramCtes5,
+      bn AS (SELECT n.doc_id, n.ng FROM ng5 n
+             JOIN documents d ON d.doc_id = n.doc_id AND d.source = 'src0'),
+      cn AS (SELECT DISTINCT n.ng FROM ng5 n
+             JOIN documents d ON d.doc_id = n.doc_id AND d.source <> 'src0'),
+      hits AS (SELECT b.doc_id, count(*) AS n_in_corpus
+               FROM bn b JOIN cn ON cn.ng = b.ng GROUP BY 1),
+      tot AS (SELECT doc_id, count(*) AS n_ngrams FROM bn GROUP BY 1)
+      SELECT t.doc_id, t.n_ngrams::BIGINT AS n_ngrams,
+        coalesce(h.n_in_corpus, 0)::BIGINT AS n_in_corpus,
+        round(coalesce(h.n_in_corpus, 0)::DOUBLE / t.n_ngrams::DOUBLE + 5e-9, 4) AS overlap_frac
+      FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
+      ORDER BY t.doc_id""",
+
     "q_token_count" -> """
       SELECT doc_id,
         length(text)::BIGINT AS n_chars_calc,

@@ -87,6 +87,8 @@ object SparkEntry {
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "q_dedup_clusters_lss" -> ((s, d) => Dedup.dedupClustersLSS(Tables.documents(s, d))),
+    "q_seg_dedup" -> ((s, d) => Dedup.segDedup(Tables.documents(s, d))),
+    "q_minhash_est" -> ((s, d) => Dedup.minhashEstimate(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embedNeardup(Tables.embeddings(s, d))),
@@ -107,11 +109,13 @@ object SparkEntry {
     "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "q_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
+    "q_token_hist" -> ((s, d) => TextAnalysis.tokenHist(Tables.documents(s, d))),
     // F2. training-data export
     "q_train_split" -> ((s, d) => TrainingData.trainSplit(Tables.documents(s, d))),
     "q_doc_chunk" -> ((s, d) => TrainingData.docChunk(Tables.documents(s, d))),
     "q_shard_pack" -> ((s, d) => TrainingData.shardPack(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => TrainingData.decontaminate(Tables.documents(s, d))),
+    "q_contam_report" -> ((s, d) => TrainingData.contamReport(Tables.documents(s, d))),
     "q_redact" -> ((s, d) => TrainingData.redact(Tables.documents(s, d))),
     "q_data_mix" -> ((s, d) => TrainingData.dataMix(Tables.documents(s, d))),
     "q_export_plan" -> ((s, d) => TrainingData.exportPlan(Tables.documents(s, d))),

@@ -362,4 +362,79 @@ object Dedup {
     simhashPairsFromHashes(
       simhashUnordered(docs).select(col("doc_id"), col("simhash")),
       maxDist, maxBlock)
+
+  /** CCNet-style cross-document segment dedup (Wenzek et al. 2020 §4.1
+    * do this per line; our corpus is unstructured text, so consecutive
+    * `segWords`-word windows play the lines). A segment whose hash
+    * occurs in ≥2 distinct documents is boilerplate and every instance
+    * is removed; per doc we report segment counts, surviving word
+    * count, and the md5 of the cleaned text (segments rejoined in
+    * order) so the decision is fully checkable without dumping text.
+    *
+    * Scale shape: only (doc_id, 16-byte segment hash) rows shuffle for
+    * the shared-segment aggregate — documents themselves never leave
+    * their partitions except via the per-doc reduce, and the shared-hash
+    * side of the join is the aggregate's output (no second scan). */
+  def segDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
+    val segs = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(ws)-1) div $segWords), " +
+          s"i -> concat_ws(' ', slice(ws, i*$segWords+1, $segWords)))"))
+        .as(Seq("seg_id", "seg")))
+    val shared = segs.groupBy(md5(col("seg")).as("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    segs.join(shared, md5(col("seg")) === col("h"), "left")
+      .select(col("doc_id"), col("seg_id"), col("seg"),
+        col("h").isNotNull.as("dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_shared_seg"),
+        sum(when(!col("dup"), size(split(col("seg"), " ")).cast("long"))
+          .otherwise(0L)).as("kept_words"),
+        sort_array(collect_list(when(!col("dup"),
+          struct(col("seg_id"), col("seg"))))).as("ks"))
+      .select(col("doc_id"), col("n_seg"), col("n_shared_seg"),
+        col("kept_words"),
+        md5(concat_ws(" ", expr("transform(ks, s -> s.seg)"))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash accuracy report over the LSH candidate pairs: the
+    * signature-estimated Jaccard (matching permutations / k) next to
+    * the exact 3-gram Jaccard and their absolute error — the
+    * calibration query that justifies a MinHash threshold before a
+    * 100 TB dedup run. Both similarities are exact integer ratios, so
+    * the doubles (and the error) are bit-identical across engines.
+    * Exact-side cost is confined to the candidate pairs (the same
+    * narrow (doc_id, ngram) semi-join shape as [[ngramJaccard]]). */
+  def minhashEstimate(docs: DataFrame, bands: Int = 16, r: Int = 4): DataFrame = {
+    val k = bands * r
+    val pairs = minhashLshPairsUnordered(docs, bands, r)
+    val ng = wordNgrams(docs)
+    val sig = minhashArray(docs, k)
+    val sa = sig.select(col("doc_id").as("doc_a"), col("mh").as("ma"),
+      col("n_ngrams").as("na"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("mh").as("mb"),
+      col("n_ngrams").as("nb"))
+    val inter = pairs
+      .join(ng.select(col("doc_id").as("doc_a"), col("ng")), Seq("doc_a"))
+      .join(ng.select(col("doc_id").as("doc_b"), col("ng")), Seq("doc_b", "ng"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("m"))
+    val m = coalesce(col("m"), lit(0L))
+    val union = col("na") + col("nb") - m
+    val estRaw = col("sig_matches").cast("double") / lit(k.toDouble)
+    val jacRaw = m.cast("double") / union.cast("double")
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), m.as("m"),
+        expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), b -> b))")
+          .cast("long").as("sig_matches"))
+      .select(col("doc_a"), col("doc_b"), col("sig_matches"),
+        round(estRaw + lit(5e-9), 4).as("est_jaccard"),
+        round(jacRaw + lit(5e-9), 4).as("jaccard"),
+        round(abs(estRaw - jacRaw) + lit(5e-9), 4).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

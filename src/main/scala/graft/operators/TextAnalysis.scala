@@ -205,4 +205,21 @@ object TextAnalysis {
         expr("aggregate(sequence(1, length(norm)), CAST(0 AS BIGINT), " +
           "(acc, i) -> (acc * 31 + ascii(substring(norm, i, 1))) % 4294967296)").as("poly_fp"))
       .orderBy(col("doc_id"))
+
+  /** Token-count histogram over the corpus: docs binned by whitespace
+    * token count into fixed-width buckets — the length-distribution
+    * report that sizes a context-window/packing decision. A single
+    * partial-aggregatable groupBy on a derived integer key (map-side
+    * combine collapses each partition to ≤ #buckets rows); the average
+    * is one double division over exact integer sums. */
+  def tokenHist(docs: DataFrame, binWidth: Int = 16): DataFrame =
+    docs.select(size(ws).cast("long").as("ws_tokens"))
+      .select(expr(s"ws_tokens div $binWidth").as("bucket"), col("ws_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_tokens"))
+      .select(col("bucket"), (col("bucket") * binWidth).as("bucket_lo"),
+        col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs").cast("double")
+          + lit(5e-9), 4).as("avg_tokens"))
+      .orderBy(col("bucket"))
 }

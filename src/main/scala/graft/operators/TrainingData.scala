@@ -205,4 +205,31 @@ object TrainingData {
         md5(redacted).as("redacted_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** Contamination report from the benchmark's side: for every
+    * benchmark document, how many of its distinct word-5-grams occur
+    * anywhere in the candidate corpus, and the overlap fraction — the
+    * audit a decontamination run publishes ([[decontaminate]] gives the
+    * per-candidate verdict; this gives the per-benchmark exposure).
+    * Docs with fewer than 5 words carry no 5-grams and are absent on
+    * both engines. Same scale shape as the semi-join: only (doc_id,
+    * ngram) pairs shuffle, and the corpus side collapses to distinct
+    * n-grams before the join. */
+  def contamReport(docs: DataFrame, benchmarkSource: String = "src0"): DataFrame = {
+    val ng5 = Dedup.wordNgrams(docs.select(col("doc_id"), col("text")), 5)
+    val sources = docs.select(col("doc_id"), col("source"))
+    val benchNg = ng5.join(sources.filter(col("source") === benchmarkSource),
+      Seq("doc_id")).select(col("doc_id"), col("ng"))
+    val corpusNg = ng5.join(sources.filter(col("source") =!= benchmarkSource),
+      Seq("doc_id")).select(col("ng")).distinct()
+    val hits = benchNg.join(corpusNg, Seq("ng"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_in_corpus"))
+    benchNg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_in_corpus"), lit(0L)).as("n_in_corpus"),
+        round(coalesce(col("n_in_corpus"), lit(0L)).cast("double")
+          / col("n_ngrams").cast("double") + lit(5e-9), 4).as("overlap_frac"))
+      .orderBy(col("doc_id"))
+  }
 }
