@@ -1037,6 +1037,22 @@ object OracleSql {
         min(value) AS min_value, max(value) AS max_value
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
 
+    // sliding 10-min/5-min windows: every event lands in exactly the
+    // 5-min-floor window and the one 5 minutes earlier; DECIMAL sum
+    // because the row duplication doubles the fold
+    "q_stream_sliding" -> """
+      WITH x AS (SELECT *,
+          make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS w0
+        FROM events),
+      u AS (SELECT event_type, value, w0 AS win_start FROM x
+            UNION ALL
+            SELECT event_type, value, w0 - INTERVAL 5 MINUTE AS win_start FROM x)
+      SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end, event_type,
+        count(*) AS n_events,
+        round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE + 5e-9, 4) AS sum_value,
+        min(value) AS min_value, max(value) AS max_value
+      FROM u GROUP BY 1, 2, 3 ORDER BY win_start, event_type""",
+
     // ordered conversion funnel: stacked running-min windows, strict-
     // after semantics at each stage, same frame/order as the Spark side
     "q_funnel" -> """

@@ -125,6 +125,9 @@ object SparkEntry {
     // H. streaming (batch-equivalent of the structured-streaming pipeline)
     "q_stream_window" -> ((s, d) =>
       graft.streaming.StreamPipelines.windowedAgg(Tables.events(s, d))
+        .orderBy("win_start", "event_type")),
+    "q_stream_sliding" -> ((s, d) =>
+      graft.streaming.StreamPipelines.slidingAgg(Tables.events(s, d))
         .orderBy("win_start", "event_type"))
   )
 

@@ -57,6 +57,29 @@ object StreamPipelines {
   def windowedAggStream(events: DataFrame): DataFrame =
     windowedAgg(events.withWatermark("ts", "30 minutes"))
 
+  /** Sliding 10-min/5-min window aggregate per symbol — each event
+    * contributes to exactly two overlapping windows (the moving-average
+    * view a dashboard refreshes every slide). Identical semantics in
+    * batch and streaming; the sum accumulates in DECIMAL because each
+    * row is duplicated into two windows and the two engines would
+    * otherwise fold the doubled rows in different orders. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double")
+          + lit(5e-9), 4).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"),
+        col("min_value"), col("max_value"))
+
+  /** Streaming variant of [[slidingAgg]] with a watermark. */
+  def slidingAggStream(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts", "30 minutes"))
+
   /** Streaming dedup on (event_type, ts) within the watermark — the
     * streaming analogue of Relational.dedupLatest (reference
     * src/preprocessing/dedup_pipeline.py continuous 5-min dedup loop). */

@@ -54,6 +54,44 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:10:00.0", "A", 1L, 30.0)))
   }
 
+  test("streaming sliding-window agg matches the batch result on the same data") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      RawEv(1, ts("2024-01-01 10:01:00"), 1, "A", 10.0),
+      RawEv(2, ts("2024-01-01 10:05:00"), 1, "A", 20.0),
+      RawEv(3, ts("2024-01-01 10:12:00"), 1, "A", 30.0),
+      RawEv(4, ts("2024-01-01 10:03:00"), 2, "B", 5.0))
+    val mem = MemoryStream[RawEv]
+    val q = StreamPipelines.slidingAggStream(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("slide_out")
+      .start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData(RawEv(99, ts("2024-01-01 12:00:00"), 9, "Z", 0.0))
+    q.processAllAvailable()
+    mem.addData(RawEv(100, ts("2024-01-01 13:00:00"), 9, "Z", 0.0))
+    q.processAllAvailable(); q.stop()
+
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type").isin("A", "B"))
+      .orderBy("win_start", "event_type")
+      .collect().map(r => (r.getAs[Timestamp]("win_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value")))
+    val streamed = shape(spark.table("slide_out"))
+    val batch = shape(StreamPipelines.slidingAgg(rows.toDF()))
+    assert(streamed.toSeq === batch.toSeq)
+    // every event appears in exactly two windows: 10:01 A -> 9:55 & 10:00
+    assert(streamed.toSeq === Seq(
+      ("2024-01-01 09:55:00.0", "A", 1L, 10.0),
+      ("2024-01-01 09:55:00.0", "B", 1L, 5.0),
+      ("2024-01-01 10:00:00.0", "A", 2L, 30.0),
+      ("2024-01-01 10:00:00.0", "B", 1L, 5.0),
+      ("2024-01-01 10:05:00.0", "A", 2L, 50.0),
+      ("2024-01-01 10:10:00.0", "A", 1L, 30.0)))
+  }
+
   test("tick feed: rate-limited continuous source with deterministic tick mapping") {
     val feed = StreamPipelines.tickFeed(spark, rowsPerSecond = 500)
     assert(feed.isStreaming)
