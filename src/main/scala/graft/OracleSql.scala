@@ -677,6 +677,29 @@ object OracleSql {
       ORDER BY sm.doc_a, sm.doc_b"""
     },
 
+    // n-gram novelty: first-occurrence attribution by min doc_id; the
+    // ratio is exact integers over integers
+    "q_ngram_novelty" -> s"""
+      WITH $ngramCtes,
+      fs AS (SELECT ng, min(doc_id) AS first_doc FROM ng GROUP BY ng)
+      SELECT n.doc_id, count(*)::BIGINT AS n_ngrams,
+        sum(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        round(sum(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END)::DOUBLE
+          / count(*)::DOUBLE + 5e-9, 4) AS novelty
+      FROM ng n JOIN fs f ON f.ng = n.ng
+      GROUP BY n.doc_id ORDER BY n.doc_id""",
+
+    // deterministic 20% stratified sample: md5 order + integer ceiling
+    // division, no float thresholds
+    "q_stratified_sample" -> """
+      WITH r AS (SELECT doc_id, source, lang,
+          row_number() OVER (PARTITION BY source, lang
+            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk,
+          count(*) OVER (PARTITION BY source, lang) AS n_stratum
+        FROM documents)
+      SELECT doc_id, source, lang, rk::BIGINT AS rk, n_stratum::BIGINT AS n_stratum
+      FROM r WHERE rk <= (n_stratum + 4) // 5 ORDER BY doc_id""",
+
     // token-count histogram: integer bucket key, exact integer sums
     "q_token_hist" -> """
       WITH t AS (SELECT len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens
@@ -1154,6 +1177,26 @@ object OracleSql {
                     * (n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)) + 5e-9, 4) + 0.0
         END AS corr
       FROM m ORDER BY sym_a, sym_b""",
+
+    // daily OHLC rollup: arg_min/arg_max on the unique bar_ts mirror
+    // Spark's min_by/max_by; return & gap can be negative-near-zero →
+    // signed-zero canonicalization on this side
+    "q_daily_returns" -> s"""
+      WITH $barsCte,
+      d AS (SELECT symbol, CAST(bar_ts AS DATE) AS bar_date,
+              arg_min("open", bar_ts) AS day_open,
+              arg_max("close", bar_ts) AS day_close,
+              max(high) AS day_high, min(low) AS day_low,
+              count(*) AS n_bars
+            FROM bars GROUP BY 1, 2),
+      l AS (SELECT *, lag(day_close) OVER (PARTITION BY symbol ORDER BY bar_date) AS prev_close
+            FROM d)
+      SELECT symbol, bar_date, day_open, day_close, day_high, day_low, n_bars,
+        round((day_close - day_open) / day_open * 100.0::DOUBLE + 5e-9, 4) + 0.0 AS intraday_pct,
+        CASE WHEN prev_close IS NOT NULL
+             THEN round((day_open - prev_close) / prev_close * 100.0::DOUBLE + 5e-9, 4) + 0.0
+        END AS overnight_gap_pct
+      FROM l ORDER BY symbol, bar_date""",
 
     // running peak is exact; the ratio is one double expression in the
     // same association order as the Spark side, and >= 0 by construction

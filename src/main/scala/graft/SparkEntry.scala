@@ -78,6 +78,7 @@ object SparkEntry {
     "q_price_corr" -> ((s, d) => Indicators.priceCorr(bars(s, d))),
     "q_window_ranks" -> ((s, d) => Indicators.windowRanks(bars(s, d))),
     "q_drawdown" -> ((s, d) => Indicators.drawdown(bars(s, d))),
+    "q_daily_returns" -> ((s, d) => Indicators.dailyReturns(bars(s, d))),
     "q_iqr_outliers" -> ((s, d) => Indicators.iqrOutliers(bars(s, d))),
     "q_beta" -> ((s, d) => Indicators.marketBeta(bars(s, d))),
     // D. dedup family
@@ -110,6 +111,8 @@ object SparkEntry {
     "q_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     "q_token_hist" -> ((s, d) => TextAnalysis.tokenHist(Tables.documents(s, d))),
+    "q_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(Tables.documents(s, d))),
+    "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     // F2. training-data export
     "q_train_split" -> ((s, d) => TrainingData.trainSplit(Tables.documents(s, d))),
     "q_doc_chunk" -> ((s, d) => TrainingData.docChunk(Tables.documents(s, d))),

@@ -371,6 +371,33 @@ object Indicators {
       .orderBy(col("symbol"), col("bar_ts"))
   }
 
+  /** Daily OHLC rollup with day-over-day return and overnight gap: per
+    * (symbol, date) the first bar's open and last bar's close
+    * (deterministic `min_by`/`max_by` on the unique bar_ts), intraday
+    * return percentage, and the gap from the prior day's close — the
+    * end-of-day summary the reference's dashboard derives in pandas.
+    * Return/gap ratios are single double expressions mirrored by the
+    * oracle; both can be negative-and-near-zero, so the oracle
+    * canonicalizes signed zero. Bars aggregate map-side to one row per
+    * (symbol, day) before the lag window's tiny exchange. */
+  def dailyReturns(bars: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("symbol")).orderBy(col("bar_date"))
+    bars.groupBy(col("symbol"), to_date(col("bar_ts")).as("bar_date"))
+      .agg(min_by(col("open"), col("bar_ts")).as("day_open"),
+        max_by(col("close"), col("bar_ts")).as("day_close"),
+        max(col("high")).as("day_high"), min(col("low")).as("day_low"),
+        count(lit(1)).as("n_bars"))
+      .withColumn("prev_close", lag(col("day_close"), 1).over(wd))
+      .select(col("symbol"), col("bar_date"), col("day_open"), col("day_close"),
+        col("day_high"), col("day_low"), col("n_bars"),
+        round((col("day_close") - col("day_open")) / col("day_open") * lit(100.0)
+          + lit(5e-9), 4).as("intraday_pct"),
+        when(col("prev_close").isNotNull,
+          round((col("day_open") - col("prev_close")) / col("prev_close") * lit(100.0)
+            + lit(5e-9), 4)).as("overnight_gap_pct"))
+      .orderBy(col("symbol"), col("bar_date"))
+  }
+
   /** Per-symbol beta against a composite market index (the per-bar_ts
     * sum of all symbols' closes — an equal-share price index):
     * beta = cov(close, index) / var(index) over the symbol's bars.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines over `documents`.
@@ -205,6 +206,44 @@ object TextAnalysis {
         expr("aggregate(sequence(1, length(norm)), CAST(0 AS BIGINT), " +
           "(acc, i) -> (acc * 31 + ascii(substring(norm, i, 1))) % 4294967296)").as("poly_fp"))
       .orderBy(col("doc_id"))
+
+  /** N-gram novelty per document: the fraction of a doc's distinct
+    * 3-grams whose first corpus occurrence (min doc_id) is this doc —
+    * the marginal-contribution signal that ranks documents by how much
+    * new content they add to a training mix (a doc full of already-seen
+    * n-grams is redundant even if no single near-dup pair flags it).
+    * Exact integer ratio ⇒ bit-identical doubles. One n-gram-keyed
+    * aggregate + one re-join of the same narrow (doc_id, ngram) rows —
+    * the exact-dedup shuffle shape, nothing document-sized moves. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val ng = graft.operators.Dedup.wordNgrams(docs.select(col("doc_id"), col("text")))
+    val firstSeen = ng.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
+    ng.join(firstSeen, Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_ngrams").cast("double")
+          + lit(5e-9), 4).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sample: within each (source, lang)
+    * stratum keep the first ceil(n/5) docs in (md5(doc_id), doc_id)
+    * order — a reproducible 20% sample with exact per-stratum
+    * proportions (hash-bucket sampling like [[TrainingData.dataMix]]
+    * only approximates them). Integer ceiling division, no float
+    * thresholds. One window exchange on the stratum key. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_stratum",
+        count(lit(1)).over(Window.partitionBy(col("source"), col("lang"))))
+      .filter(col("rk") <= expr("(n_stratum + 4) div 5"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Token-count histogram over the corpus: docs binned by whitespace
     * token count into fixed-width buckets — the length-distribution
