@@ -1,0 +1,164 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Indicators, TextAnalysis, TrainingData}
+
+/** Specs for the round-4 operator wave: finance analytics (drawdown,
+  * fences, beta, daily returns, z-score), segment dedup, MinHash
+  * calibration, novelty, stratified sampling, and the cluster report. */
+class Round4OpsSpec extends SparkSpec {
+
+  private def mkBars(rows: Seq[(String, String, Double, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (sym, ts, c, v) =>
+      (sym, Timestamp.valueOf(ts), c, c, c, c, v, c) }
+      .toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume", "vsum")
+  }
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("drawdown: peak is a running max and drawdown is 0 at each new peak") {
+    val b = mkBars(Seq(
+      ("A", "2024-01-01 10:00:00", 100.0, 1L),
+      ("A", "2024-01-01 10:05:00", 80.0, 1L),
+      ("A", "2024-01-01 10:10:00", 120.0, 1L),
+      ("A", "2024-01-01 10:15:00", 90.0, 1L)))
+    val out = Indicators.drawdown(b).collect()
+    assert(out.map(_.getAs[Double]("peak")).toSeq === Seq(100.0, 100.0, 120.0, 120.0))
+    assert(out.map(_.getAs[Double]("drawdown_pct")).toSeq === Seq(0.0, 20.0, 0.0, 25.0))
+  }
+
+  test("iqrOutliers flags a planted extreme volume and nothing typical") {
+    val typical = (0 until 20).map(i =>
+      ("A", f"2024-01-01 10:${i}%02d:00", 10.0, 100L + (i % 5)))
+    val b = mkBars(typical :+ ("A", "2024-01-01 11:00:00", 10.0, 100000L))
+    val out = Indicators.iqrOutliers(b).collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_outlier"))
+    assert(flagged.map(_.getAs[Long]("volume")).toSeq === Seq(100000L))
+  }
+
+  test("marketBeta: a symbol tracking the index has beta near its share") {
+    // two symbols with identical prices: index = 2x each, so
+    // cov(x, 2x)/var(2x) = 1/2 exactly
+    val rows = (0 until 10).flatMap { i =>
+      val p = 100.0 + i
+      Seq(("A", f"2024-01-01 10:${5 * i}%02d:00", p, 1L),
+        ("B", f"2024-01-01 10:${5 * i}%02d:00", p, 1L))
+    }
+    val out = Indicators.marketBeta(mkBars(rows)).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Double]("beta") === 0.5))
+  }
+
+  test("dailyReturns: intraday return and overnight gap from first/last bars") {
+    val b = mkBars(Seq(
+      ("A", "2024-01-01 10:00:00", 100.0, 1L),
+      ("A", "2024-01-01 15:00:00", 110.0, 1L),
+      ("A", "2024-01-02 10:00:00", 99.0, 1L),
+      ("A", "2024-01-02 15:00:00", 99.0, 1L)))
+    val out = Indicators.dailyReturns(b).orderBy("bar_date").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Double]("intraday_pct") === 10.0)
+    assert(out(0).isNullAt(out(0).fieldIndex("overnight_gap_pct")))
+    // gap: (99 - 110) / 110 * 100 = -10.0
+    assert(out(1).getAs[Double]("overnight_gap_pct") === -10.0)
+    assert(out(1).getAs[Double]("intraday_pct") === 0.0)
+  }
+
+  test("zscoreAnomaly flags only the planted spike") {
+    val calm = (0 until 30).map(i =>
+      ("A", f"2024-01-01 10:${i}%02d:00", 100.0 + (i % 3), 1L))
+    val b = mkBars(calm :+ ("A", "2024-01-01 11:00:00", 500.0, 1L))
+    val out = Indicators.zscoreAnomaly(b).collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.map(_.getAs[Double]("close")).toSeq === Seq(500.0))
+    assert(flagged.head.getAs[Double]("z") > 2.0)
+  }
+
+  test("segDedup removes cross-doc shared segments, keeps unique ones") {
+    val boiler = (1 to 10).map(i => s"common$i").mkString(" ")
+    val d = docs(Seq(
+      (1L, boiler + " " + (1 to 10).map(i => s"one$i").mkString(" ")),
+      (2L, boiler + " " + (1 to 10).map(i => s"two$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"three$i").mkString(" "))))
+    val out = Dedup.segDedup(d).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_seg")).toSeq === Seq(2L, 2L, 2L))
+    assert(out.map(_.getAs[Long]("n_shared_seg")).toSeq === Seq(1L, 1L, 0L))
+    assert(out.map(_.getAs[Long]("kept_words")).toSeq === Seq(10L, 10L, 20L))
+    // doc 3 keeps everything: cleaned text == original text
+    val expected = spark.sql(
+      s"SELECT md5('${(1 to 20).map(i => s"three$i").mkString(" ")}') AS m")
+      .head().getString(0)
+    assert(out(2).getAs[String]("clean_md5") === expected)
+  }
+
+  test("minhashEstimate: identical docs estimate and measure jaccard 1.0") {
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"x$i").mkString(" ")
+    val d = docs(Seq((1L, text), (2L, text), (3L, other)))
+    val out = Dedup.minhashEstimate(d).collect()
+    val pair = out.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L).get
+    assert(pair.getAs[Long]("sig_matches") === 64L)
+    assert(pair.getAs[Double]("est_jaccard") === 1.0)
+    assert(pair.getAs[Double]("jaccard") === 1.0)
+    assert(pair.getAs[Double]("abs_err") === 0.0)
+  }
+
+  test("ngramNovelty: the earliest doc is fully novel, a copy fully redundant") {
+    val text = (1 to 20).map(i => s"n$i").mkString(" ")
+    val d = docs(Seq((1L, text), (2L, text)))
+    val out = TextAnalysis.ngramNovelty(d).orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("novelty") === 1.0)
+    assert(out(1).getAs[Double]("novelty") === 0.0)
+  }
+
+  test("stratifiedSample keeps exactly ceil(n/5) docs per stratum") {
+    import spark.implicits._
+    val d = (1 to 37).map(i => (i.toLong, s"text $i", if (i % 2 == 0) "en" else "de",
+      s"src${i % 3}", 6L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.stratifiedSample(d)
+    val got = out.groupBy("source", "lang").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val want = d.groupBy("source", "lang").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2) + 4) / 5)).toMap
+    assert(got === want)
+    // deterministic: same result on a second run
+    assert(out.collect().toSeq === TextAnalysis.stratifiedSample(d).collect().toSeq)
+  }
+
+  test("clusterStats histogram is consistent with dedupClusters") {
+    val d = Tables.documents(spark, sf())
+    val clusters = Dedup.dedupClusters(d)
+    val stats = Dedup.clusterStats(d).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum === clusters.count())
+    val singles = stats.find(_.getAs[Long]("cluster_size") === 1L).get
+    assert(singles.getAs[Long]("n_removed") === 0L)
+    // every non-canonical doc in a 2+-cluster is counted as removed
+    val removed = clusters.filter(!col("is_canonical")).count()
+    assert(stats.map(_.getAs[Long]("n_removed")).sum === removed)
+  }
+
+  test("tokenHist buckets partition the corpus") {
+    val d = Tables.documents(spark, sf())
+    val hist = TextAnalysis.tokenHist(d).collect()
+    assert(hist.map(_.getAs[Long]("n_docs")).sum === d.count())
+    assert(hist.forall(r => r.getAs[Long]("bucket_lo") === r.getAs[Long]("bucket") * 16))
+  }
+
+  test("contamReport covers every benchmark doc with >=5 words") {
+    val d = Tables.documents(spark, sf())
+    val rep = TrainingData.contamReport(d)
+    val nBench = d.filter(col("source") === "src0" &&
+      size(split(trim(col("text")), "\\s+")) >= 5).count()
+    assert(rep.count() === nBench)
+    assert(rep.filter(col("overlap_frac") < 0 || col("overlap_frac") > 1).count() === 0)
+  }
+}
