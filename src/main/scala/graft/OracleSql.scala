@@ -1116,6 +1116,19 @@ object OracleSql {
              ELSE 'none' END AS stage
       FROM a ORDER BY user_id""",
 
+    // cohort retention: per-(user, day) distinct first, min-day cohorts,
+    // exact integer retention ratio
+    "q_cohort_retention" -> """
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      c AS (SELECT user_id, min(d) AS cohort_date FROM days GROUP BY 1),
+      s AS (SELECT cohort_date, count(*) AS cohort_size FROM c GROUP BY 1),
+      r AS (SELECT c.cohort_date, (d.d - c.cohort_date) AS day_offset, count(*) AS n_users
+            FROM days d JOIN c ON c.user_id = d.user_id GROUP BY 1, 2)
+      SELECT r.cohort_date, r.day_offset::BIGINT AS day_offset,
+        r.n_users::BIGINT AS n_users, s.cohort_size::BIGINT AS cohort_size,
+        round(r.n_users::DOUBLE / s.cohort_size::DOUBLE + 5e-9, 4) AS retention_pct
+      FROM r JOIN s USING (cohort_date) ORDER BY cohort_date, day_offset""",
+
     // plain join — the salted Spark plan must be result-transparent
     "q_salted_join" -> """
       WITH s AS (SELECT event_type,

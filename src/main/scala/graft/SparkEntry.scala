@@ -63,6 +63,7 @@ object SparkEntry {
     "q_topk_agg" -> ((s, d) => Relational.topkPerGroupAgg(Tables.orders(s, d))),
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => Relational.funnel(Tables.events(s, d))),
+    "q_cohort_retention" -> ((s, d) => Relational.cohortRetention(Tables.events(s, d))),
     "q_incremental_ingest" -> ((s, d) => {
       val ev = Tables.events(s, d)
       import org.apache.spark.sql.functions._

@@ -283,4 +283,27 @@ object Relational {
         count(lit(1)).as("n_events"), round(sum(col("value")) + lit(5e-9), 4).as("total_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** Cohort retention matrix: users grouped by their first active day,
+    * distinct-user counts per (cohort, day offset), and the retention
+    * fraction — the standard product-analytics view over the event
+    * stream. The per-(user, day) distinct collapses first (map-side
+    * partial before one user-hash exchange), so each later aggregate
+    * handles at most users × active-days narrow rows; the cohort-size
+    * side is dates-sized and broadcasts. Retention is an exact integer
+    * ratio. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("d")).as("cohort_date"))
+    val sizes = cohorts.groupBy(col("cohort_date")).agg(count(lit(1)).as("cohort_size"))
+    days.join(cohorts, Seq("user_id"))
+      .select(col("cohort_date"), datediff(col("d"), col("cohort_date")).cast("long").as("day_offset"))
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), Seq("cohort_date"))
+      .select(col("cohort_date"), col("day_offset"), col("n_users"), col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size").cast("double")
+          + lit(5e-9), 4).as("retention_pct"))
+      .orderBy(col("cohort_date"), col("day_offset"))
+  }
 }
