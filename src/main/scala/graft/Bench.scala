@@ -51,11 +51,15 @@ object Bench {
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale-pinned formatting: the default-locale f interpolator writes
+    // a comma decimal separator on e.g. de_DE JVMs, which is not JSON.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt(v: Double): String = if (v < 0) "-1" else num(v)
     def line(entries: Iterable[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
     }
     // Full per-query map for humans/judges (the stdout line is capped).
     val full = line(results, "")
@@ -70,11 +74,16 @@ object Bench {
     val out =
       if (full.length <= 1400) full
       else {
-        val slowest = results.toSeq.sortBy(-_._2)
-          .foldLeft(Vector.empty[(String, Double)]) { (acc, kv) =>
-            if (line(acc, "").length > 1250) acc else acc :+ kv
-          }
-        line(slowest, s""","n":${results.size},"omitted":${results.size - slowest.size}""")
+        // Failed queries (-1 sentinel) must survive the truncation —
+        // rank them ahead of the slowest successes so a capped line can
+        // never hide a failure.
+        val ranked = results.toSeq.sortBy { case (_, v) =>
+          if (v < 0) Double.NegativeInfinity else -v
+        }
+        val kept = ranked.foldLeft(Vector.empty[(String, Double)]) { (acc, kv) =>
+          if (line(acc, "").length > 1250) acc else acc :+ kv
+        }
+        line(kept, s""","n":${results.size},"omitted":${results.size - kept.size}""")
       }
     println(out)
     spark.stop()

@@ -112,10 +112,16 @@ object Dedup {
     * input for consumers ([[dedupClusters]]) that immediately re-shuffle
     * the pairs (the range exchange + sort would be dead work). */
   private def minhashLshPairsUnordered(docs: DataFrame, bands: Int = 16,
-      r: Int = 4, maxBucket: Int = 64): DataFrame = {
+      r: Int = 4, maxBucket: Int = 64): DataFrame =
+    pairsFromSig(minhashArray(docs, bands * r), bands, r, maxBucket)
+
+  /** LSH banding pairs from a precomputed signature frame — split out so
+    * callers that also need the signatures ([[minhashEstimate]]) reuse
+    * ONE sig subtree (identical subplans collapse via exchange reuse)
+    * instead of re-scanning and re-hashing the corpus. */
+  private def pairsFromSig(sig: DataFrame, bands: Int,
+      r: Int, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val k = bands * r
-    val sig = minhashArray(docs, k)
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until r).map(i =>
         element_at(col("mh"), b * r + i + 1).cast("string"))
@@ -156,7 +162,13 @@ object Dedup {
     * inherent to iterative graph algorithms (each round's result gates
     * the next); per-round work is fully distributed and the previous
     * round's cache is released every step. */
-  def dedupClusters(docs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def dedupClusters(docs: DataFrame, maxIter: Int = 50): DataFrame =
+    dedupClustersUnordered(docs, maxIter).orderBy(col("doc_id"))
+
+  /** [[dedupClusters]] without the deterministic output sort — for
+    * consumers ([[clusterStats]]) that immediately re-aggregate, where
+    * the range exchange + sort would be dead work. */
+  private def dedupClustersUnordered(docs: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = minhashLshPairsUnordered(docs).select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -200,7 +212,6 @@ object Dedup {
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** One large-star round (Kiveris et al., SoCC'14): every node u links
@@ -370,7 +381,7 @@ object Dedup {
     * for itself before anyone launches it. Piggybacks on
     * [[dedupClusters]]' fixpoint; the stats aggregate is metadata-sized. */
   def clusterStats(docs: DataFrame): DataFrame =
-    dedupClusters(docs)
+    dedupClustersUnordered(docs)
       .groupBy(col("cluster_size"))
       .agg(countDistinct(col("cluster_id")).as("n_clusters"),
         count(lit(1)).as("n_docs"),
@@ -425,9 +436,9 @@ object Dedup {
     * narrow (doc_id, ngram) semi-join shape as [[ngramJaccard]]). */
   def minhashEstimate(docs: DataFrame, bands: Int = 16, r: Int = 4): DataFrame = {
     val k = bands * r
-    val pairs = minhashLshPairsUnordered(docs, bands, r)
-    val ng = wordNgrams(docs)
     val sig = minhashArray(docs, k)
+    val pairs = pairsFromSig(sig, bands, r, maxBucket = 64)
+    val ng = wordNgrams(docs)
     val sa = sig.select(col("doc_id").as("doc_a"), col("mh").as("ma"),
       col("n_ngrams").as("na"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("mh").as("mb"),
