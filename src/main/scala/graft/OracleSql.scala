@@ -1471,6 +1471,112 @@ object OracleSql {
       SELECT vec_a, vec_b, round(cos + 5e-9, 4) AS cos
       FROM c WHERE cos >= $NeardupThreshold
       ORDER BY vec_a, vec_b"""
+    },
+
+    // int8 scalar quantization: floor(x·127/maxabs + 0.5) sidesteps the
+    // engines' differing round-half rules; folds are sequential
+    // list_reduce (≡ Spark's aggregate) so every double is bit-equal.
+    "q_embed_quantize" -> s"""
+      WITH
+      e AS (SELECT vec_id, list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      mx AS (SELECT vec_id, v,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(v, x -> abs(x))), (p, s) -> greatest(p, s)) AS maxabs
+             FROM e),
+      qq AS (SELECT vec_id, v, maxabs,
+               CASE WHEN maxabs > 0
+                 THEN list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))
+                 ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+             FROM mx)
+      SELECT vec_id, floor(maxabs * 1000000 + 0.5) / 1000000 AS maxabs,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(q, (c, i) -> c * i)), (p, s) -> p + s) AS code_sum,
+        len(list_filter(q, c -> abs(c) = 127)) AS n_sat,
+        len(list_filter(q, c -> c = 0)) AS n_zero,
+        CASE WHEN maxabs > 0 THEN
+          floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(v, (x, i) ->
+              (x - q[i] * maxabs / 127.0) * (x - q[i] * maxabs / 127.0))),
+            (p, s) -> p + s) * 1000000 + 0.5) / 1000000
+        ELSE 0.0 END AS recon_err
+      FROM qq ORDER BY vec_id""",
+
+    // Product quantization: codebook = sub-vectors of the first PqKs
+    // corpus vectors in md5 order (the annIvf sampling device);
+    // assignment = min over (d2, code_id); the packed word and the error
+    // fold both run over ORDER BY m lists (≡ Spark's sort_array fold).
+    "q_pq_codes" -> {
+      import graft.operators.Similarity.{PqKs, PqM, PqSubDim}
+      s"""
+      WITH
+      e AS (SELECT vec_id, list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      samp AS (SELECT v AS cv,
+                 row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code_id
+               FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqKs),
+      ms AS (SELECT unnest(range($PqM)) AS m),
+      cents AS (SELECT m, code_id,
+                  list_slice(cv, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS csub
+                FROM samp, ms),
+      sub AS (SELECT vec_id, m,
+                list_slice(v, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sv
+              FROM e, ms),
+      d AS (SELECT vec_id, sub.m, code_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(sv, (x, i) -> (x - csub[i]) * (x - csub[i]))),
+                (p, s) -> p + s) AS d2
+            FROM sub JOIN cents ON sub.m = cents.m),
+      best AS (SELECT vec_id, m, code_id AS code, d2 FROM d
+               QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code_id) = 1),
+      agg AS (SELECT vec_id, list(code ORDER BY m) AS codes, list(d2 ORDER BY m) AS d2s
+              FROM best GROUP BY vec_id)
+      SELECT vec_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(codes, (c, i) -> c << (4 * (i - 1)))), (p, s) -> p + s) AS pq_code,
+        floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), d2s), (p, s) -> p + s)
+          * 1000000 + 0.5) / 1000000 AS recon_err
+      FROM agg ORDER BY vec_id"""
+    },
+
+    // PQ asymmetric-distance (ADC) top-k: queries build an O(|Q|·M·Ks)
+    // codeword distance table; corpus vectors participate only through
+    // their nibble codes. ADC folds over ORDER BY m for a fixed order.
+    "q_ann_pq" -> {
+      import graft.operators.Similarity.{PqKs, PqM, PqSubDim, QueryCount}
+      s"""
+      WITH
+      e AS (SELECT vec_id, list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      samp AS (SELECT v AS cv,
+                 row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code_id
+               FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqKs),
+      ms AS (SELECT unnest(range($PqM)) AS m),
+      cents AS (SELECT m, code_id,
+                  list_slice(cv, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS csub
+                FROM samp, ms),
+      sub AS (SELECT vec_id, m,
+                list_slice(v, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sv
+              FROM e, ms),
+      d AS (SELECT vec_id, sub.m, code_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(sv, (x, i) -> (x - csub[i]) * (x - csub[i]))),
+                (p, s) -> p + s) AS d2
+            FROM sub JOIN cents ON sub.m = cents.m),
+      best AS (SELECT vec_id, m, code_id AS code FROM d
+               QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code_id) = 1),
+      dt AS (SELECT vec_id AS q_id, m, code_id, d2 AS qd2 FROM d WHERE vec_id < $QueryCount),
+      j AS (SELECT dt.q_id, b.vec_id AS nn_id, b.m, dt.qd2
+            FROM best b JOIN dt ON b.m = dt.m AND b.code = dt.code_id
+            WHERE b.vec_id <> dt.q_id),
+      a AS (SELECT q_id, nn_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd2 ORDER BY m)),
+                (p, s) -> p + s) AS adc
+            FROM j GROUP BY q_id, nn_id),
+      r AS (SELECT q_id, nn_id, adc,
+              row_number() OVER (PARTITION BY q_id ORDER BY adc, nn_id) AS rk FROM a)
+      SELECT q_id, nn_id, floor(adc * 1000000 + 0.5) / 1000000 AS adc, rk
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
     }
   )
 

@@ -103,6 +103,9 @@ object SparkEntry {
     "q_ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiprobe(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     "q_ann_ivf_lloyd" -> ((s, d) => Similarity.annIvfLloyd(Tables.embeddings(s, d))),
+    "q_embed_quantize" -> ((s, d) => Similarity.embedQuantize(Tables.embeddings(s, d))),
+    "q_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
+    "q_ann_pq" -> ((s, d) => Similarity.annPq(Tables.embeddings(s, d))),
     // F. text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),

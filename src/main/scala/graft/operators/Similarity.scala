@@ -61,8 +61,25 @@ object Similarity {
   val NeardupThreshold = 0.25
   val NeardupMaxBucket = 256
 
+  // Product quantization geometry: Dim = PqM × PqSubDim, one nibble per
+  // subspace code (PqKs = 16) → a 64-float vector compresses to one
+  // 32-bit code word (8 nibbles). The memory math is the point at scale:
+  // 100 TB of raw fp32 embeddings become ~1.6 TB of codes + an O(M·Ks)
+  // broadcast codebook, so ADC search never touches the raw vectors.
+  val PqM = 8
+  val PqSubDim = 8
+  val PqKs = 16
+
   /** Float embedding → double array (exact widening). */
   private def vecd(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** 6dp rounding as floor(x·10⁶ + 0.5)/10⁶: both engines compute the
+    * same double ops on the same input, so the result is bit-identical —
+    * unlike round(x, 6), whose half-tie algorithm differs (Spark rounds
+    * the shortest decimal repr, DuckDB the binary value; one sf0.01
+    * recon_err cell landed on the disagreement). Non-negative inputs. */
+  private def floor6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
 
   private def withVec(embeddings: DataFrame): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
@@ -291,6 +308,127 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         round(col("cos") + lit(5e-9), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  // ------------------------------------------------------------------
+  // Quantization family: the memory-bounded ANN path. Reference-scale
+  // corpora keep raw vectors; at 100 TB the index must live in codes.
+  // ------------------------------------------------------------------
+
+  /** int8 scalar quantization: per-vector symmetric max-abs scale,
+    * q_i = floor(x_i·127/maxabs + 0.5) ∈ [-127, 127] (the floor(+0.5)
+    * form sidesteps the engines' differing round-half tie rules), plus
+    * the reconstruction-error report a quantization job ships with.
+    * Narrow no-shuffle projection; all folds are sequential (oracle's
+    * `list_reduce` order), so every double matches bit-for-bit. */
+  def embedQuantize(embeddings: DataFrame): DataFrame = {
+    val e = withVec(embeddings)
+    // The raw scale column must NOT share its name with the rounded
+    // output alias: col("maxabs") references INSIDE the higher-order
+    // lambdas below resolve in a later analyzer pass, where a same-name
+    // alias earlier in the select wins over the child column — so dq
+    // would silently use the floor6-ROUNDED scale (three sf0.1
+    // recon_err cells flipped a 6dp digit that way; plain column refs
+    // outside lambdas resolve to the child and are unaffected).
+    e.withColumn("mxa",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("q",
+        when(col("mxa") > 0,
+          transform(col("v"), x =>
+            floor(x * lit(127.0) / col("mxa") + lit(0.5))))
+          .otherwise(transform(col("v"), _ => lit(0L))))
+      .select(col("vec_id"),
+        floor6(col("mxa")).as("maxabs"),
+        // positional checksum of the code vector — exact integer parity
+        aggregate(transform(col("q"), (qi, i) => qi * (i + 1).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("code_sum"),
+        size(filter(col("q"), qi => abs(qi) === 127)).cast("long").as("n_sat"),
+        size(filter(col("q"), qi => qi === 0)).cast("long").as("n_zero"),
+        when(col("mxa") > 0,
+          floor6(aggregate(zip_with(col("v"), col("q"), (x, qi) => {
+            val d = x - qi.cast("double") * col("mxa") / lit(127.0)
+            d * d
+          }), lit(0.0), (acc, x) => acc + x)))
+          .otherwise(lit(0.0)).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Deterministic PQ codebook: subspace m's codewords are the m-th
+    * sub-vectors of the first PqKs corpus vectors in md5 order — the
+    * same O(K) bounded-sample device as [[annIvf]]'s centroids, so the
+    * codebook broadcast is O(PqM·PqKs) regardless of corpus size. */
+  private def pqCodebook(e: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("h"), col("cent_id")) // 16 rows post-limit
+    e.select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("cent_id")).limit(PqKs)
+      .withColumn("code_id", row_number().over(w).cast("long") - 1)
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("m"), col("code_id"),
+        slice(col("cv"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("csub"))
+  }
+
+  /** Per-(vector, subspace) nearest-codeword assignment: map-side
+    * combinable `min_by` over (d2, code_id) — the IVF assignment shape,
+    * never a full-corpus window. Carries only (vec_id, m, code, d2). */
+  private def pqAssign(e: DataFrame): DataFrame =
+    e.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+      .join(broadcast(pqCodebook(e)), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code_id"),
+        dist2(col("sv"), col("csub")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("code_id"), col("d2")),
+        struct(col("d2"), col("code_id"))).as("bc"))
+      .select(col("vec_id"), col("m"),
+        col("bc.code_id").as("code"), col("bc.d2").as("d2"))
+
+  /** Product-quantization codes: each vector → one packed 32-bit word
+    * (8 nibbles, subspace m at bits 4m) + total reconstruction error.
+    * The per-vector fold runs over the m-sorted struct array so the
+    * error summation order is fixed (matches the oracle's ORDER BY m
+    * list fold). */
+  def pqCodes(embeddings: DataFrame): DataFrame =
+    pqAssign(withVec(embeddings))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("code"), col("d2")))).as("arr"))
+      .select(col("vec_id"),
+        expr("aggregate(arr, 0L, (acc, s) -> acc + shiftleft(s.code, cast(s.m as int) * 4))")
+          .as("pq_code"),
+        floor6(expr("aggregate(arr, cast(0.0 as double), (acc, s) -> acc + s.d2)"))
+          .as("recon_err"))
+      .orderBy(col("vec_id"))
+
+  /** PQ asymmetric-distance (ADC) top-k: queries precompute an
+    * O(|Q|·M·Ks) distance table to every codeword (broadcast), corpus
+    * vectors participate ONLY through their 8 nibble codes — the raw
+    * vectors never join, which is the whole point of PQ at 100 TB.
+    * Approximate d² = Σ_m dtable[q][m][code_m], folded over the m-sorted
+    * array for a fixed summation order. */
+  def annPq(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val e = withVec(embeddings)
+    val codes = pqAssign(e).select(col("vec_id"), col("m"), col("code"))
+    val dtable = e.filter(col("vec_id") < QueryCount)
+      .withColumn("qm", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("vec_id").as("q_id"), col("qm"),
+        slice(col("v"), col("qm") * PqSubDim + 1, lit(PqSubDim)).as("qsv"))
+      .join(broadcast(pqCodebook(e)), col("qm") === col("m"))
+      .select(col("q_id"), col("qm"), col("code_id"),
+        dist2(col("qsv"), col("csub")).as("qd2"))
+    val adc = codes
+      .join(broadcast(dtable),
+        col("m") === col("qm") && col("code") === col("code_id") &&
+          col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("qd2")))).as("arr"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        expr("aggregate(arr, cast(0.0 as double), (acc, s) -> acc + s.qd2)").as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("nn_id"))
+    adc.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("nn_id"), floor6(col("adc")).as("adc"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
   }
 
   /** Embedding-cosine near-dup pairs in an id-banded candidate window

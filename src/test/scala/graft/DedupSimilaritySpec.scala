@@ -247,4 +247,91 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(single.keySet.subsetOf(multi.keySet))
     single.foreach { case (q, c) => assert(multi(q) >= c) }
   }
+
+  private def mkEmb(rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("embedQuantize: hand-checked codes, saturation, and zero vector") {
+    // v = [1, -0.5, 0.25, 0]: maxabs = 1, q = [127, -63, 32, 0]
+    //   code_sum = 127·1 - 63·2 + 32·3 + 0·4 = 97
+    val out = Similarity.embedQuantize(mkEmb(Seq(
+      1L -> Seq(1.0f, -0.5f, 0.25f, 0.0f),
+      2L -> Seq(0.0f, 0.0f, 0.0f, 0.0f)))).collect()
+    val r1 = out.find(_.getAs[Long]("vec_id") == 1L).get
+    assert(r1.getAs[Double]("maxabs") === 1.0)
+    assert(r1.getAs[Long]("code_sum") === 97L)
+    assert(r1.getAs[Long]("n_sat") === 1L)
+    assert(r1.getAs[Long]("n_zero") === 1L)
+    assert(r1.getAs[Double]("recon_err") < 1e-4)
+    val r2 = out.find(_.getAs[Long]("vec_id") == 2L).get
+    assert(r2.getAs[Long]("code_sum") === 0L)
+    assert(r2.getAs[Long]("n_zero") === 4L)
+    assert(r2.getAs[Double]("recon_err") === 0.0)
+  }
+
+  test("embedQuantize on the real corpus: int8 error is tiny vs vector norm") {
+    val e = Tables.embeddings(spark, sf())
+    val joined = Similarity.embedQuantize(e).join(e, "vec_id")
+      .select(col("recon_err"),
+        aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x).as("nrm2"))
+      .collect()
+    // per-dim max error is maxabs/254, so err/nrm2 stays well under 1%
+    joined.filter(_.getAs[Double]("nrm2") > 0).foreach { r =>
+      assert(r.getAs[Double]("recon_err") <= 0.01 * r.getAs[Double]("nrm2"))
+    }
+  }
+
+  test("pqCodes: vectors equal to a codeword reconstruct exactly") {
+    // all vectors identical -> every sampled codeword equals every
+    // vector's sub-vector -> zero reconstruction error, same code word
+    val v = (0 until 64).map(i => (i % 7).toFloat - 3f)
+    val out = Similarity.pqCodes(mkEmb((1L to 20L).map(_ -> v))).collect()
+    assert(out.length === 20)
+    assert(out.forall(_.getAs[Double]("recon_err") === 0.0))
+    assert(out.map(_.getAs[Long]("pq_code")).distinct.length === 1)
+  }
+
+  test("pqCodes on the real corpus: packed nibbles all reference the codebook") {
+    val out = Similarity.pqCodes(Tables.embeddings(spark, sf())).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val code = r.getAs[Long]("pq_code")
+      assert(code >= 0L && code < (1L << 32))
+      (0 until Similarity.PqM).foreach { m =>
+        assert(((code >> (4 * m)) & 0xfL) < Similarity.PqKs)
+      }
+      assert(r.getAs[Double]("recon_err") >= 0.0)
+    }
+  }
+
+  test("annPq: ADC recall against the exact L2 top-k at sf0.001") {
+    val e = Tables.embeddings(spark, sf())
+    import spark.implicits._
+    val ev = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = ev.filter(col("vec_id") < Similarity.QueryCount)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = ev.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        aggregate(zip_with(col("v"), col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("nn_id"))
+    val exactTop = exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).select("q_id", "nn_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val adcTop = Similarity.annPq(e, k = 5).select("q_id", "nn_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val hits = exactTop.map { case (qid, nns) =>
+      adcTop.getOrElse(qid, Set.empty).count(nns.contains) }.sum
+    val recall = hits.toDouble / exactTop.map(_._2.size).sum
+    // 4-bit-per-subspace PQ on near-random 64-dim data is a coarse
+    // sketch: measured recall@5 is 0.10 vs a ~0.01 random baseline.
+    info(f"PQ ADC recall@5 vs exact L2: $recall%.2f")
+    assert(recall >= 0.05, f"ADC recall $recall%.2f below 0.05")
+  }
 }
