@@ -1292,7 +1292,87 @@ object OracleSql {
              THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
                / (n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE) + 5e-9, 4) + 0.0
         END AS beta
-      FROM m ORDER BY symbol"""
+      FROM m ORDER BY symbol""",
+
+    // rolling extrema + dyadic midline — every cell bit-deterministic
+    "q_donchian" -> s"""
+      WITH $barsCte, $rnCte
+      SELECT symbol, bar_ts, "close",
+        CASE WHEN rn >= 20 THEN round(max(high) ${wf("ROWS BETWEEN 19 PRECEDING AND CURRENT ROW")} + 5e-9, 4) END AS dc_upper,
+        CASE WHEN rn >= 20 THEN round(min(low) ${wf("ROWS BETWEEN 19 PRECEDING AND CURRENT ROW")} + 5e-9, 4) END AS dc_lower,
+        CASE WHEN rn >= 20 THEN round((max(high) ${wf("ROWS BETWEEN 19 PRECEDING AND CURRENT ROW")}
+          + min(low) ${wf("ROWS BETWEEN 19 PRECEDING AND CURRENT ROW")}) / 2 + 5e-9, 4) END AS dc_mid
+      FROM b ORDER BY symbol, bar_ts""",
+
+    // MFI(14): all flow sums in exact DECIMAL (tp3 = 3·typical price —
+    // the factor cancels in pos/neg); one double division at the edge
+    "q_mfi" -> s"""
+      WITH $barsCte,
+      t AS (SELECT symbol, bar_ts, volume,
+              CAST(high + low + "close" AS DECIMAL(18,6)) AS tp3,
+              lag(CAST(high + low + "close" AS DECIMAL(18,6)), 1) ${wf("")} AS prev_tp3,
+              row_number() ${wf("")} AS rn
+            FROM bars),
+      f AS (SELECT symbol, bar_ts, rn,
+              CASE WHEN prev_tp3 IS NOT NULL AND tp3 > prev_tp3
+                THEN CAST(tp3 * volume AS DECIMAL(38,6))
+                ELSE CAST(0 AS DECIMAL(38,6)) END AS pos_mf,
+              CASE WHEN prev_tp3 IS NOT NULL AND tp3 < prev_tp3
+                THEN CAST(tp3 * volume AS DECIMAL(38,6))
+                ELSE CAST(0 AS DECIMAL(38,6)) END AS neg_mf
+            FROM t),
+      s AS (SELECT symbol, bar_ts, rn,
+              sum(pos_mf) ${wf("ROWS BETWEEN 13 PRECEDING AND CURRENT ROW")} AS pos,
+              sum(neg_mf) ${wf("ROWS BETWEEN 13 PRECEDING AND CURRENT ROW")} AS neg
+            FROM f)
+      SELECT symbol, bar_ts,
+        CASE WHEN rn < 15 THEN NULL
+             WHEN neg = 0 THEN 100.0
+             ELSE round(100.0::DOUBLE - 100.0::DOUBLE /
+               (1.0::DOUBLE + pos::DOUBLE / neg::DOUBLE) + 5e-9, 4) END AS mfi
+      FROM s ORDER BY symbol, bar_ts""",
+
+    // candlestick flags: pure comparisons over identical doubles
+    "q_candles" -> s"""
+      WITH $barsCte,
+      c AS (SELECT symbol, bar_ts, "open", "close",
+              abs("close" - "open") AS body,
+              high - low AS rng,
+              high - greatest("open", "close") AS uw,
+              least("open", "close") - low AS lw,
+              lag("open", 1) ${wf("")} AS p_open,
+              lag("close", 1) ${wf("")} AS p_close
+            FROM bars)
+      SELECT symbol, bar_ts, "open", "close",
+        round(body + 5e-9, 4) AS body,
+        (rng > 0 AND body * 10 <= rng) AS is_doji,
+        (rng > 0 AND lw >= body * 2 AND uw <= body) AS is_hammer,
+        (p_close IS NOT NULL AND p_close < p_open AND "close" > "open"
+          AND "open" <= p_close AND "close" >= p_open) AS bull_engulf,
+        (p_close IS NOT NULL AND p_close > p_open AND "close" < "open"
+          AND "open" >= p_close AND "close" <= p_open) AS bear_engulf
+      FROM c ORDER BY symbol, bar_ts""",
+
+    // floor-trader pivots from the PRIOR day's H/L/C; first day omitted
+    "q_pivot_points" -> s"""
+      WITH $barsCte,
+      d AS (SELECT symbol, CAST(bar_ts AS DATE) AS bar_date,
+              max(high) AS d_high, min(low) AS d_low,
+              arg_max("close", bar_ts) AS d_close
+            FROM bars GROUP BY 1, 2),
+      l AS (SELECT symbol, bar_date,
+              lag(d_high, 1) OVER wd AS ph,
+              lag(d_low, 1) OVER wd AS pl,
+              lag(d_close, 1) OVER wd AS pc
+            FROM d
+            WINDOW wd AS (PARTITION BY symbol ORDER BY bar_date))
+      SELECT symbol, bar_date,
+        round((ph + pl + pc) / 3 + 5e-9, 4) AS pivot,
+        round((ph + pl + pc) / 3 * 2 - pl + 5e-9, 4) AS r1,
+        round((ph + pl + pc) / 3 * 2 - ph + 5e-9, 4) AS s1,
+        round((ph + pl + pc) / 3 + (ph - pl) + 5e-9, 4) AS r2,
+        round((ph + pl + pc) / 3 - (ph - pl) + 5e-9, 4) AS s2
+      FROM l WHERE ph IS NOT NULL ORDER BY symbol, bar_date"""
   )
 
   /** Multi-table LSH oracle: mirrors Similarity.{corpusBuckets,

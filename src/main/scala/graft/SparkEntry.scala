@@ -53,6 +53,10 @@ object SparkEntry {
     "q_volume_pivot" -> ((s, d) => Indicators.volumePivot(bars(s, d))),
     "q_volume_unpivot" -> ((s, d) => Indicators.volumeUnpivot(bars(s, d))),
     "q_latest_metrics" -> ((s, d) => Indicators.latestMetrics(bars(s, d))),
+    "q_donchian" -> ((s, d) => Indicators.donchian(bars(s, d))),
+    "q_mfi" -> ((s, d) => Indicators.mfi(bars(s, d))),
+    "q_candles" -> ((s, d) => Indicators.candlePatterns(bars(s, d))),
+    "q_pivot_points" -> ((s, d) => Indicators.pivotPoints(bars(s, d))),
     // C. relational core
     "q1_agg" -> ((s, d) => Relational.q1(Tables.lineitem(s, d))),
     "q_join_agg" -> ((s, d) => Relational.joinAgg(Tables.orders(s, d),

@@ -450,4 +450,95 @@ object Indicators {
         when(den > 0, round(num / den + lit(5e-9), 4)).as("beta"))
       .orderBy(col("symbol"))
   }
+
+  /** Donchian channels (20-bar): rolling extrema of high/low plus the
+    * dyadic midline — max/min carry no float drift and /2 is exact, so
+    * every cell is bit-deterministic. Same single symbol exchange. */
+  def donchian(bars: DataFrame, n: Int = 20): DataFrame = {
+    val upper = max(col("high")).over(wr(n))
+    val lower = min(col("low")).over(wr(n))
+    bars.select(col("symbol"), col("bar_ts"), col("close"),
+        gated(n)(round(upper + lit(5e-9), 4)).as("dc_upper"),
+        gated(n)(round(lower + lit(5e-9), 4)).as("dc_lower"),
+        gated(n)(round((upper + lower) / 2 + lit(5e-9), 4)).as("dc_mid"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Money Flow Index MFI(14) — the volume-weighted RSI analogue. All
+    * flow arithmetic runs in exact DECIMAL: tp3 = high+low+close (3×
+    * the typical price — the factor cancels in the pos/neg ratio, so
+    * dividing by 3 and its repeating-decimal hazard never happens),
+    * money flow = tp3·volume, and the 14-bar positive/negative flow
+    * sums stay decimal until ONE double division at the edge. A null
+    * prior bar contributes no flow. */
+  def mfi(bars: DataFrame, n: Int = 14): DataFrame = {
+    val tp3 = (col("high") + col("low") + col("close")).cast("decimal(18,6)")
+    val zero = lit(0).cast("decimal(38,6)")
+    val base = bars.select(col("symbol"), col("bar_ts"), col("volume"),
+      tp3.as("tp3"), lag(tp3, 1).over(w).as("prev_tp3"), rn.as("rn"))
+    val mf = (col("tp3") * col("volume")).cast("decimal(38,6)")
+    val flows = base.select(col("symbol"), col("bar_ts"), col("rn"),
+      when(col("prev_tp3").isNotNull && col("tp3") > col("prev_tp3"), mf)
+        .otherwise(zero).as("pos_mf"),
+      when(col("prev_tp3").isNotNull && col("tp3") < col("prev_tp3"), mf)
+        .otherwise(zero).as("neg_mf"))
+    flows.select(col("symbol"), col("bar_ts"),
+        sum(col("pos_mf")).over(wr(n)).as("pos"),
+        sum(col("neg_mf")).over(wr(n)).as("neg"), col("rn"))
+      .select(col("symbol"), col("bar_ts"),
+        when(col("rn") < n + 1, lit(null).cast("double"))
+          .when(col("neg") === 0, lit(100.0))
+          .otherwise(round(lit(100.0) - lit(100.0) /
+            (lit(1.0) + col("pos").cast("double") / col("neg").cast("double"))
+            + lit(5e-9), 4)).as("mfi"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Candlestick pattern flags: doji, hammer, and bullish/bearish
+    * engulfing. Pure comparisons over identical doubles on both engines
+    * (body/wick geometry, lagged prior candle), so every boolean is
+    * bit-deterministic — no rounding in the predicates themselves. */
+  def candlePatterns(bars: DataFrame): DataFrame = {
+    val body = abs(col("close") - col("open"))
+    val rng = col("high") - col("low")
+    val upperWick = col("high") - greatest(col("open"), col("close"))
+    val lowerWick = least(col("open"), col("close")) - col("low")
+    val prevOpen = lag(col("open"), 1).over(w)
+    val prevClose = lag(col("close"), 1).over(w)
+    bars.select(col("symbol"), col("bar_ts"), col("open"), col("close"),
+        round(body + lit(5e-9), 4).as("body"),
+        (rng > 0 && body * 10 <= rng).as("is_doji"),
+        (rng > 0 && lowerWick >= body * 2 && upperWick <= body).as("is_hammer"),
+        (prevClose.isNotNull && prevClose < prevOpen && col("close") > col("open") &&
+          col("open") <= prevClose && col("close") >= prevOpen).as("bull_engulf"),
+        (prevClose.isNotNull && prevClose > prevOpen && col("close") < col("open") &&
+          col("open") >= prevClose && col("close") <= prevOpen).as("bear_engulf"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Classic floor-trader pivot points: each day's P/R1/S1/R2/S2 levels
+    * derive from the PRIOR day's high/low/close (daily rollup →
+    * one-day lag → level arithmetic in the oracle's association
+    * order). Bars collapse map-side to one row per (symbol, day)
+    * before the tiny per-symbol lag window; days without a prior day
+    * are omitted, matching the trading definition. */
+  def pivotPoints(bars: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("symbol")).orderBy(col("bar_date"))
+    val p = (col("ph") + col("pl") + col("pc")) / 3
+    bars.groupBy(col("symbol"), to_date(col("bar_ts")).as("bar_date"))
+      .agg(max(col("high")).as("d_high"), min(col("low")).as("d_low"),
+        max_by(col("close"), col("bar_ts")).as("d_close"))
+      .select(col("symbol"), col("bar_date"),
+        lag(col("d_high"), 1).over(wd).as("ph"),
+        lag(col("d_low"), 1).over(wd).as("pl"),
+        lag(col("d_close"), 1).over(wd).as("pc"))
+      .filter(col("ph").isNotNull)
+      .select(col("symbol"), col("bar_date"),
+        round(p + lit(5e-9), 4).as("pivot"),
+        round(p * 2 - col("pl") + lit(5e-9), 4).as("r1"),
+        round(p * 2 - col("ph") + lit(5e-9), 4).as("s1"),
+        round(p + (col("ph") - col("pl")) + lit(5e-9), 4).as("r2"),
+        round(p - (col("ph") - col("pl")) + lit(5e-9), 4).as("s2"))
+      .orderBy(col("symbol"), col("bar_date"))
+  }
 }

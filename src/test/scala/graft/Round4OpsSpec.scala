@@ -36,6 +36,64 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("drawdown_pct")).toSeq === Seq(0.0, 20.0, 0.0, 25.0))
   }
 
+  private def mkOhlc(rows: Seq[(String, String, Double, Double, Double, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (sym, ts, o, h, l, c) =>
+      (sym, Timestamp.valueOf(ts), o, h, l, c, 1L, c) }
+      .toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume", "vsum")
+  }
+
+  test("donchian: channel tracks the 20-bar extrema, warmup is null-gated") {
+    val b = mkBars((0 until 25).map(i =>
+      ("A", f"2024-01-01 ${10 + i / 12}%02d:${(i % 12) * 5}%02d:00", 100.0 + i, 1L)))
+    val out = Indicators.donchian(b).collect()
+    assert(out.take(19).forall(_.isNullAt(out(0).fieldIndex("dc_upper"))))
+    val last = out.last // bars 5..24 in window: close 105..124
+    assert(last.getAs[Double]("dc_upper") === 124.0)
+    assert(last.getAs[Double]("dc_lower") === 105.0)
+    assert(last.getAs[Double]("dc_mid") === 114.5)
+  }
+
+  test("mfi: all-rising prices saturate at 100, all-falling at 0") {
+    def series(step: Double) = (0 until 20).map(i =>
+      ("A", f"2024-01-01 ${10 + i / 12}%02d:${(i % 12) * 5}%02d:00", 100.0 + step * i, 5L))
+    val up = Indicators.mfi(mkBars(series(1.0))).collect()
+    assert(up.take(14).forall(_.isNullAt(2)))
+    assert(up.drop(14).forall(_.getAs[Double]("mfi") === 100.0))
+    val down = Indicators.mfi(mkBars(series(-1.0))).collect()
+    assert(down.drop(14).forall(_.getAs[Double]("mfi") === 0.0))
+  }
+
+  test("candlePatterns: planted doji, hammer, and engulfing pair") {
+    val out = Indicators.candlePatterns(mkOhlc(Seq(
+      ("A", "2024-01-01 10:00:00", 100.0, 105.0, 95.0, 100.2),  // doji: body .2, range 10
+      ("A", "2024-01-01 10:05:00", 100.0, 101.6, 90.0, 101.5),  // hammer: lw 10, body 1.5, uw .1
+      ("A", "2024-01-01 10:10:00", 102.0, 102.5, 97.5, 98.0),   // red candle
+      ("A", "2024-01-01 10:15:00", 97.0, 103.5, 96.5, 103.0)))) // engulfs it (green)
+      .collect()
+    assert(out(0).getAs[Boolean]("is_doji"))
+    assert(!out(1).getAs[Boolean]("is_doji"))
+    assert(out(1).getAs[Boolean]("is_hammer"))
+    assert(out(3).getAs[Boolean]("bull_engulf"))
+    assert(!out(3).getAs[Boolean]("bear_engulf"))
+    assert(!out(2).getAs[Boolean]("bull_engulf"))
+  }
+
+  test("pivotPoints: day-2 levels derive from day-1 H/L/C, day 1 omitted") {
+    val out = Indicators.pivotPoints(mkOhlc(Seq(
+      ("A", "2024-01-01 10:00:00", 100.0, 110.0, 90.0, 104.0),
+      ("A", "2024-01-01 10:05:00", 104.0, 112.0, 95.0, 105.0), // day1: H=112 L=90 C=105
+      ("A", "2024-01-02 10:00:00", 106.0, 108.0, 104.0, 107.0)))).collect()
+    assert(out.length === 1) // day 1 has no prior day
+    val r = out(0)
+    val p = (112.0 + 90.0 + 105.0) / 3
+    assert(math.abs(r.getAs[Double]("pivot") - p) < 1e-3)
+    assert(math.abs(r.getAs[Double]("r1") - (2 * p - 90.0)) < 1e-3)
+    assert(math.abs(r.getAs[Double]("s1") - (2 * p - 112.0)) < 1e-3)
+    assert(math.abs(r.getAs[Double]("r2") - (p + 22.0)) < 1e-3)
+    assert(math.abs(r.getAs[Double]("s2") - (p - 22.0)) < 1e-3)
+  }
+
   test("iqrOutliers flags a planted extreme volume and nothing typical") {
     val typical = (0 until 20).map(i =>
       ("A", f"2024-01-01 10:${i}%02d:00", 10.0, 100L + (i % 5)))
