@@ -1372,7 +1372,71 @@ object OracleSql {
         round((ph + pl + pc) / 3 * 2 - ph + 5e-9, 4) AS s1,
         round((ph + pl + pc) / 3 + (ph - pl) + 5e-9, 4) AS r2,
         round((ph + pl + pc) / 3 - (ph - pl) + 5e-9, 4) AS s2
-      FROM l WHERE ph IS NOT NULL ORDER BY symbol, bar_date"""
+      FROM l WHERE ph IS NOT NULL ORDER BY symbol, bar_date""",
+
+    // TPC-H Q3 shape: top-10 selection happens on the EXACT decimal
+    // revenue (ties broken by orderkey); rounding only at the edge
+    "q_shipping_priority" -> """
+      WITH r AS (
+        SELECT l_orderkey, sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount)
+                 AS DECIMAL(18,6))) AS rev_exact,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY rev_exact DESC, l_orderkey LIMIT 10)
+      SELECT l_orderkey, round(rev_exact, 2)::DOUBLE AS revenue,
+        o_orderdate, o_orderpriority
+      FROM r ORDER BY revenue DESC, l_orderkey""",
+
+    // GROUPING SETS — the shape rollup/cube cannot express
+    "q_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+        grouping(l_returnflag)::BIGINT AS g_rf,
+        grouping(l_linestatus)::BIGINT AS g_ls,
+        count(*) AS n,
+        round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2)::DOUBLE AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus))
+      ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""",
+
+    // 2-D skyline: same two-step algorithm as the Spark side (max size
+    // per distinct price, then a running-max sweep over the price
+    // order); the dominance semantics are spec-proven vs a naive
+    // cross-join on the Spark side
+    "q_skyline" -> """
+      WITH pp AS (SELECT p_retailprice AS sky_price, max(p_size) AS sky_size
+                  FROM part GROUP BY 1),
+      sw AS (SELECT sky_price, sky_size,
+               max(sky_size) OVER (ORDER BY sky_price
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper
+             FROM pp),
+      fr AS (SELECT sky_price, sky_size FROM sw
+             WHERE best_cheaper IS NULL OR best_cheaper < sky_size)
+      SELECT p_partkey, p_name, p_retailprice, p_size
+      FROM part JOIN fr ON p_retailprice = sky_price AND p_size = sky_size
+      ORDER BY p_partkey""",
+
+    // integer-tf keyword search; top-k selected on (score DESC, doc_id)
+    "q_keyword_search" -> """
+      WITH t AS (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS lw
+             FROM documents),
+      f AS (SELECT doc_id,
+              len(list_filter(lw, w -> w = 'hash'))::BIGINT AS tf_hash,
+              len(list_filter(lw, w -> w = 'join'))::BIGINT AS tf_join,
+              len(list_filter(lw, w -> w = 'scan'))::BIGINT AS tf_scan
+            FROM t)
+      SELECT doc_id, tf_hash + tf_join + tf_scan AS score,
+        (tf_hash > 0 AND tf_join > 0 AND tf_scan > 0) AS all_terms,
+        tf_hash, tf_join, tf_scan
+      FROM f WHERE tf_hash + tf_join + tf_scan > 0
+      ORDER BY score DESC, doc_id LIMIT 20"""
   )
 
   /** Multi-table LSH oracle: mirrors Similarity.{corpusBuckets,

@@ -68,6 +68,11 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => Relational.funnel(Tables.events(s, d))),
     "q_cohort_retention" -> ((s, d) => Relational.cohortRetention(Tables.events(s, d))),
+    "q_shipping_priority" -> ((s, d) => Relational.shippingPriority(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_grouping_sets" -> ((s, d) => Relational.groupingSetsQty(Tables.lineitem(s, d))),
+    "q_skyline" -> ((s, d) => Relational.skylineParts(Tables.part(s, d))),
+    "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(Tables.documents(s, d))),
     "q_incremental_ingest" -> ((s, d) => {
       val ev = Tables.events(s, d)
       import org.apache.spark.sql.functions._

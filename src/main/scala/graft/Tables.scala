@@ -46,6 +46,8 @@ object Tables {
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")

@@ -284,6 +284,80 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** TPC-H Q3-shape shipping priority: segment-filtered customers ⋈
+    * open orders ⋈ not-yet-shipped lineitems, revenue per order, top 10.
+    * All three filters reach their parquet scans (PushedFilters);
+    * revenue sums in exact DECIMAL; the top-10 is a TakeOrdered over
+    * the EXACT decimal revenue (no global sort shuffle, rounding only
+    * at the output edge). Customer is small relative to orders — hint
+    * it broadcast so only lineitem⋈orders shuffles on orderkey. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String = "BUILDING",
+      cutoff: String = "1998-06-01 00:00:00"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders.filter(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cut),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(rev).as("rev_exact"))
+      .orderBy(col("rev_exact").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"),
+        round(col("rev_exact"), 2).cast("double").as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+  }
+
+  /** GROUPING SETS aggregate — the shape ROLLUP/CUBE can't express:
+    * ((returnflag, linestatus), (returnflag), (linestatus)) with
+    * GROUPING markers distinguishing the levels. Partial-aggregatable
+    * like any hash aggregate; each set's output is dictionary-sized. */
+  def groupingSetsQty(lineitem: DataFrame): DataFrame = {
+    val qty = col("l_quantity").cast("decimal(18,6)")
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n"),
+        round(sum(qty), 2).cast("double").as("sum_qty"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** 2-D skyline (Pareto frontier) of parts: minimize retail price,
+    * maximize size. Physical algorithm: collapse to the max size per
+    * distinct price (one partial-aggregatable shuffle), then a single
+    * running-max sweep over the price-sorted distinct points — a point
+    * survives iff its size beats every strictly-cheaper point's — and
+    * a semi-join back to parts. The sweep window runs over DISTINCT
+    * PRICES (dictionary-sized, not data-sized); at cluster scale the
+    * same sweep runs as a range-partitioned segmented scan. The
+    * dominance definition itself (no other part with price ≤ AND
+    * size ≥, strict in one) is spec-proven equal on a naive
+    * cross-join; the oracle mirrors this two-step algorithm. */
+  def skylineParts(part: DataFrame): DataFrame = {
+    val perPrice = part.groupBy(col("p_retailprice").as("sky_price"))
+      .agg(max(col("p_size")).as("sky_size"))
+    val wSweep = Window.orderBy(col("sky_price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("best_cheaper", max(col("sky_size")).over(wSweep))
+      .filter(col("best_cheaper").isNull || col("best_cheaper") < col("sky_size"))
+      .select(col("sky_price"), col("sky_size"))
+    part.join(broadcast(frontier),
+        col("p_retailprice") === col("sky_price") &&
+          col("p_size") === col("sky_size"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+        col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Cohort retention matrix: users grouped by their first active day,
     * distinct-user counts per (cohort, day offset), and the retention
     * fraction — the standard product-analytics view over the event

@@ -156,6 +156,29 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Keyword search with integer term-frequency ranking: for a fixed
+    * query, per-doc tf of each term over lowercased whitespace tokens,
+    * docs matching ANY term ranked by (Σtf DESC, doc_id), an all-terms
+    * flag for AND semantics. Integer scores — zero float parity risk —
+    * and the per-doc tf is a narrow projection (no explode, no
+    * shuffle); the global top-k is a TakeOrdered, so the full ranking
+    * never sorts corpus-wide. */
+  def keywordSearch(docs: DataFrame,
+      terms: Seq[String] = Seq("hash", "join", "scan"), k: Int = 20): DataFrame = {
+    val lws = split(trim(lower(col("text"))), "\\s+")
+    val tfCols = terms.map(t =>
+      size(filter(col("lw"), w => w === t)).cast("long").as(s"tf_$t"))
+    val score = terms.map(t => col(s"tf_$t")).reduce(_ + _)
+    val allTerms = terms.map(t => col(s"tf_$t") > 0).reduce(_ && _)
+    docs.select(col("doc_id"), lws.as("lw"))
+      .select(col("doc_id") +: tfCols: _*)
+      .select(Seq(col("doc_id"), score.as("score"), allTerms.as("all_terms")) ++
+        terms.map(t => col(s"tf_$t")): _*)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus composition report: doc/char counts by (source, lang) with
     * CUBE subtotals — the mix table a data-curation run reads before
     * weighting sources ([[TrainingData.dataMix]]). Subtotal rows surface

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Indicators, TextAnalysis, TrainingData}
+import graft.operators.{Dedup, Indicators, Relational, TextAnalysis, TrainingData}
 
 /** Specs for the round-4 operator wave: finance analytics (drawdown,
   * fences, beta, daily returns, z-score), segment dedup, MinHash
@@ -218,5 +218,75 @@ class Round4OpsSpec extends SparkSpec {
       size(split(trim(col("text")), "\\s+")) >= 5).count()
     assert(rep.count() === nBench)
     assert(rep.filter(col("overlap_frac") < 0 || col("overlap_frac") > 1).count() === 0)
+  }
+
+  test("shippingPriority: filters apply and top-k ranks by exact revenue") {
+    import spark.implicits._
+    val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val cut = Timestamp.valueOf("1998-06-01 00:00:00")
+    val before = Timestamp.valueOf("1998-01-01 00:00:00")
+    val after = Timestamp.valueOf("1998-12-01 00:00:00")
+    val orders = Seq(
+      (10L, 1L, before, "1-URGENT"),  // qualifies
+      (11L, 1L, after, "2-HIGH"),     // order too late
+      (12L, 2L, before, "3-MEDIUM"))  // wrong segment
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (10L, 100.0, 0.1, after),   // rev 90
+      (10L, 50.0, 0.0, after),    // rev 50 -> order 10 total 140
+      (10L, 999.0, 0.0, before),  // shipped before cutoff: excluded
+      (11L, 500.0, 0.0, after), (12L, 500.0, 0.0, after))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val out = Relational.shippingPriority(cust, orders, li).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("l_orderkey") === 10L)
+    assert(out(0).getAs[Double]("revenue") === 140.0)
+    assert(out(0).getAs[String]("o_orderpriority") === "1-URGENT")
+  }
+
+  test("groupingSets: subtotal levels are consistent with the base level") {
+    val li = Tables.lineitem(spark, sf())
+    val out = Relational.groupingSetsQty(li).collect()
+    val base = out.filter(r => r.getAs[Long]("g_rf") == 0 && r.getAs[Long]("g_ls") == 0)
+    val byRf = out.filter(r => r.getAs[Long]("g_rf") == 0 && r.getAs[Long]("g_ls") == 1)
+    // every returnflag subtotal equals the sum of its base-level counts
+    byRf.foreach { sub =>
+      val rf = sub.getAs[String]("l_returnflag")
+      val n = base.filter(_.getAs[String]("l_returnflag") == rf)
+        .map(_.getAs[Long]("n")).sum
+      assert(sub.getAs[Long]("n") === n)
+      assert(sub.isNullAt(sub.fieldIndex("l_linestatus")))
+    }
+    // and the (linestatus) level is present: three grouping sets total
+    assert(out.exists(r => r.getAs[Long]("g_rf") == 1 && r.getAs[Long]("g_ls") == 0))
+  }
+
+  test("skylineParts equals the naive dominance definition") {
+    import spark.implicits._
+    val part = Tables.part(spark, sf())
+    val pts = part.select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .as[(Long, Double, Long)].collect()
+    val naive = pts.filter { case (_, price, sz) =>
+      !pts.exists { case (_, p2, s2) =>
+        p2 <= price && s2 >= sz && (p2 < price || s2 > sz) }
+    }.map(_._1).toSet
+    val out = Relational.skylineParts(part).collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(out === naive)
+    assert(out.nonEmpty)
+  }
+
+  test("keywordSearch: planted tf counts, AND flag, and ranking") {
+    val out = TextAnalysis.keywordSearch(docs(Seq(
+      1L -> "hash join hash scan",      // tf 2,1,1 score 4, all
+      2L -> "join join join",           // score 3, not all
+      3L -> "nothing relevant here",    // score 0: excluded
+      4L -> "hash join scan")), k = 2).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L)) // k=2 cuts doc 4
+    assert(out(0).getAs[Long]("tf_hash") === 2L)
+    assert(out(0).getAs[Boolean]("all_terms"))
+    assert(!out(1).getAs[Boolean]("all_terms"))
+    assert(out(1).getAs[Long]("score") === 3L)
   }
 }
