@@ -1422,6 +1422,36 @@ object OracleSql {
       FROM part JOIN fr ON p_retailprice = sky_price AND p_size = sky_size
       ORDER BY p_partkey""",
 
+    // TPC-H Q5 shape: customer and supplier share the nation
+    "q_local_supplier" -> """
+      SELECT n_name,
+        round(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount)
+          AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
+        count(*) AS n_items
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY n_name""",
+
+    // TPC-H Q18 shape: the heavy side collapses before any join
+    "q_large_orders" -> """
+      WITH big AS (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty_exact
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        round(qty_exact, 2)::DOUBLE AS sum_qty
+      FROM big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
     // integer-tf keyword search; top-k selected on (score DESC, doc_id)
     "q_keyword_search" -> """
       WITH t AS (SELECT doc_id,

@@ -71,6 +71,11 @@ object SparkEntry {
     "q_shipping_priority" -> ((s, d) => Relational.shippingPriority(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsQty(Tables.lineitem(s, d))),
+    "q_local_supplier" -> ((s, d) => Relational.localSupplierVolume(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_large_orders" -> ((s, d) => Relational.largeOrderCustomers(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_skyline" -> ((s, d) => Relational.skylineParts(Tables.part(s, d))),
     "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(Tables.documents(s, d))),
     "q_incremental_ingest" -> ((s, d) => {

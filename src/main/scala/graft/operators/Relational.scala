@@ -312,6 +312,55 @@ object Relational {
       .orderBy(col("revenue").desc, col("l_orderkey"))
   }
 
+  /** TPC-H Q5 shape — local supplier volume: revenue per nation where
+    * the customer and the supplier share a nation (the co-location
+    * predicate rides the supplier join), one region, one date window.
+    * nation/region/supplier broadcast (all dictionary-sized next to
+    * lineitem); orders' date filter reaches its scan, so the only big
+    * shuffle is lineitem⋈orders on orderkey. */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String = "ASIA",
+      from: String = "1996-01-01 00:00:00",
+      until: String = "1998-01-01 00:00:00"): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    customer
+      .join(orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(rev), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose line quantities
+    * sum past a threshold, with their customers. The heavy side
+    * collapses FIRST (map-side partial sum per orderkey, exact
+    * DECIMAL), so only qualifying order ids join back; top-20 selected
+    * on (o_totalprice DESC, o_orderkey) via TakeOrdered. */
+  def largeOrderCustomers(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, minQty: Int = 250, k: Int = 20): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qty_exact"))
+      .filter(col("qty_exact") > minQty)
+    big.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        round(col("qty_exact"), 2).cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
   /** GROUPING SETS aggregate — the shape ROLLUP/CUBE can't express:
     * ((returnflag, linestatus), (returnflag), (linestatus)) with
     * GROUPING markers distinguishing the levels. Partial-aggregatable

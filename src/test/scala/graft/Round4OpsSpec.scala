@@ -245,6 +245,44 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(0).getAs[String]("o_orderpriority") === "1-URGENT")
   }
 
+  test("localSupplierVolume keeps only same-nation customer/supplier pairs") {
+    import spark.implicits._
+    val cust = Seq((1L, 10L)).toDF("c_custkey", "c_nationkey")
+    val ord = Seq((100L, 1L, Timestamp.valueOf("1996-06-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (100L, 1L, 200.0, 0.0),  // supplier 1: nation 10 (local) -> rev 200
+      (100L, 2L, 999.0, 0.0))  // supplier 2: nation 20 (remote) -> dropped
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Seq((1L, 10L), (2L, 20L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((10L, "N10", 1L), (20L, "N20", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((1L, "ASIA")).toDF("r_regionkey", "r_name")
+    val out = Relational.localSupplierVolume(cust, ord, li, sup, nat, reg).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("n_name") === "N10")
+    assert(out(0).getAs[Double]("revenue") === 200.0)
+    assert(out(0).getAs[Long]("n_items") === 1L)
+  }
+
+  test("largeOrderCustomers: threshold filters on the exact quantity sum") {
+    import spark.implicits._
+    val li = Seq(
+      (100L, 200.0), (100L, 60.0),  // order 100: 260 > 250
+      (101L, 250.0),                // exactly 250: NOT > 250
+      (102L, 300.0))                // qualifies
+      .toDF("l_orderkey", "l_quantity")
+    val ord = Seq(
+      (100L, 1L, Timestamp.valueOf("1996-01-01 00:00:00"), 1000.0),
+      (101L, 1L, Timestamp.valueOf("1996-01-02 00:00:00"), 2000.0),
+      (102L, 1L, Timestamp.valueOf("1996-01-03 00:00:00"), 3000.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((1L, "Customer#1")).toDF("c_custkey", "c_name")
+    val out = Relational.largeOrderCustomers(cust, ord, li).collect()
+    assert(out.map(_.getAs[Long]("o_orderkey")).toSeq === Seq(102L, 100L)) // by totalprice desc
+    assert(out(1).getAs[Double]("sum_qty") === 260.0)
+  }
+
   test("groupingSets: subtotal levels are consistent with the base level") {
     val li = Tables.lineitem(spark, sf())
     val out = Relational.groupingSetsQty(li).collect()
