@@ -1422,6 +1422,63 @@ object OracleSql {
       FROM part JOIN fr ON p_retailprice = sky_price AND p_size = sky_size
       ORDER BY p_partkey""",
 
+    // last-touch attribution: the oracle is the O(pairs) range join +
+    // rank-1 (same semantics, different physical plan than the Spark
+    // single-shuffle running-last)
+    "q_attribution" -> """
+      WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts, p.value,
+              c.event_id AS click_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+              row_number() OVER (PARTITION BY p.event_id
+                ORDER BY c.ts DESC, c.event_id DESC) AS rk
+            FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+      SELECT user_id, purchase_id, purchase_ts, round(value + 5e-9, 4) AS value,
+        CASE WHEN gap_us <= 1800000000 THEN click_id END AS attributed_click_id,
+        CASE WHEN gap_us <= 1800000000 THEN gap_us END AS gap_us
+      FROM j WHERE rk = 1 ORDER BY purchase_id""",
+
+    // per-column profile; numeric min/max (ts as unix micros)
+    "q_profile_events" -> """
+      SELECT 'event_id' AS column_name, count(event_id) AS n_nonnull,
+        count(*) - count(event_id) AS n_null, count(DISTINCT event_id) AS n_distinct,
+        min(event_id)::DOUBLE AS min_val, max(event_id)::DOUBLE AS max_val FROM events
+      UNION ALL
+      SELECT 'ts', count(ts), count(*) - count(ts), count(DISTINCT ts),
+        min(epoch_us(ts))::DOUBLE, max(epoch_us(ts))::DOUBLE FROM events
+      UNION ALL
+      SELECT 'user_id', count(user_id), count(*) - count(user_id), count(DISTINCT user_id),
+        min(user_id)::DOUBLE, max(user_id)::DOUBLE FROM events
+      UNION ALL
+      SELECT 'event_type', count(event_type), count(*) - count(event_type),
+        count(DISTINCT event_type), NULL::DOUBLE, NULL::DOUBLE FROM events
+      UNION ALL
+      SELECT 'value', count(value), count(*) - count(value), count(DISTINCT value),
+        min(value), max(value) FROM events
+      UNION ALL
+      SELECT 'props', count(props), count(*) - count(props), count(DISTINCT props),
+        NULL::DOUBLE, NULL::DOUBLE FROM events
+      ORDER BY column_name""",
+
+    // per-format rollup of the (stub-)decoded media metadata
+    "q_multimodal_stats" -> """
+      WITH t AS (SELECT doc_id, strlen(text)::BIGINT AS len, text FROM documents),
+      m AS (SELECT
+              CASE len % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+              len AS byte_len,
+              16 + (len % 64) AS width,
+              16 + ((len // 7) % 64) AS height,
+              (CASE WHEN len % 3 = 2 THEN 1 + (ascii(substr(text, 1, 1)) % 8) ELSE 1 END)::BIGINT AS n_frames,
+              (list_reduce(list_prepend(0, list_transform(generate_series(1, 16),
+                 i -> ascii(substr(text, i, 1)))), (a, c) -> a + c)::DOUBLE / 16) AS brightness
+            FROM t)
+      SELECT fmt, count(*) AS n_docs, sum(byte_len)::BIGINT AS total_bytes,
+        round(sum(width)::DOUBLE / count(*) + 5e-9, 4) AS avg_width,
+        round(sum(height)::DOUBLE / count(*) + 5e-9, 4) AS avg_height,
+        sum(n_frames)::BIGINT AS total_frames,
+        round(sum(CAST(brightness AS DECIMAL(18,6)))::DOUBLE / count(*) + 5e-9, 4) AS avg_brightness
+      FROM m GROUP BY fmt ORDER BY fmt""",
+
     // TPC-H Q5 shape: customer and supplier share the nation
     "q_local_supplier" -> """
       SELECT n_name,

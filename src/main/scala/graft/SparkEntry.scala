@@ -145,6 +145,9 @@ object SparkEntry {
     // G. multimodal
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
+    "q_multimodal_stats" -> ((s, d) => Multimodal.mediaStats(Tables.documents(s, d))),
+    "q_attribution" -> ((s, d) => Relational.attribution(Tables.events(s, d))),
+    "q_profile_events" -> ((s, d) => Relational.profileEvents(Tables.events(s, d))),
     // H. streaming (batch-equivalent of the structured-streaming pipeline)
     "q_stream_window" -> ((s, d) =>
       graft.streaming.StreamPipelines.windowedAgg(Tables.events(s, d))

@@ -60,6 +60,27 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Per-format corpus statistics over the decoded metadata — the
+    * "what's in this media corpus" rollup a multimodal curation run
+    * starts with. Composes [[extractMeta]] (the typed decode boundary)
+    * with a plain aggregate; dims/bytes sum as exact integers and
+    * brightness (a dyadic 1/16-step stub value) sums in DECIMAL, so
+    * the averages are engine-exact integer/decimal ratios. */
+  def mediaStats(docs: DataFrame): DataFrame = {
+    val meta = extractMeta(docs)
+    meta.groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("byte_len")).as("total_bytes"),
+        round(sum(col("width")).cast("double") / count(lit(1)) + lit(5e-9), 4)
+          .as("avg_width"),
+        round(sum(col("height")).cast("double") / count(lit(1)) + lit(5e-9), 4)
+          .as("avg_height"),
+        sum(col("n_frames")).as("total_frames"),
+        round(sum(col("brightness").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)) + lit(5e-9), 4).as("avg_brightness"))
+      .orderBy(col("fmt"))
+  }
+
   /** Batch decode over a binary column (documents.text cast to bytes
     * stands in for real image/audio payloads in the test data). */
   def extractMeta(docs: DataFrame): DataFrame = {

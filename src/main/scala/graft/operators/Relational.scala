@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -405,6 +405,76 @@ object Relational {
       .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
         col("p_size"))
       .orderBy(col("p_partkey"))
+  }
+
+  /** Last-touch attribution: each purchase attributed to the same
+    * user's most recent click at-or-before it, voided when the gap
+    * exceeds the window. Same single-shuffle tagged-union running-last
+    * device as [[AsofJoin]] — never a per-pair range join — and the
+    * window cap is a post-filter (the most recent click is the ONLY
+    * candidate: if it is outside the window every earlier click is
+    * too). Ties: a click at the purchase's exact timestamp counts;
+    * among same-timestamp clicks the largest event_id wins. Gap is
+    * exact integer microseconds. */
+  def attribution(events: DataFrame, windowMin: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("is_click"),
+        col("event_id").as("click_id"),
+        lit(null).cast("long").as("purchase_id"),
+        lit(null).cast("double").as("value"))
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("is_click"),
+        lit(null).cast("long").as("click_id"),
+        col("event_id").as("purchase_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click").desc,
+        coalesce(col("click_id"), col("purchase_id")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val winUs = windowMin * 60L * 1000000L
+    clicks.unionByName(buys)
+      .withColumn("last_click_id",
+        last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_us",
+        last(when(col("is_click") === 1, unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("is_click") === 0)
+      .withColumn("gap_us", unix_micros(col("ts")) - col("last_click_us"))
+      .select(col("user_id"), col("purchase_id"),
+        col("ts").as("purchase_ts"),
+        round(col("value") + lit(5e-9), 4).as("value"),
+        when(col("gap_us") <= winUs, col("last_click_id"))
+          .as("attributed_click_id"),
+        when(col("gap_us") <= winUs, col("gap_us")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Column-profiling report over the event stream: per column the
+    * non-null/null/exact-distinct counts plus numeric min/max (unix
+    * micros for the timestamp; NULL for free-text columns). One
+    * aggregate pass; the exact multi-column distinct expands each row
+    * once per column map-side (Spark's Expand), which is the honest
+    * cost of an exact profile — a 100 TB profile would swap in
+    * approx_count_distinct per column, one flag away. */
+  def profileEvents(events: DataFrame): DataFrame = {
+    val numeric: Map[String, Column] = Map(
+      "event_id" -> col("event_id").cast("double"),
+      "user_id" -> col("user_id").cast("double"),
+      "value" -> col("value"),
+      "ts" -> unix_micros(col("ts")).cast("double"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = cols.flatMap { c =>
+      val mn = numeric.get(c).map(min).getOrElse(lit(null).cast("double"))
+      val mx = numeric.get(c).map(max).getOrElse(lit(null).cast("double"))
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
+        mn.as(s"mn_$c"), mx.as(s"mx_$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', nn_$c, n_total - nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    events
+      .agg(count(lit(1)).as("n_total"), aggs: _*)
+      .select(expr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(column_name, n_nonnull, n_null, n_distinct, min_val, max_val)"))
+      .orderBy(col("column_name"))
   }
 
   /** Cohort retention matrix: users grouped by their first active day,

@@ -245,6 +245,66 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(0).getAs[String]("o_orderpriority") === "1-URGENT")
   }
 
+  private def mkEvents(rows: Seq[(Long, String, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, ts, uid, typ, v) =>
+      (id, Timestamp.valueOf(ts), uid, typ, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("attribution: window cap, same-ts ties, and unattributed purchases") {
+    val out = Relational.attribution(mkEvents(Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "click", 0.0),
+      (2L, "2024-01-01 10:10:00", 7L, "purchase", 50.0),   // gap 10min -> click 1
+      (3L, "2024-01-01 12:00:00", 7L, "purchase", 60.0),   // gap 110min -> void
+      (4L, "2024-01-01 09:00:00", 8L, "purchase", 70.0),   // no click at all
+      (5L, "2024-01-01 11:00:00", 9L, "click", 0.0),
+      (6L, "2024-01-01 11:00:00", 9L, "click", 0.0),       // same ts: larger id wins
+      (7L, "2024-01-01 11:00:00", 9L, "purchase", 80.0)))) // same-ts click counts, gap 0
+      .collect().map(r => r.getAs[Long]("purchase_id") -> r).toMap
+    assert(out(2L).getAs[Long]("attributed_click_id") === 1L)
+    assert(out(2L).getAs[Long]("gap_us") === 600000000L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("attributed_click_id")))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("attributed_click_id")))
+    assert(out(7L).getAs[Long]("attributed_click_id") === 6L)
+    assert(out(7L).getAs[Long]("gap_us") === 0L)
+  }
+
+  test("profileEvents counts nulls and distincts per column") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", Some(1.5), Some("{}")),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), 7L, "view", None, None),
+      (3L, Timestamp.valueOf("2024-01-01 10:02:00"), 8L, "click", Some(1.5), Some("{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.profileEvents(ev).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(out.keySet === Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(out("value").getAs[Long]("n_null") === 1L)
+    assert(out("value").getAs[Long]("n_distinct") === 1L)
+    assert(out("value").getAs[Double]("min_val") === 1.5)
+    assert(out("user_id").getAs[Long]("n_distinct") === 2L)
+    assert(out("event_type").isNullAt(out("event_type").fieldIndex("min_val")))
+    assert(out("ts").getAs[Long]("n_nonnull") === 3L)
+  }
+
+  test("mediaStats is consistent with the per-doc decoded metadata") {
+    import graft.operators.Multimodal
+    val d = Tables.documents(spark, sf())
+    val meta = Multimodal.extractMeta(d).collect()
+    val stats = Multimodal.mediaStats(d).collect()
+      .map(r => r.getAs[String]("fmt") -> r).toMap
+    val byFmt = meta.groupBy(_.getAs[String]("fmt"))
+    assert(stats.keySet === byFmt.keySet)
+    byFmt.foreach { case (fmt, rows) =>
+      assert(stats(fmt).getAs[Long]("n_docs") === rows.length.toLong)
+      assert(stats(fmt).getAs[Long]("total_bytes") ===
+        rows.map(_.getAs[Long]("byte_len")).sum)
+      assert(stats(fmt).getAs[Long]("total_frames") ===
+        rows.map(_.getAs[Long]("n_frames")).sum)
+    }
+  }
+
   test("localSupplierVolume keeps only same-nation customer/supplier pairs") {
     import spark.implicits._
     val cust = Seq((1L, 10L)).toDF("c_custkey", "c_nationkey")
