@@ -1422,6 +1422,50 @@ object OracleSql {
       FROM part JOIN fr ON p_retailprice = sky_price AND p_size = sky_size
       ORDER BY p_partkey""",
 
+    // temperature-balanced mixing: sqrt weights (IEEE-exact in both
+    // engines, unlike pow), weight total folded over the source-sorted
+    // list, md5-bucket keep device shared with q_data_mix
+    "q_temperature_mix" -> """
+      WITH s AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+      sw AS (SELECT source, n_source, sqrt(n_source::DOUBLE) AS w FROM s),
+      tw AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(w ORDER BY source)), (p, x) -> p + x) AS tw FROM sw),
+      r AS (SELECT source, n_source,
+              least(1.0::DOUBLE, 300.0::DOUBLE * (w / tw) / n_source::DOUBLE) AS rate
+            FROM sw, tw),
+      d AS (SELECT doc_id, documents.source, n_source, rate,
+              CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 4)) AS BIGINT) % 100 AS bucket
+            FROM documents JOIN r ON documents.source = r.source)
+      SELECT doc_id, source, n_source, bucket,
+        round(rate + 5e-9, 4) AS rate,
+        (bucket::DOUBLE < rate * 100) AS keep
+      FROM d ORDER BY doc_id""",
+
+    // pack-efficiency QA over the q_shard_pack packing (same CTEs)
+    "q_pack_efficiency" -> """
+      WITH t AS (SELECT doc_id,
+        CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) AS h,
+        len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS tokens
+       FROM documents),
+      s AS (SELECT doc_id, h, h % 8 AS shard, tokens FROM t),
+      p AS (SELECT doc_id, shard, tokens,
+        sum(tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM s),
+      k AS (SELECT shard, ((cum - tokens) // 4096)::BIGINT AS pack_id, tokens FROM p)
+      SELECT shard, pack_id, count(*) AS n_docs, sum(tokens)::BIGINT AS pack_tokens,
+        round(sum(tokens)::DOUBLE / 4096 + 5e-9, 4) AS fill
+      FROM k GROUP BY shard, pack_id ORDER BY shard, pack_id""",
+
+    // inverted index: df/tf exact integers, capped ascending postings
+    "q_inverted_index" -> """
+      WITH e AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                 FROM documents),
+      pd AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY doc_id, term)
+      SELECT term, count(*) AS df, sum(tf)::BIGINT AS total_tf,
+        array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), ',') AS postings
+      FROM pd GROUP BY term ORDER BY term""",
+
     // last-touch attribution: the oracle is the O(pairs) range join +
     // rank-1 (same semantics, different physical plan than the Spark
     // single-shuffle running-last)

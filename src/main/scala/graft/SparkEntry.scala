@@ -142,6 +142,9 @@ object SparkEntry {
     "q_redact" -> ((s, d) => TrainingData.redact(Tables.documents(s, d))),
     "q_data_mix" -> ((s, d) => TrainingData.dataMix(Tables.documents(s, d))),
     "q_export_plan" -> ((s, d) => TrainingData.exportPlan(Tables.documents(s, d))),
+    "q_temperature_mix" -> ((s, d) => TrainingData.temperatureMix(Tables.documents(s, d))),
+    "q_pack_efficiency" -> ((s, d) => TrainingData.packEfficiency(Tables.documents(s, d))),
+    "q_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(Tables.documents(s, d))),
     // G. multimodal
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),

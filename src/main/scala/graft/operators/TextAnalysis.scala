@@ -156,6 +156,29 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Inverted-index build: per term its document frequency, total term
+    * frequency, and the first `postK` posting doc_ids (ascending,
+    * comma-joined — a string both engines render identically). The
+    * exploded (doc, term) rows of a document are partition-local, so
+    * the per-(doc, term) tf collapses map-side before the exchange —
+    * the shuffle carries vocabulary×docs narrow rows, never raw
+    * positions; posting lists are capped, df/tf exact integers. This
+    * is the search-index construction step over the corpus. */
+  def invertedIndex(docs: DataFrame, postK: Int = 10): DataFrame = {
+    val lws = split(trim(lower(col("text"))), "\\s+")
+    val perDoc = docs
+      .select(col("doc_id"), explode(lws).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        concat_ws(",",
+          slice(sort_array(collect_list(col("doc_id"))), 1, postK))
+          .as("postings"))
+      .orderBy(col("term"))
+  }
+
   /** Keyword search with integer term-frequency ranking: for a fixed
     * query, per-doc tf of each term over lowercased whitespace tokens,
     * docs matching ANY term ranked by (Σtf DESC, doc_id), an all-terms

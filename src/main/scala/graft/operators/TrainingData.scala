@@ -89,6 +89,52 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-balanced source mixing (α = 0.5): per-source weights
+    * w_s = √n_s flatten the corpus mix the way multilingual training
+    * mixes flatten language skew; sampling rate r_s = min(1,
+    * target·share_s/n_s) and the per-doc keep is the same md5-bucket
+    * device as [[dataMix]]. √ is IEEE-correctly-rounded in BOTH engines
+    * (unlike pow, whose last ulp differs — that's why α is 1/2), and
+    * the weight total folds over the source-sorted list so the 3-term
+    * double sum has one fixed order. Stats are dictionary-sized and
+    * broadcast; docs never shuffle. */
+  def temperatureMix(docs: DataFrame, targetTotal: Int = 300): DataFrame = {
+    val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      .withColumn("w", sqrt(col("n_source").cast("double")))
+    val tot = stats
+      .agg(sort_array(collect_list(struct(col("source"), col("w")))).as("arr"))
+      .select(expr("aggregate(arr, cast(0.0 as double), (acc, s) -> acc + s.w)")
+        .as("tw"))
+    val rate = least(lit(1.0),
+      lit(targetTotal.toDouble) * (col("w") / col("tw")) / col("n_source")
+        .cast("double"))
+    val withRate = stats.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_source"), rate.as("rate"))
+    docs.join(broadcast(withRate), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_source"),
+        bucket.as("bucket"),
+        round(col("rate") + lit(5e-9), 4).as("rate"),
+        (bucket.cast("double") < col("rate") * 100).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pack-efficiency report over [[shardPack]]'s greedy packing: docs,
+    * token total, and fill ratio per (shard, pack) — the "how full are
+    * my context windows" QA step of an export. A pack can overflow its
+    * nominal budget by its last document (greedy boundary rule), so
+    * fill > 1 is expected and reported, not clamped. Pure composition:
+    * one extra dictionary-sized aggregate over the packing output. */
+  def packEfficiency(docs: DataFrame, shards: Int = 8,
+      packTokens: Int = 4096): DataFrame =
+    shardPack(docs, shards, packTokens)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("pack_tokens"))
+      .select(col("shard"), col("pack_id"), col("n_docs"), col("pack_tokens"),
+        round(col("pack_tokens").cast("double") / packTokens + lit(5e-9), 4)
+          .as("fill"))
+      .orderBy(col("shard"), col("pack_id"))
+
   /** Sliding-window document chunking: split each document into
     * `size`-char windows advancing by `size - overlap` — the
     * context-window packing step before tokenization in a training-data

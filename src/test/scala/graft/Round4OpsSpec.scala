@@ -305,6 +305,46 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMix: sqrt weights flatten a 4:1 source skew to 2:1 rates") {
+    import spark.implicits._
+    val d = ((1L to 100L).map(i => (i, "small")) ++
+      (101L to 500L).map(i => (i, "big")))
+      .map { case (id, src) => (id, s"text $id", "en", src, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // w(small)=10, w(big)=20 -> shares 1/3, 2/3; target 300:
+    // rate(small) = 300*(1/3)/100 = 1.0, rate(big) = 300*(2/3)/400 = 0.5
+    val out = TrainingData.temperatureMix(d, targetTotal = 300).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc("small").forall(_.getAs[Double]("rate") === 1.0))
+    assert(bySrc("big").forall(_.getAs[Double]("rate") === 0.5))
+    assert(bySrc("small").forall(_.getAs[Boolean]("keep"))) // rate 1 keeps all
+    val keptBig = bySrc("big").count(_.getAs[Boolean]("keep"))
+    assert(keptBig > 0 && keptBig < 400) // md5 buckets < 50 only
+  }
+
+  test("packEfficiency is consistent with shardPack's packing") {
+    val d = Tables.documents(spark, sf())
+    val packs = TrainingData.packEfficiency(d).collect()
+    val docsTotal = TrainingData.shardPack(d).agg(sum(col("tokens"))).head().getLong(0)
+    assert(packs.map(_.getAs[Long]("pack_tokens")).sum === docsTotal)
+    packs.foreach { p =>
+      assert(p.getAs[Double]("fill") > 0)
+      assert(p.getAs[Long]("n_docs") > 0)
+    }
+  }
+
+  test("invertedIndex: planted df/tf and capped ascending postings") {
+    val out = TextAnalysis.invertedIndex(docs(Seq(
+      1L -> "a b a", 2L -> "b c")), postK = 10).collect()
+      .map(r => r.getAs[String]("term") -> r).toMap
+    assert(out("a").getAs[Long]("df") === 1L)
+    assert(out("a").getAs[Long]("total_tf") === 2L)
+    assert(out("a").getAs[String]("postings") === "1")
+    assert(out("b").getAs[Long]("df") === 2L)
+    assert(out("b").getAs[String]("postings") === "1,2")
+    assert(out("c").getAs[Long]("df") === 1L)
+  }
+
   test("localSupplierVolume keeps only same-nation customer/supplier pairs") {
     import spark.implicits._
     val cust = Seq((1L, 10L)).toDF("c_custkey", "c_nationkey")
