@@ -449,4 +449,37 @@ class OpsExtraSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("approx") - e) / e < 0.1)
     }
   }
+
+  test("operators tolerate empty inputs (no crash, empty output)") {
+    import spark.implicits._
+    import graft.operators._
+    val bars0 = Seq.empty[(String, Timestamp, Double, Double, Double, Double, Long, Double)]
+      .toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume", "vsum")
+    val docs0 = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb0 = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val ev0 = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val outputs = Seq(
+      Indicators.sma(bars0), Indicators.mfi(bars0), Indicators.donchian(bars0),
+      Indicators.candlePatterns(bars0), Indicators.pivotPoints(bars0),
+      Indicators.iqrOutliers(bars0), Indicators.drawdown(bars0),
+      Ema.macd(bars0),
+      Dedup.exactDocs(docs0), Dedup.minhashLshPairs(docs0),
+      Dedup.dedupClusters(docs0), Dedup.segDedup(docs0),
+      TextAnalysis.quality(docs0), TextAnalysis.invertedIndex(docs0),
+      TextAnalysis.keywordSearch(docs0), TextAnalysis.stratifiedSample(docs0),
+      TrainingData.temperatureMix(docs0), TrainingData.packEfficiency(docs0),
+      TrainingData.docChunk(docs0), TrainingData.decontaminate(docs0),
+      Similarity.embedQuantize(emb0), Similarity.pqCodes(emb0),
+      Similarity.annPq(emb0), Similarity.annBruteforce(emb0),
+      Relational.attribution(ev0), Relational.profileEvents(ev0),
+      Relational.sessionize(ev0), Relational.cohortRetention(ev0))
+    outputs.foreach { df =>
+      val n = df.count()
+      // profileEvents emits its fixed 6 metadata rows even on empty input
+      assert(n === 0L || n === 6L)
+    }
+    Ema.unpersistAll()
+  }
 }
