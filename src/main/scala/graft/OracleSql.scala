@@ -1422,6 +1422,48 @@ object OracleSql {
       FROM part JOIN fr ON p_retailprice = sky_price AND p_size = sky_size
       ORDER BY p_partkey""",
 
+    // lexical diversity: ttr + Gini impurity — exact integer ratios
+    // (the entropy analogue would need log(), not cross-engine safe)
+    "q_lexical_diversity" -> """
+      WITH e AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                 FROM documents),
+      pd AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY doc_id, term),
+      a AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens, count(*) AS n_distinct,
+              sum(tf * tf)::BIGINT AS sum_tf2
+            FROM pd GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct,
+        round(n_distinct::DOUBLE / n_tokens::DOUBLE + 5e-9, 4) AS ttr,
+        round(1.0::DOUBLE - sum_tf2::DOUBLE / (n_tokens * n_tokens)::DOUBLE + 5e-9, 4) AS gini
+      FROM a ORDER BY doc_id""",
+
+    // per-source duplication report over the global exact dedup
+    "q_dup_ratio" -> s"""
+      WITH t AS (SELECT doc_id, source, md5($normExpr) AS text_hash FROM documents),
+      k AS (SELECT source,
+              (doc_id = min(doc_id) OVER (PARTITION BY text_hash)) AS keep
+            FROM t)
+      SELECT source, count(*) AS n_docs,
+        sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        (count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))::BIGINT AS n_removed,
+        round((count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))::DOUBLE
+          / count(*)::DOUBLE + 5e-9, 4) AS dup_frac
+      FROM k GROUP BY source ORDER BY source""",
+
+    // cross-source 5-gram overlap matrix (corpus-level contamination)
+    "q_source_overlap" -> s"""
+      WITH $ngramCtes5,
+      s AS (SELECT DISTINCT ng, source FROM ng5 JOIN documents USING (doc_id)),
+      c AS (SELECT source, count(*) AS n_ngrams FROM s GROUP BY source),
+      p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+            FROM s a JOIN s b ON a.ng = b.ng AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT source_a, source_b, n_shared,
+        ca.n_ngrams AS ngrams_a, cb.n_ngrams AS ngrams_b,
+        round(n_shared::DOUBLE / ca.n_ngrams::DOUBLE + 5e-9, 4) AS overlap_frac
+      FROM p JOIN c ca ON ca.source = p.source_a
+             JOIN c cb ON cb.source = p.source_b
+      ORDER BY source_a, source_b""",
+
     // temperature-balanced mixing: sqrt weights (IEEE-exact in both
     // engines, unlike pow), weight total folded over the source-sorted
     // list, md5-bucket keep device shared with q_data_mix

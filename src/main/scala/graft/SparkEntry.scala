@@ -145,6 +145,9 @@ object SparkEntry {
     "q_temperature_mix" -> ((s, d) => TrainingData.temperatureMix(Tables.documents(s, d))),
     "q_pack_efficiency" -> ((s, d) => TrainingData.packEfficiency(Tables.documents(s, d))),
     "q_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(Tables.documents(s, d))),
+    "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(Tables.documents(s, d))),
+    "q_dup_ratio" -> ((s, d) => Dedup.dupRatioBySource(Tables.documents(s, d))),
+    "q_source_overlap" -> ((s, d) => Dedup.crossSourceOverlap(Tables.documents(s, d))),
     // G. multimodal
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for LLM-data pipelines over `documents`.
@@ -461,5 +462,55 @@ object Dedup {
         round(jacRaw + lit(5e-9), 4).as("jaccard"),
         round(abs(estRaw - jacRaw) + lit(5e-9), 4).as("abs_err"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Per-source duplication report: how many of each source's docs a
+    * GLOBAL exact dedup (keep-min-doc_id per normalized-text hash)
+    * would remove — "which source is padding the corpus". Only the
+    * 16-byte hash + source shuffle (never the text); integer-ratio
+    * fractions. */
+  def dupRatioBySource(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text_hash"))
+    docs.select(col("doc_id"), col("source"),
+        md5(TextAnalysis.normText(col("text"))).as("text_hash"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_removed"),
+        round((col("n_docs") - col("n_kept")).cast("double")
+          / col("n_docs").cast("double") + lit(5e-9), 4).as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
+  /** Cross-source 5-gram overlap matrix: for each source pair, how many
+    * distinct word-5-grams they share and what fraction of the first
+    * source's n-gram vocabulary that is — the corpus-level view of
+    * contamination ([[TrainingData.decontaminate]] is the per-doc
+    * verdict). The self-join carries only distinct (ngram, source)
+    * rows, and with S sources each n-gram fans out to at most
+    * C(S,2) pairs — no quadratic blowup. (Scale path: replace the raw
+    * n-gram join key with a 128-bit hash so the shuffle carries 16
+    * bytes per shingle.) */
+  def crossSourceOverlap(docs: DataFrame): DataFrame = {
+    val ng = wordNgrams(docs.select(col("doc_id"), col("text")), 5)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("ng"), col("source")).distinct()
+    val counts = ng.groupBy(col("source")).agg(count(lit(1)).as("n_ngrams"))
+    ng.as("a")
+      .join(ng.as("b"),
+        col("a.ng") === col("b.ng") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(counts.select(col("source").as("source_a"),
+        col("n_ngrams").as("ngrams_a"))), Seq("source_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n_ngrams").as("ngrams_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("ngrams_a"), col("ngrams_b"),
+        round(col("n_shared").cast("double") / col("ngrams_a").cast("double")
+          + lit(5e-9), 4).as("overlap_frac"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 }

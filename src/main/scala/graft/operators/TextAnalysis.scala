@@ -156,6 +156,30 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Lexical-diversity signals with ZERO float-parity risk: type-token
+    * ratio and Gini impurity of the per-doc word distribution —
+    * gini = 1 − Σtf²/n², an exact integer ratio (the entropy analogue
+    * would need log(), whose last-ulp behavior differs between
+    * engines). Low gini ⇒ repetitive doc — a curation drop signal
+    * complementing [[repetition]]. Same map-side-collapsing
+    * (doc, term) tf pass as [[invertedIndex]]. */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val lws = split(trim(lower(col("text"))), "\\s+")
+    docs.select(col("doc_id"), explode(lws).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("tf")).as("sum_tf2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens").cast("double")
+          + lit(5e-9), 4).as("ttr"),
+        round(lit(1.0) - col("sum_tf2").cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double")
+          + lit(5e-9), 4).as("gini"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Inverted-index build: per term its document frequency, total term
     * frequency, and the first `postK` posting doc_ids (ascending,
     * comma-joined — a string both engines render identically). The

@@ -305,6 +305,51 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  private def docsWithSource(rows: Seq[(Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("lexicalDiversity: repetitive doc gini 0, all-distinct doc gini 0.75") {
+    val out = TextAnalysis.lexicalDiversity(docs(Seq(
+      1L -> "a a a a", 2L -> "a b c d"))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") === 4L)
+    assert(out(1L).getAs[Long]("n_distinct") === 1L)
+    assert(out(1L).getAs[Double]("ttr") === 0.25)
+    assert(out(1L).getAs[Double]("gini") === 0.0)
+    assert(out(2L).getAs[Double]("ttr") === 1.0)
+    assert(out(2L).getAs[Double]("gini") === 0.75) // 1 - 4/16
+  }
+
+  test("dupRatioBySource attributes removals to the copy's source") {
+    val out = Dedup.dupRatioBySource(docsWithSource(Seq(
+      (1L, "original text here", "clean"),
+      (2L, "original text here", "copies"),   // dup of 1 -> removed
+      (3L, "Original TEXT here!", "copies"),  // normalizes equal -> removed
+      (4L, "something fresh", "copies")))).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("clean").getAs[Long]("n_removed") === 0L)
+    assert(out("clean").getAs[Double]("dup_frac") === 0.0)
+    assert(out("copies").getAs[Long]("n_docs") === 3L)
+    assert(out("copies").getAs[Long]("n_removed") === 2L)
+  }
+
+  test("crossSourceOverlap counts shared distinct 5-grams per source pair") {
+    val shared = "alpha beta gamma delta epsilon"
+    val out = Dedup.crossSourceOverlap(docsWithSource(Seq(
+      (1L, shared + " one two three", "s1"),
+      (2L, shared + " four five six", "s2"),
+      (3L, "totally different words entirely here now", "s3")))).collect()
+    val pair = out.find(r => r.getAs[String]("source_a") == "s1" &&
+      r.getAs[String]("source_b") == "s2").get
+    assert(pair.getAs[Long]("n_shared") === 1L) // only the shared 5-gram window
+    assert(out.forall(r => r.getAs[String]("source_b") != "s3" ||
+      r.getAs[Long]("n_shared") === 0L) || !out.exists(r =>
+      r.getAs[String]("source_b") == "s3")) // s3 shares nothing (or no row)
+  }
+
   test("temperatureMix: sqrt weights flatten a 4:1 source skew to 2:1 rates") {
     import spark.implicits._
     val d = ((1L to 100L).map(i => (i, "small")) ++
