@@ -1422,6 +1422,63 @@ object OracleSql {
       FROM part JOIN fr ON p_retailprice = sky_price AND p_size = sky_size
       ORDER BY p_partkey""",
 
+    // RFM quartiles: deterministic (metric, user_id) ntile order;
+    // monetary in exact DECIMAL
+    "q_rfm" -> """
+      WITH s AS (SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS frequency,
+                   sum(CAST(value AS DECIMAL(18,6))) AS m_exact
+                 FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      t AS (SELECT user_id, last_us, frequency,
+              round(m_exact, 2)::DOUBLE AS monetary,
+              ntile(4) OVER (ORDER BY last_us, user_id)::BIGINT AS r_score,
+              ntile(4) OVER (ORDER BY frequency, user_id)::BIGINT AS f_score,
+              ntile(4) OVER (ORDER BY m_exact, user_id)::BIGINT AS m_score
+            FROM s)
+      SELECT user_id, last_us, frequency, monetary, r_score, f_score, m_score,
+        r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+      FROM t ORDER BY user_id""",
+
+    // Markov transition counts + exact per-prev fraction
+    "q_event_transitions" -> """
+      WITH l AS (SELECT user_id, event_type,
+                   lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                 FROM events),
+      c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+        round(n::DOUBLE / (sum(n) OVER (PARTITION BY prev_type))::DOUBLE + 5e-9, 4) AS frac
+      FROM c ORDER BY prev_type, next_type""",
+
+    // strict local extrema of close; only flagged bars emitted
+    "q_swing_points" -> s"""
+      WITH $barsCte,
+      x AS (SELECT symbol, bar_ts, "close",
+              lag("close", 1) OVER wsym AS p, lead("close", 1) OVER wsym AS nx
+            FROM bars WINDOW wsym AS (PARTITION BY symbol ORDER BY bar_ts))
+      SELECT symbol, bar_ts, "close",
+        (p IS NOT NULL AND nx IS NOT NULL AND "close" > p AND "close" > nx) AS swing_high,
+        (p IS NOT NULL AND nx IS NOT NULL AND "close" < p AND "close" < nx) AS swing_low
+      FROM x
+      WHERE (p IS NOT NULL AND nx IS NOT NULL AND "close" > p AND "close" > nx)
+         OR (p IS NOT NULL AND nx IS NOT NULL AND "close" < p AND "close" < nx)
+      ORDER BY symbol, bar_ts""",
+
+    // gaps-and-islands up-run report: rn - running-count-of-ups groups
+    "q_up_streaks" -> s"""
+      WITH $barsCte, $rnCte,
+      u AS (SELECT symbol, bar_ts, rn,
+              coalesce(("close" > lag("close", 1)
+                OVER (PARTITION BY symbol ORDER BY bar_ts))::INT, 0) AS up
+            FROM b),
+      g AS (SELECT symbol, up,
+              rn - sum(up) OVER (PARTITION BY symbol ORDER BY bar_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM u),
+      r AS (SELECT symbol, grp, count(*) AS run_len FROM g WHERE up = 1 GROUP BY 1, 2)
+      SELECT symbol, max(run_len)::BIGINT AS longest_up_run,
+        sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_runs_3plus
+      FROM r GROUP BY symbol ORDER BY symbol""",
+
     // lexical diversity: ttr + Gini impurity — exact integer ratios
     // (the entropy analogue would need log(), not cross-engine safe)
     "q_lexical_diversity" -> """

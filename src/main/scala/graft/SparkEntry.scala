@@ -57,6 +57,8 @@ object SparkEntry {
     "q_mfi" -> ((s, d) => Indicators.mfi(bars(s, d))),
     "q_candles" -> ((s, d) => Indicators.candlePatterns(bars(s, d))),
     "q_pivot_points" -> ((s, d) => Indicators.pivotPoints(bars(s, d))),
+    "q_swing_points" -> ((s, d) => Indicators.swingPoints(bars(s, d))),
+    "q_up_streaks" -> ((s, d) => Indicators.upStreaks(bars(s, d))),
     // C. relational core
     "q1_agg" -> ((s, d) => Relational.q1(Tables.lineitem(s, d))),
     "q_join_agg" -> ((s, d) => Relational.joinAgg(Tables.orders(s, d),
@@ -68,6 +70,8 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => Relational.funnel(Tables.events(s, d))),
     "q_cohort_retention" -> ((s, d) => Relational.cohortRetention(Tables.events(s, d))),
+    "q_rfm" -> ((s, d) => Relational.rfmSegments(Tables.events(s, d))),
+    "q_event_transitions" -> ((s, d) => Relational.eventTransitions(Tables.events(s, d))),
     "q_shipping_priority" -> ((s, d) => Relational.shippingPriority(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsQty(Tables.lineitem(s, d))),

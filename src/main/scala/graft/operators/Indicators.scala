@@ -516,6 +516,44 @@ object Indicators {
       .orderBy(col("symbol"), col("bar_ts"))
   }
 
+  /** Swing points: strict local extrema of close (higher than both
+    * neighbors = swing high; lower = swing low). Pure lag/lead
+    * comparisons over engine-identical doubles; only flagged bars are
+    * emitted. The support/resistance primitive charting tools build on. */
+  def swingPoints(bars: DataFrame): DataFrame = {
+    val prev = lag(col("close"), 1).over(w)
+    val next = lead(col("close"), 1).over(w)
+    val hi = prev.isNotNull && next.isNotNull &&
+      col("close") > prev && col("close") > next
+    val lo = prev.isNotNull && next.isNotNull &&
+      col("close") < prev && col("close") < next
+    bars.select(col("symbol"), col("bar_ts"), col("close"),
+        hi.as("swing_high"), lo.as("swing_low"))
+      .filter(col("swing_high") || col("swing_low"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Up-streak report (gaps-and-islands): per symbol the longest run of
+    * strictly-rising closes and the number of runs of length ≥ 3. Run
+    * ids come from the classic rn − running-count-of-ups device — all
+    * integer window arithmetic over one symbol exchange. */
+  def upStreaks(bars: DataFrame, minRun: Int = 3): DataFrame = {
+    val up = (col("close") > lag(col("close"), 1).over(w)).cast("int")
+    val marked = bars.select(col("symbol"), col("bar_ts"),
+      coalesce(up, lit(0)).as("up"), rn.as("rn"))
+    // group id: constant within a maximal run of up=1 rows
+    val grp = col("rn") -
+      sum(col("up")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val runs = marked.withColumn("grp", grp)
+      .filter(col("up") === 1)
+      .groupBy(col("symbol"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("symbol"))
+      .agg(max(col("run_len")).as("longest_up_run"),
+        sum(when(col("run_len") >= minRun, 1L).otherwise(0L)).as("n_runs_3plus"))
+      .orderBy(col("symbol"))
+  }
+
   /** Classic floor-trader pivot points: each day's P/R1/S1/R2/S2 levels
     * derive from the PRIOR day's high/low/close (daily rollup →
     * one-day lag → level arithmetic in the oracle's association

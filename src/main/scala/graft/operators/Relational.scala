@@ -477,6 +477,53 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
+  /** RFM (recency/frequency/monetary) segmentation over purchases:
+    * per-user stats then quartile scores via ntile(4) with a
+    * deterministic (metric, user_id) order — segment = "RFM" digit
+    * string. Stats collapse map-side per user first; the global ntile
+    * is a single-partition window over USERS (already aggregated) —
+    * at 100 TB the swap is approx-quantile bucket edges broadcast,
+    * same output contract. Monetary sums in exact DECIMAL. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val stats = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,6)")).as("m_exact"))
+    val r = ntile(4).over(Window.orderBy(col("last_us"), col("user_id")))
+    val f = ntile(4).over(Window.orderBy(col("frequency"), col("user_id")))
+    val m = ntile(4).over(Window.orderBy(col("m_exact"), col("user_id")))
+    stats
+      .select(col("user_id"), col("last_us"), col("frequency"),
+        round(col("m_exact"), 2).cast("double").as("monetary"),
+        r.cast("long").as("r_score"), f.cast("long").as("f_score"),
+        m.cast("long").as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy(col("user_id"))
+  }
+
+  /** Event-type transition matrix: counts of consecutive (prev → next)
+    * event types per user order (ts, event_id), plus the per-prev-type
+    * transition fraction (exact integer ratio) — the Markov view of
+    * the event stream. One user-hash exchange feeds the lag; the
+    * dictionary²-sized counts aggregate map-side. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wp = Window.partitionBy(col("prev_type"))
+    events
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(wp))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double")
+          + lit(5e-9), 4).as("frac"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** Cohort retention matrix: users grouped by their first active day,
     * distinct-user counts per (cohort, day offset), and the retention
     * fraction — the standard product-analytics view over the event

@@ -305,6 +305,61 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("rfmSegments: quartile scores follow the planted metric order") {
+    // 4 users with strictly increasing recency/frequency/monetary ->
+    // each lands alone in its quartile, segment digits all equal
+    val ev = (1L to 4L).flatMap { u =>
+      (1L to u).map(i => (u * 100 + i, f"2024-01-0$u%d 10:0$i%d:00", u, "purchase", 10.0 * u))
+    }
+    val out = Relational.rfmSegments(mkEvents(ev)).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("r_score") === u)
+      assert(r.getAs[Long]("f_score") === u)
+      assert(r.getAs[Long]("m_score") === u)
+      assert(r.getAs[String]("segment") === s"$u$u$u")
+    }
+  }
+
+  test("eventTransitions counts consecutive pairs per user with exact fractions") {
+    val out = Relational.eventTransitions(mkEvents(Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 7L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 7L, "view", 0.0),
+      (4L, "2024-01-01 10:03:00", 7L, "click", 0.0),
+      (5L, "2024-01-01 10:04:00", 7L, "purchase", 0.0),
+      (6L, "2024-01-01 10:00:00", 8L, "view", 0.0)))).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) -> r).toMap
+    assert(out(("view", "click")).getAs[Long]("n") === 2L)
+    assert(out(("view", "click")).getAs[Double]("frac") === 1.0)
+    assert(out(("click", "view")).getAs[Long]("n") === 1L)
+    assert(out(("click", "view")).getAs[Double]("frac") === 0.5)
+    assert(out(("click", "purchase")).getAs[Double]("frac") === 0.5)
+    assert(!out.contains(("purchase", "view"))) // different users never chain
+  }
+
+  test("swingPoints flags strict local extrema only") {
+    val closes = Seq(100.0, 105.0, 102.0, 102.0, 108.0, 101.0)
+    val b = mkBars(closes.zipWithIndex.map { case (c, i) =>
+      ("A", f"2024-01-01 10:${5 * i}%02d:00", c, 1L) })
+    val out = Indicators.swingPoints(b).collect()
+    // bar1 (105) swing high; bars 2,3 are a flat pair (not strict); bar4 high
+    assert(out.map(_.getAs[Double]("close")).toSeq === Seq(105.0, 108.0))
+    assert(out.forall(_.getAs[Boolean]("swing_high")))
+  }
+
+  test("upStreaks: longest run and 3+ run count on a planted series") {
+    // closes: up,up,up | down | up | down -> longest 3, one 3+ run
+    val closes = Seq(100.0, 101.0, 102.0, 103.0, 99.0, 100.0, 98.0)
+    val b = mkBars(closes.zipWithIndex.map { case (c, i) =>
+      ("A", f"2024-01-01 10:${5 * i}%02d:00", c, 1L) })
+    val out = Indicators.upStreaks(b).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("longest_up_run") === 3L)
+    assert(out(0).getAs[Long]("n_runs_3plus") === 1L)
+  }
+
   private def docsWithSource(rows: Seq[(Long, String, String)]): DataFrame = {
     import spark.implicits._
     rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
