@@ -1426,7 +1426,8 @@ object OracleSql {
     // monetary in exact DECIMAL
     "q_rfm" -> """
       WITH s AS (SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS frequency,
-                   sum(CAST(value AS DECIMAL(18,6))) AS m_exact
+                   coalesce(sum(CAST(value AS DECIMAL(18,6))),
+                            CAST(0 AS DECIMAL(18,6))) AS m_exact
                  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
       t AS (SELECT user_id, last_us, frequency,
               round(m_exact, 2)::DOUBLE AS monetary,
@@ -1474,10 +1475,14 @@ object OracleSql {
               rn - sum(up) OVER (PARTITION BY symbol ORDER BY bar_ts
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
             FROM u),
-      r AS (SELECT symbol, grp, count(*) AS run_len FROM g WHERE up = 1 GROUP BY 1, 2)
-      SELECT symbol, max(run_len)::BIGINT AS longest_up_run,
-        sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_runs_3plus
-      FROM r GROUP BY symbol ORDER BY symbol""",
+      r AS (SELECT symbol, grp, count(*) AS run_len FROM g WHERE up = 1 GROUP BY 1, 2),
+      a AS (SELECT symbol, max(run_len)::BIGINT AS lr,
+              sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)::BIGINT AS nr
+            FROM r GROUP BY symbol)
+      SELECT d.symbol, coalesce(a.lr, 0)::BIGINT AS longest_up_run,
+        coalesce(a.nr, 0)::BIGINT AS n_runs_3plus
+      FROM (SELECT DISTINCT symbol FROM bars) d LEFT JOIN a ON d.symbol = a.symbol
+      ORDER BY d.symbol""",
 
     // lexical diversity: ttr + Gini impurity — exact integer ratios
     // (the entropy analogue would need log(), not cross-engine safe)

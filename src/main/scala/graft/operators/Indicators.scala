@@ -548,9 +548,16 @@ object Indicators {
       .filter(col("up") === 1)
       .groupBy(col("symbol"), col("grp"))
       .agg(count(lit(1)).as("run_len"))
-    runs.groupBy(col("symbol"))
-      .agg(max(col("run_len")).as("longest_up_run"),
-        sum(when(col("run_len") >= minRun, 1L).otherwise(0L)).as("n_runs_3plus"))
+      .groupBy(col("symbol"))
+      .agg(max(col("run_len")).as("lr"),
+        sum(when(col("run_len") >= minRun, 1L).otherwise(0L)).as("nr"))
+    // left join from the symbol dictionary: a symbol with NO rising
+    // close still reports (0, 0) instead of silently disappearing
+    marked.select(col("symbol")).distinct()
+      .join(runs, Seq("symbol"), "left")
+      .select(col("symbol"),
+        coalesce(col("lr"), lit(0L)).as("longest_up_run"),
+        coalesce(col("nr"), lit(0L)).as("n_runs_3plus"))
       .orderBy(col("symbol"))
   }
 

@@ -489,7 +489,11 @@ object Relational {
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("frequency"),
-        sum(col("value").cast("decimal(18,6)")).as("m_exact"))
+        // coalesce: a user whose purchase values are all NULL must sort
+        // as 0, not as NULL — Spark orders NULLS FIRST and DuckDB NULLS
+        // LAST, so a NULL here would silently shift every ntile bucket
+        coalesce(sum(col("value").cast("decimal(18,6)")),
+          lit(0).cast("decimal(18,6)")).as("m_exact"))
     val r = ntile(4).over(Window.orderBy(col("last_us"), col("user_id")))
     val f = ntile(4).over(Window.orderBy(col("frequency"), col("user_id")))
     val m = ntile(4).over(Window.orderBy(col("m_exact"), col("user_id")))

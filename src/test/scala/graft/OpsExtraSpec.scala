@@ -473,13 +473,11 @@ class OpsExtraSpec extends SparkSpec {
       TrainingData.docChunk(docs0), TrainingData.decontaminate(docs0),
       Similarity.embedQuantize(emb0), Similarity.pqCodes(emb0),
       Similarity.annPq(emb0), Similarity.annBruteforce(emb0),
-      Relational.attribution(ev0), Relational.profileEvents(ev0),
+      Relational.attribution(ev0),
       Relational.sessionize(ev0), Relational.cohortRetention(ev0))
-    outputs.foreach { df =>
-      val n = df.count()
-      // profileEvents emits its fixed 6 metadata rows even on empty input
-      assert(n === 0L || n === 6L)
-    }
+    outputs.foreach { df => assert(df.count() === 0L) }
+    // profileEvents is the one fixed-shape report: 6 metadata rows
+    assert(Relational.profileEvents(ev0).count() === 6L)
     Ema.unpersistAll()
   }
 }

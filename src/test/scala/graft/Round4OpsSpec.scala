@@ -353,11 +353,16 @@ class Round4OpsSpec extends SparkSpec {
     // closes: up,up,up | down | up | down -> longest 3, one 3+ run
     val closes = Seq(100.0, 101.0, 102.0, 103.0, 99.0, 100.0, 98.0)
     val b = mkBars(closes.zipWithIndex.map { case (c, i) =>
-      ("A", f"2024-01-01 10:${5 * i}%02d:00", c, 1L) })
+      ("A", f"2024-01-01 10:${5 * i}%02d:00", c, 1L) } ++
+      // a symbol with NO rising close must still report a (0, 0) row
+      Seq(("B", "2024-01-01 10:00:00", 50.0, 1L),
+        ("B", "2024-01-01 10:05:00", 49.0, 1L)))
     val out = Indicators.upStreaks(b).collect()
-    assert(out.length === 1)
-    assert(out(0).getAs[Long]("longest_up_run") === 3L)
-    assert(out(0).getAs[Long]("n_runs_3plus") === 1L)
+      .map(r => r.getAs[String]("symbol") -> r).toMap
+    assert(out("A").getAs[Long]("longest_up_run") === 3L)
+    assert(out("A").getAs[Long]("n_runs_3plus") === 1L)
+    assert(out("B").getAs[Long]("longest_up_run") === 0L)
+    assert(out("B").getAs[Long]("n_runs_3plus") === 0L)
   }
 
   private def docsWithSource(rows: Seq[(Long, String, String)]): DataFrame = {
@@ -400,9 +405,10 @@ class Round4OpsSpec extends SparkSpec {
     val pair = out.find(r => r.getAs[String]("source_a") == "s1" &&
       r.getAs[String]("source_b") == "s2").get
     assert(pair.getAs[Long]("n_shared") === 1L) // only the shared 5-gram window
-    assert(out.forall(r => r.getAs[String]("source_b") != "s3" ||
-      r.getAs[Long]("n_shared") === 0L) || !out.exists(r =>
-      r.getAs[String]("source_b") == "s3")) // s3 shares nothing (or no row)
+    // the operator emits only pairs that actually share n-grams, so s3
+    // (no shared 5-gram with anyone) must not appear on either side
+    assert(!out.exists(r => r.getAs[String]("source_a") == "s3" ||
+      r.getAs[String]("source_b") == "s3"))
   }
 
   test("temperatureMix: sqrt weights flatten a 4:1 source skew to 2:1 rates") {
