@@ -240,6 +240,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("p_value") === 99.0)
   }
 
+  test("batch last-touch attribution = argmax of the stream-join candidate set") {
+    // clickAttribution (stream-stream join) emits EVERY click within the
+    // window per purchase; Relational.attribution keeps the last touch.
+    // On the same data the batch pick must be exactly the (c_ts, c_event)
+    // argmax of the streaming candidate set, and a purchase with no
+    // candidates must be unattributed — the two operators are one
+    // semantics at two latencies.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf())
+    val cands = StreamPipelines.clickAttribution(ev).collect()
+      .groupBy(_.getAs[Long]("p_event"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[Timestamp]("c_ts").getTime, r.getAs[Long]("c_event"))).toSeq)
+      .toMap
+    val attr = graft.operators.Relational.attribution(ev).collect()
+    assert(attr.nonEmpty)
+    attr.foreach { r =>
+      val pid = r.getAs[Long]("purchase_id")
+      val picked = Option(r.getAs[java.lang.Long]("attributed_click_id"))
+      cands.get(pid) match {
+        case Some(cs) =>
+          assert(picked.contains(cs.max._2),
+            s"purchase $pid: batch picked $picked, stream candidates $cs")
+        case None =>
+          assert(picked.isEmpty, s"purchase $pid attributed without candidates")
+      }
+    }
+  }
+
   test("checkpointed foreachBatch sink resumes without duplicating batches") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-resume").toString
     val src = s"$tmp/src"
