@@ -1498,6 +1498,33 @@ object OracleSql {
         round(1.0::DOUBLE - sum_tf2::DOUBLE / (n_tokens * n_tokens)::DOUBLE + 5e-9, 4) AS gini
       FROM a ORDER BY doc_id""",
 
+    // intra-doc repeated 10-gram spans (Lee et al. within-doc signal);
+    // position > per-(doc, gram) min position = repeat
+    "q_intradoc_repeats" -> """
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      ex AS (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 9, 0))) AS i
+             FROM t),
+      gr AS (SELECT doc_id, i - 1 AS pos,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+               || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8]
+               || ' ' || ws[i+9] AS gram
+             FROM ex),
+      mk AS (SELECT doc_id,
+               (pos > min(pos) OVER (PARTITION BY doc_id, gram)) AS is_rep
+             FROM gr),
+      st AS (SELECT doc_id, count(*) AS nw,
+               sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS nr
+             FROM mk GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(st.nw, 0)::BIGINT AS n_windows,
+        coalesce(st.nr, 0)::BIGINT AS n_repeats,
+        CASE WHEN st.nw IS NOT NULL AND st.nw > 0
+          THEN round(st.nr::DOUBLE / st.nw::DOUBLE + 5e-9, 4) ELSE 0.0 END AS repeat_frac
+      FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+      ORDER BY d.doc_id""",
+
     // per-source duplication report over the global exact dedup
     "q_dup_ratio" -> s"""
       WITH t AS (SELECT doc_id, source, md5($normExpr) AS text_hash FROM documents),

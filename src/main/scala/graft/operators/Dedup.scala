@@ -464,6 +464,37 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Intra-document repeated-span signal (the within-doc analogue of
+    * Lee et al. 2022's repeated-substring dedup, on word-10-gram
+    * windows): a window is a repeat iff the same 10-gram occurred at an
+    * earlier position in the SAME doc. Reports window/repeat counts and
+    * the repeat fraction per doc — the "remove repeated spans before
+    * training" QA signal. Positions stay doc-local, so the
+    * (doc, gram)-keyed min-position shuffle carries narrow rows; docs
+    * too short for a window still report a (0, 0) row. */
+  def intradocRepeats(docs: DataFrame, n: Int = 10): DataFrame = {
+    val terms = (0 until n).map(i => s"wsarr[i+$i]").mkString(", ")
+    val grams = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("wsarr"))
+      .filter(size(col("wsarr")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(wsarr) - $n), i -> concat_ws(' ', $terms))"))
+        .as(Seq("pos", "gram")))
+    val wg = Window.partitionBy(col("doc_id"), col("gram"))
+    val stats = grams
+      .withColumn("is_rep", (col("pos") > min(col("pos")).over(wg)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(col("is_rep")).as("nr"))
+    docs.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nw"), lit(0L)).as("n_windows"),
+        coalesce(col("nr"), lit(0L)).as("n_repeats"),
+        when(col("nw").isNotNull && col("nw") > 0,
+          round(col("nr").cast("double") / col("nw").cast("double")
+            + lit(5e-9), 4)).otherwise(lit(0.0)).as("repeat_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source duplication report: how many of each source's docs a
     * GLOBAL exact dedup (keep-min-doc_id per normalized-text hash)
     * would remove — "which source is padding the corpus". Only the

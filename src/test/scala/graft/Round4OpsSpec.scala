@@ -411,6 +411,20 @@ class Round4OpsSpec extends SparkSpec {
       r.getAs[String]("source_b") == "s3"))
   }
 
+  test("intradocRepeats: repeated span flagged, short docs report (0,0)") {
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = Dedup.intradocRepeats(docs(Seq(
+      1L -> s"$span $span",            // 20 words: 11 windows, window 10 repeats window 0
+      2L -> (1 to 12).map(i => s"u$i").mkString(" "), // 3 windows, no repeats
+      3L -> "too short"))).collect()   // < 10 words: (0, 0)
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_windows") === 11L)
+    assert(out(1L).getAs[Long]("n_repeats") === 1L) // only the exact re-occurrence
+    assert(out(2L).getAs[Long]("n_repeats") === 0L)
+    assert(out(3L).getAs[Long]("n_windows") === 0L)
+    assert(out(3L).getAs[Double]("repeat_frac") === 0.0)
+  }
+
   test("temperatureMix: sqrt weights flatten a 4:1 source skew to 2:1 rates") {
     import spark.implicits._
     val d = ((1L to 100L).map(i => (i, "small")) ++
