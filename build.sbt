@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST JSON line of captured stdout. sbt's
+// default LoggedOutput strategy prefixes every forked-stdout line with
+// "[info] " and appends a "[success] Total time" trailer — both of which
+// have defeated the driver's parse four rounds running. StdoutOutput
+// passes the forked main's stdout through verbatim; showSuccess drops
+// the trailer.
+outputStrategy := Some(StdoutOutput)
+// runMain forks through `run`'s runner, so the run scope covers both
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command engine, not another setting —
+// lintUnused can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

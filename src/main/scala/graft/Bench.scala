@@ -61,31 +61,27 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
     }
-    // Full per-query map for humans/judges (the stdout line is capped).
+    // Full per-query map for humans/judges — on disk only. The driver's
+    // stdout-tail parse has failed four rounds running even with an intact
+    // capped line, so the stdout contract is now minimal: exactly ONE short
+    // JSON line (~100 chars, no query map), emitted as the very last output
+    // after spark.stop() (Spark's shutdown logging goes to the log4j console
+    // appender, so nothing can trail it), with build.sbt's StdoutOutput
+    // strategy stripping sbt's "[info] " prefix and showSuccess=false
+    // dropping the "[success]" trailer.
     val full = line(results, "")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case _: Throwable => () }
-    // The driver captures only the TAIL of stdout (~2000 chars) and sbt
-    // appends its own "[success] Total time" line after ours, so the one
-    // parseable JSON line must stay comfortably under that window. If the
-    // full map would overflow, keep the slowest queries (the interesting
-    // ones) and record how many were omitted.
-    val out =
-      if (full.length <= 1400) full
-      else {
-        // Failed queries (-1 sentinel) must survive the truncation —
-        // rank them ahead of the slowest successes so a capped line can
-        // never hide a failure.
-        val ranked = results.toSeq.sortBy { case (_, v) =>
-          if (v < 0) Double.NegativeInfinity else -v
-        }
-        val kept = ranked.foldLeft(Vector.empty[(String, Double)]) { (acc, kv) =>
-          if (line(acc, "").length > 1250) acc else acc :+ kv
-        }
-        line(kept, s""","n":${results.size},"omitted":${results.size - kept.size}""")
-      }
-    println(out)
+    val failed = results.count(_._2 < 0)
+    val minimal =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}"""
     spark.stop()
+    // Belt and braces: emit on BOTH streams so whichever the driver tails
+    // (stdout, stderr, or merged) ends with the parseable line.
+    System.err.println(minimal)
+    System.err.flush()
+    println(minimal)
+    System.out.flush()
   }
 }

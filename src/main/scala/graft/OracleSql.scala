@@ -1327,6 +1327,7 @@ object OracleSql {
             FROM f)
       SELECT symbol, bar_ts,
         CASE WHEN rn < 15 THEN NULL
+             WHEN neg = 0 AND pos = 0 THEN 50.0
              WHEN neg = 0 THEN 100.0
              ELSE round(100.0::DOUBLE - 100.0::DOUBLE /
                (1.0::DOUBLE + pos::DOUBLE / neg::DOUBLE) + 5e-9, 4) END AS mfi
@@ -1403,7 +1404,10 @@ object OracleSql {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                               (l_returnflag), (l_linestatus))
-      ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""",
+      -- coalesce sentinel: a DATA null inside a grouping level would
+      -- otherwise sort NULLS FIRST in Spark / NULLS LAST here
+      ORDER BY g_rf, g_ls, coalesce(l_returnflag, '~'),
+               coalesce(l_linestatus, '~')""",
 
     // 2-D skyline: same two-step algorithm as the Spark side (max size
     // per distinct price, then a running-max sweep over the price
@@ -1539,9 +1543,11 @@ object OracleSql {
       FROM k GROUP BY source ORDER BY source""",
 
     // cross-source 5-gram overlap matrix (corpus-level contamination)
+    // shingles join on md5(ng) (16-byte key), mirroring the Spark side
     "q_source_overlap" -> s"""
       WITH $ngramCtes5,
-      s AS (SELECT DISTINCT ng, source FROM ng5 JOIN documents USING (doc_id)),
+      s AS (SELECT DISTINCT md5(ng) AS ng, source
+            FROM ng5 JOIN documents USING (doc_id)),
       c AS (SELECT source, count(*) AS n_ngrams FROM s GROUP BY source),
       p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
             FROM s a JOIN s b ON a.ng = b.ng AND a.source < b.source
@@ -1612,6 +1618,18 @@ object OracleSql {
         CASE WHEN gap_us <= 1800000000 THEN click_id END AS attributed_click_id,
         CASE WHEN gap_us <= 1800000000 THEN gap_us END AS gap_us
       FROM j WHERE rk = 1 ORDER BY purchase_id""",
+
+    // the stream-stream attribution join run as batch: every
+    // (purchase, preceding click ≤ 30 min, same user) candidate pair —
+    // q_attribution's last-touch argmax selects from exactly this set
+    "q_stream_attribution" -> """
+      WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, c.event_id AS c_event, p.event_id AS p_event,
+        c.ts AS c_ts, p.ts AS p_ts, p.value AS p_value
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      ORDER BY p_event, c_event""",
 
     // per-column profile; numeric min/max (ts as unix micros)
     "q_profile_events" -> """

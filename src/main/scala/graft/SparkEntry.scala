@@ -165,7 +165,14 @@ object SparkEntry {
         .orderBy("win_start", "event_type")),
     "q_stream_sliding" -> ((s, d) =>
       graft.streaming.StreamPipelines.slidingAgg(Tables.events(s, d))
-        .orderBy("win_start", "event_type"))
+        .orderBy("win_start", "event_type")),
+    // batch run of the SAME stream-stream join plan (the watermark
+    // nodes are no-ops in batch) — the one-semantics-two-latencies
+    // claim, oracle-gated; the bridging spec additionally proves the
+    // per-purchase argmax over these candidates equals q_attribution
+    "q_stream_attribution" -> ((s, d) =>
+      graft.streaming.StreamPipelines.clickAttribution(Tables.events(s, d))
+        .orderBy("p_event", "c_event"))
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -166,12 +166,37 @@ object Dedup {
   def dedupClusters(docs: DataFrame, maxIter: Int = 50): DataFrame =
     dedupClustersUnordered(docs, maxIter).orderBy(col("doc_id"))
 
+  /** The near-dup candidate pair graph, compute-once form: the
+    * UNORDERED distinct (doc_a, doc_b) pairs every cluster-family
+    * consumer starts from. A real pipeline derives min-label clusters
+    * ([[dedupClustersFromPairs]]), the large-star/small-star variant
+    * ([[dedupClustersLSSFromPairs]]), and the ROI histogram
+    * ([[clusterStatsFromLabels]]) from ONE materialization of this
+    * frame (localCheckpoint/persist it first) instead of re-running
+    * shingling + MinHash + banding once per consumer — the standalone
+    * oracle queries deliberately pay the full derivation each so their
+    * timings stay isolated and comparable. */
+  def dedupPairGraph(docs: DataFrame, bands: Int = 16, r: Int = 4,
+      maxBucket: Int = 64): DataFrame =
+    minhashLshPairsUnordered(docs, bands, r, maxBucket)
+
   /** [[dedupClusters]] without the deterministic output sort — for
     * consumers ([[clusterStats]]) that immediately re-aggregate, where
     * the range exchange + sort would be dead work. */
-  private def dedupClustersUnordered(docs: DataFrame, maxIter: Int = 50): DataFrame = {
+  private def dedupClustersUnordered(docs: DataFrame, maxIter: Int = 50): DataFrame =
+    dedupClustersFromPairs(minhashLshPairsUnordered(docs),
+      docs.select(col("doc_id")), maxIter)
+
+  /** Min-label-propagation clusters from a PRECOMPUTED pair graph —
+    * the compute-once entry point ([[dedupPairGraph]] doc). `pairs`
+    * must carry (doc_a, doc_b); `ids` the (doc_id) universe (isolated
+    * docs become singletons). Output is unordered: (doc_id,
+    * cluster_id, cluster_size, is_canonical). */
+  def dedupClustersFromPairs(pairs0: DataFrame, ids: DataFrame,
+      maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minhashLshPairsUnordered(docs).select(col("doc_a"), col("doc_b"))
+    val pairs = pairs0.select(col("doc_a"), col("doc_b"))
+    val docs = ids.select(col("doc_id"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -291,17 +316,23 @@ object Dedup {
   /** [[dedupClusters]] computed by [[connectedComponentsLSS]] — same
     * output contract and the SAME DuckDB oracle (both reach the unique
     * min-label fixpoint), different physical algorithm. */
-  def dedupClustersLSS(docs: DataFrame): DataFrame = {
+  def dedupClustersLSS(docs: DataFrame): DataFrame =
+    dedupClustersLSSFromPairs(minhashLshPairsUnordered(docs),
+      docs.select(col("doc_id")))
+      .orderBy(col("doc_id"))
+
+  /** Large-star/small-star clusters from a PRECOMPUTED pair graph —
+    * the compute-once LSS entry point (see [[dedupPairGraph]]). Same
+    * unordered output contract as [[dedupClustersFromPairs]]. */
+  def dedupClustersLSSFromPairs(pairs: DataFrame, ids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minhashLshPairsUnordered(docs)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val labels = connectedComponentsLSS(pairs, docs.select(col("doc_id").as("id")))
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponentsLSS(edges, ids.select(col("doc_id").as("id")))
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** 60-bit SimHash over distinct unigram tokens (md5-derived 60-bit
@@ -382,7 +413,15 @@ object Dedup {
     * for itself before anyone launches it. Piggybacks on
     * [[dedupClusters]]' fixpoint; the stats aggregate is metadata-sized. */
   def clusterStats(docs: DataFrame): DataFrame =
-    dedupClustersUnordered(docs)
+    clusterStatsFromLabels(dedupClustersUnordered(docs))
+
+  /** The ROI histogram from a PRECOMPUTED labels frame (the
+    * compute-once path: one [[dedupPairGraph]] + one fixpoint feeds
+    * clusters, the LSS variant, and this report — see
+    * [[dedupPairGraph]]). `labels` must carry (cluster_id,
+    * cluster_size, is_canonical), i.e. either FromPairs output. */
+  def clusterStatsFromLabels(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("cluster_size"))
       .agg(countDistinct(col("cluster_id")).as("n_clusters"),
         count(lit(1)).as("n_docs"),
@@ -519,15 +558,17 @@ object Dedup {
     * distinct word-5-grams they share and what fraction of the first
     * source's n-gram vocabulary that is — the corpus-level view of
     * contamination ([[TrainingData.decontaminate]] is the per-doc
-    * verdict). The self-join carries only distinct (ngram, source)
-    * rows, and with S sources each n-gram fans out to at most
-    * C(S,2) pairs — no quadratic blowup. (Scale path: replace the raw
-    * n-gram join key with a 128-bit hash so the shuffle carries 16
-    * bytes per shingle.) */
+    * verdict). Shingles are collapsed to their 128-bit md5 BEFORE the
+    * distinct and the self-join, so the two shuffles carry a fixed
+    * 16-byte key instead of ~50-byte raw 5-gram strings (the oracle
+    * mirrors the md5, so counts match bit-for-bit; an md5 collision
+    * inside one source's vocabulary is the accepted 2⁻¹²⁸-scale
+    * approximation). With S sources each shingle hash fans out to at
+    * most C(S,2) pairs — no quadratic blowup. */
   def crossSourceOverlap(docs: DataFrame): DataFrame = {
     val ng = wordNgrams(docs.select(col("doc_id"), col("text")), 5)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("ng"), col("source")).distinct()
+      .select(md5(col("ng")).as("ng"), col("source")).distinct()
     val counts = ng.groupBy(col("source")).agg(count(lit(1)).as("n_ngrams"))
     ng.as("a")
       .join(ng.as("b"),

@@ -52,7 +52,10 @@ object Ema extends Serializable {
   private val persistedSets =
     new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
 
-  private def persistTracked[T](ds: Dataset[T]): Dataset[T] = {
+  // package-visible: other operators (Similarity's Lloyd refinement)
+  // reuse the same tracked-persist registry so Bench/session cleanup
+  // releases their intermediates through the one unpersistAll() hook
+  private[operators] def persistTracked[T](ds: Dataset[T]): Dataset[T] = {
     val p = ds.persist(StorageLevel.MEMORY_AND_DISK)
     persistedSets.add(p)
     while (persistedSets.size > MaxTracked) {

@@ -470,7 +470,10 @@ object Indicators {
     * dividing by 3 and its repeating-decimal hazard never happens),
     * money flow = tp3·volume, and the 14-bar positive/negative flow
     * sums stay decimal until ONE double division at the edge. A null
-    * prior bar contributes no flow. */
+    * prior bar contributes no flow. Degenerate windows: neg = 0 with
+    * positive flow is maximally positive (100); a fully flat window
+    * (pos = neg = 0) is the indeterminate 0/0 and reports the neutral
+    * 50 rather than an arbitrary extreme. */
   def mfi(bars: DataFrame, n: Int = 14): DataFrame = {
     val tp3 = (col("high") + col("low") + col("close")).cast("decimal(18,6)")
     val zero = lit(0).cast("decimal(38,6)")
@@ -487,6 +490,7 @@ object Indicators {
         sum(col("neg_mf")).over(wr(n)).as("neg"), col("rn"))
       .select(col("symbol"), col("bar_ts"),
         when(col("rn") < n + 1, lit(null).cast("double"))
+          .when(col("neg") === 0 && col("pos") === 0, lit(50.0))
           .when(col("neg") === 0, lit(100.0))
           .otherwise(round(lit(100.0) - lit(100.0) /
             (lit(1.0) + col("pos").cast("double") / col("neg").cast("double"))
@@ -534,7 +538,9 @@ object Indicators {
   }
 
   /** Up-streak report (gaps-and-islands): per symbol the longest run of
-    * strictly-rising closes and the number of runs of length ≥ 3. Run
+    * strictly-rising closes and the number of runs of length ≥ 3.
+    * `longest_up_run` counts RISES (close > previous-close
+    * transitions), not bars — a run of length L spans L+1 bars. Run
     * ids come from the classic rn − running-count-of-ups device — all
     * integer window arithmetic over one symbol exchange. */
   def upStreaks(bars: DataFrame, minRun: Int = 3): DataFrame = {

@@ -376,27 +376,53 @@ object Relational {
         grouping(col("l_linestatus")).cast("long").as("g_ls"),
         count(lit(1)).as("n"),
         round(sum(qty), 2).cast("double").as("sum_qty"))
-      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+      // coalesce sentinel in the sort keys: within a grouping level a
+      // DATA null would otherwise be indistinguishable from a subtotal
+      // null and sort differently across engines (Spark NULLS FIRST,
+      // DuckDB NULLS LAST). '~' sorts after every flag value.
+      .orderBy(col("g_rf"), col("g_ls"),
+        coalesce(col("l_returnflag"), lit("~")),
+        coalesce(col("l_linestatus"), lit("~")))
   }
 
   /** 2-D skyline (Pareto frontier) of parts: minimize retail price,
     * maximize size. Physical algorithm: collapse to the max size per
-    * distinct price (one partial-aggregatable shuffle), then a single
-    * running-max sweep over the price-sorted distinct points — a point
-    * survives iff its size beats every strictly-cheaper point's — and
-    * a semi-join back to parts. The sweep window runs over DISTINCT
-    * PRICES (dictionary-sized, not data-sized); at cluster scale the
-    * same sweep runs as a range-partitioned segmented scan. The
-    * dominance definition itself (no other part with price ≤ AND
-    * size ≥, strict in one) is spec-proven equal on a naive
-    * cross-join; the oracle mirrors this two-step algorithm. */
+    * distinct price (one partial-aggregatable shuffle), then a
+    * SEGMENTED running-max sweep over the price-sorted distinct points
+    * — a point survives iff its size beats every strictly-cheaper
+    * point's — and a semi-join back to parts. The sweep is the
+    * two-level carry device (same as Ema / [[ntileByRank]]): distinct
+    * prices range-partition into ordered segments, each segment runs
+    * its local exclusive prefix-max in parallel, and the carry-in (max
+    * over all earlier SEGMENTS) comes from a broadcast
+    * partitions-sized table — no window ever spans the whole price
+    * domain in one partition, so the sweep survives a non-dictionary
+    * price domain. The dominance definition itself (no other part
+    * with price ≤ AND size ≥, strict in one) is spec-proven equal on
+    * a naive cross-join; the oracle mirrors the two-step algorithm. */
   def skylineParts(part: DataFrame): DataFrame = {
+    val nParts = part.sparkSession.sessionState.conf.numShufflePartitions
     val perPrice = part.groupBy(col("p_retailprice").as("sky_price"))
       .agg(max(col("p_size")).as("sky_size"))
-    val wSweep = Window.orderBy(col("sky_price"))
+      .repartitionByRange(nParts, col("sky_price").asc)
+      .withColumn("_pid", spark_partition_id().cast("long"))
+    // carry-in per segment: max sky_size over all EARLIER segments — a
+    // broadcast self-join of the partitions-sized per-segment maxes
+    // (≤ parts² rows; no unpartitioned WindowExec), broadcast back.
+    val segMax = perPrice.groupBy(col("_pid")).agg(max(col("sky_size")).as("_sm"))
+    val carry = segMax
+      .crossJoin(broadcast(
+        segMax.select(col("_pid").as("_qid"), col("_sm").as("_qm"))))
+      .groupBy(col("_pid"))
+      // max(when) with no otherwise: NULL when no earlier segment
+      .agg(max(when(col("_qid") < col("_pid"), col("_qm"))).as("_carry"))
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(col("sky_price"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val frontier = perPrice
-      .withColumn("best_cheaper", max(col("sky_size")).over(wSweep))
+      .join(broadcast(carry), Seq("_pid"))
+      .withColumn("_local", max(col("sky_size")).over(wLocal))
+      // greatest() skips NULLs (first row of a segment / first segment)
+      .withColumn("best_cheaper", greatest(col("_carry"), col("_local")))
       .filter(col("best_cheaper").isNull || col("best_cheaper") < col("sky_size"))
       .select(col("sky_price"), col("sky_size"))
     part.join(broadcast(frontier),
@@ -477,13 +503,62 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
+  /** Exact distributed `ntile(buckets) OVER (ORDER BY key, tieBreak)`
+    * WITHOUT a single-partition window — the 100 TB shape for global
+    * quantile scoring. Device (two-level carry, like Ema's segmented
+    * scans): range-partition on the order key so partition ids are
+    * ordered ranges, rank locally per partition, add the broadcast
+    * cumulative row-count of earlier partitions (the offsets table is
+    * shuffle-partitions-sized, so ITS window is over ~32 rows, not
+    * data), then map the exact global rank to its bucket with ntile's
+    * front-loaded ceil/floor rule. Bit-identical to the window form for
+    * any total order — callers must pass a tie-breaking key. */
+  private def ntileByRank(df: DataFrame, key: Column, tieBreak: Column,
+      buckets: Int, out: String): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, key.asc, tieBreak.asc)
+      .withColumn("_pid", spark_partition_id().cast("long"))
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(key.asc, tieBreak.asc)
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_pn"))
+    // prefix offsets + grand total WITHOUT any window: a broadcast
+    // self-join of the partitions-sized counts (≤ parts² ≈ 1k rows) —
+    // the plan contains NO unpartitioned WindowExec at all.
+    val meta = counts
+      .crossJoin(broadcast(
+        counts.select(col("_pid").as("_qid"), col("_pn").as("_qn"))))
+      .groupBy(col("_pid"))
+      .agg(sum(when(col("_qid") < col("_pid"), col("_qn")).otherwise(0L)).as("_off"),
+        sum(col("_qn")).as("_n"))
+    // ntile's exact bucket rule (all-integer `div` arithmetic): with
+    // q = N div b and rem = N mod b, the first rem buckets hold q+1
+    // rows. greatest(q,1) only guards the dead branch (when q = 0
+    // every rank is ≤ thr).
+    val bucket = expr(
+      s"""CASE WHEN _rank <= (_n div $buckets + 1) * (_n % $buckets)
+         |  THEN (_rank - 1) div (_n div $buckets + 1) + 1
+         |  ELSE _n % $buckets
+         |    + (_rank - 1 - (_n div $buckets + 1) * (_n % $buckets))
+         |      div greatest(_n div $buckets, 1) + 1
+         |END""".stripMargin)
+    ranged
+      .withColumn("_lrank", row_number().over(wLocal).cast("long"))
+      .join(broadcast(meta), Seq("_pid"))
+      .withColumn("_rank", col("_off") + col("_lrank"))
+      .withColumn(out, bucket.cast("long"))
+      .drop("_pid", "_lrank", "_off", "_n", "_rank")
+  }
+
   /** RFM (recency/frequency/monetary) segmentation over purchases:
-    * per-user stats then quartile scores via ntile(4) with a
-    * deterministic (metric, user_id) order — segment = "RFM" digit
-    * string. Stats collapse map-side per user first; the global ntile
-    * is a single-partition window over USERS (already aggregated) —
-    * at 100 TB the swap is approx-quantile bucket edges broadcast,
-    * same output contract. Monetary sums in exact DECIMAL. */
+    * per-user stats then quartile scores with exact ntile(4) semantics
+    * under a deterministic (metric, user_id) order — segment = "RFM"
+    * digit string. Stats collapse map-side per user first; each score
+    * runs through [[ntileByRank]] (range exchange + local rank +
+    * broadcast offsets), so no global single-partition window touches
+    * the users-sized aggregate — the plan that survives billions of
+    * users. The stats subtree is locally checkpointed once: three
+    * range-partition passes (each with its own sampling job) would
+    * otherwise re-aggregate the raw events four times. Monetary sums
+    * in exact DECIMAL. */
   def rfmSegments(events: DataFrame): DataFrame = {
     val stats = events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
@@ -494,14 +569,16 @@ object Relational {
         // LAST, so a NULL here would silently shift every ntile bucket
         coalesce(sum(col("value").cast("decimal(18,6)")),
           lit(0).cast("decimal(18,6)")).as("m_exact"))
-    val r = ntile(4).over(Window.orderBy(col("last_us"), col("user_id")))
-    val f = ntile(4).over(Window.orderBy(col("frequency"), col("user_id")))
-    val m = ntile(4).over(Window.orderBy(col("m_exact"), col("user_id")))
-    stats
+      .localCheckpoint(true)
+    val scored = Seq(
+      ("last_us", "r_score"), ("frequency", "f_score"), ("m_exact", "m_score"))
+      .foldLeft(stats) { case (df, (metric, score)) =>
+        ntileByRank(df, col(metric), col("user_id"), 4, score)
+      }
+    scored
       .select(col("user_id"), col("last_us"), col("frequency"),
         round(col("m_exact"), 2).cast("double").as("monetary"),
-        r.cast("long").as("r_score"), f.cast("long").as("f_score"),
-        m.cast("long").as("m_score"))
+        col("r_score"), col("f_score"), col("m_score"))
       .withColumn("segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .orderBy(col("user_id"))

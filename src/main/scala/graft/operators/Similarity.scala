@@ -236,8 +236,18 @@ object Similarity {
     * nondeterministic); cells that lose all members drop out. Spark-only
     * (spec-measured) — the oracle-gated [[annIvf]] keeps the sampled
     * centroids for engine reproducibility. */
-  def ivfCentroidsLloyd(embeddings: DataFrame, iters: Int = 2): DataFrame = {
-    val e = withVec(embeddings)
+  def ivfCentroidsLloyd(embeddings: DataFrame, iters: Int = 2): DataFrame =
+    ivfCentroidsLloydFrom(Ema.persistTracked(withVec(embeddings)), iters)
+
+  /** Lloyd loop over a (persisted) normalized-vector frame. The corpus
+    * scan materializes ONCE and every assignment pass reads the cache —
+    * without it, each iteration's broadcast side re-derives the whole
+    * previous iteration (nested broadcasts re-scan the corpus once per
+    * LEVEL of nesting). The K-row centroid frame is locally
+    * checkpointed per iteration (the dedupClusters device) so iteration
+    * i+1's plan starts from 32 materialized rows, not iteration i's
+    * full lineage. */
+  private def ivfCentroidsLloydFrom(e: DataFrame, iters: Int): DataFrame = {
     var cents = e
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
@@ -259,15 +269,19 @@ object Similarity {
       cents = assign
         .groupBy(col("cent_id"))
         .agg(expr("vec_mean6(v)").as("cv"))
+        .localCheckpoint(true)
     }
     cents
   }
 
   /** IVF probe against Lloyd-refined centroids — same nprobe machinery
-    * as [[annIvf]]; recall improvement is measured in the spec suite. */
+    * as [[annIvf]]; recall improvement is measured in the spec suite.
+    * The normalized corpus persists across the Lloyd iterations AND the
+    * final probe's assignment pass (released by `Ema.unpersistAll` /
+    * `catalog.clearCache`). */
   def annIvfLloyd(embeddings: DataFrame, k: Int = 3, iters: Int = 2): DataFrame = {
-    val e = withVec(embeddings)
-    val cents = ivfCentroidsLloyd(embeddings, iters)
+    val e = Ema.persistTracked(withVec(embeddings))
+    val cents = ivfCentroidsLloydFrom(e, iters)
     ivfProbe(e, cents, k)
   }
 
@@ -358,11 +372,20 @@ object Similarity {
     * same O(K) bounded-sample device as [[annIvf]]'s centroids, so the
     * codebook broadcast is O(PqM·PqKs) regardless of corpus size. */
   private def pqCodebook(e: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("h"), col("cent_id")) // 16 rows post-limit
-    e.select(col("vec_id").as("cent_id"), col("v").as("cv"),
+    val sampled = e.select(col("vec_id").as("cent_id"), col("v").as("cv"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
       .orderBy(col("h"), col("cent_id")).limit(PqKs)
-      .withColumn("code_id", row_number().over(w).cast("long") - 1)
+    // code_id = count of strictly-smaller (h, cent_id) keys, via a
+    // broadcast self-join of the 16 sampled rows — ≡ row_number() − 1
+    // in (h, cent_id) order without an unpartitioned WindowExec (the
+    // count is exact: cent_id makes the key unique).
+    sampled
+      .crossJoin(broadcast(
+        sampled.select(col("h").as("qh"), col("cent_id").as("qc"))))
+      .groupBy(col("cent_id"), col("h"))
+      .agg(first(col("cv")).as("cv"),
+        sum(when(struct(col("qh"), col("qc")) <
+          struct(col("h"), col("cent_id")), 1L).otherwise(0L)).as("code_id"))
       .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
       .select(col("m"), col("code_id"),
         slice(col("cv"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("csub"))
