@@ -43,7 +43,15 @@ object Bench {
       finally cleanup()
     }
     var sinceGc = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional focus filter for quiet re-measurement of a few queries
+    // (comma-separated names); the full-map artifact is only written on
+    // unfiltered runs so a focused run never clobbers BENCH_FULL.json.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = timeOnce(fn)
       sinceGc += 1
@@ -70,9 +78,11 @@ object Bench {
     // strategy stripping sbt's "[info] " prefix and showSuccess=false
     // dropping the "[success]" trailer.
     val full = line(results, "")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      catch { case _: Throwable => () }
+    else System.err.println(full)
     val failed = results.count(_._2 < 0)
     val minimal =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}"""

@@ -402,10 +402,15 @@ object Relational {
     * a naive cross-join; the oracle mirrors the two-step algorithm. */
   def skylineParts(part: DataFrame): DataFrame = {
     val nParts = part.sparkSession.sessionState.conf.numShufflePartitions
-    val perPrice = part.groupBy(col("p_retailprice").as("sky_price"))
-      .agg(max(col("p_size")).as("sky_size"))
-      .repartitionByRange(nParts, col("sky_price").asc)
-      .withColumn("_pid", spark_partition_id().cast("long"))
+    // persisted for the same reason as ntileByRank's ranged frame: the
+    // nondeterministic _pid blocks exchange reuse across its three
+    // readers (local sweep, per-segment maxes, the maxes copy in the
+    // carry self-join), and all readers must agree on partition ids
+    val perPrice = Ema.persistTracked(
+      part.groupBy(col("p_retailprice").as("sky_price"))
+        .agg(max(col("p_size")).as("sky_size"))
+        .repartitionByRange(nParts, col("sky_price").asc)
+        .withColumn("_pid", spark_partition_id().cast("long")))
     // carry-in per segment: max sky_size over all EARLIER segments — a
     // broadcast self-join of the partitions-sized per-segment maxes
     // (≤ parts² rows; no unpartitioned WindowExec), broadcast back.
@@ -516,8 +521,17 @@ object Relational {
   private def ntileByRank(df: DataFrame, key: Column, tieBreak: Column,
       buckets: Int, out: String): DataFrame = {
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(nParts, key.asc, tieBreak.asc)
-      .withColumn("_pid", spark_partition_id().cast("long"))
+    // The ranged frame MUST be persisted: it is read three times (local
+    // rank, per-partition counts, the counts copy inside the meta
+    // self-join), and because spark_partition_id() is nondeterministic
+    // those references can never collapse via exchange reuse — without
+    // the cache each chained ntile pass would re-execute its
+    // predecessors 3×, an exponential plan blowup. One shared
+    // materialization also guarantees every reader sees the SAME
+    // partition ids. (Released via Ema.unpersistAll / clearCache.)
+    val ranged = Ema.persistTracked(
+      df.repartitionByRange(nParts, key.asc, tieBreak.asc)
+        .withColumn("_pid", spark_partition_id().cast("long")))
     val wLocal = Window.partitionBy(col("_pid")).orderBy(key.asc, tieBreak.asc)
     val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_pn"))
     // prefix offsets + grand total WITHOUT any window: a broadcast
@@ -560,7 +574,10 @@ object Relational {
     * otherwise re-aggregate the raw events four times. Monetary sums
     * in exact DECIMAL. */
   def rfmSegments(events: DataFrame): DataFrame = {
-    val stats = events.filter(col("event_type") === "purchase")
+    // persisted (lazily): the first ntile pass reads stats twice (the
+    // range sampler + the exchange itself)
+    val stats = Ema.persistTracked(
+      events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("frequency"),
@@ -568,8 +585,7 @@ object Relational {
         // as 0, not as NULL — Spark orders NULLS FIRST and DuckDB NULLS
         // LAST, so a NULL here would silently shift every ntile bucket
         coalesce(sum(col("value").cast("decimal(18,6)")),
-          lit(0).cast("decimal(18,6)")).as("m_exact"))
-      .localCheckpoint(true)
+          lit(0).cast("decimal(18,6)")).as("m_exact")))
     val scored = Seq(
       ("last_us", "r_score"), ("frequency", "f_score"), ("m_exact", "m_score"))
       .foldLeft(stats) { case (df, (metric, score)) =>

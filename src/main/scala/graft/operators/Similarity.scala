@@ -372,9 +372,14 @@ object Similarity {
     * same O(K) bounded-sample device as [[annIvf]]'s centroids, so the
     * codebook broadcast is O(PqM·PqKs) regardless of corpus size. */
   private def pqCodebook(e: DataFrame): DataFrame = {
+    // the Ks-row sample is locally checkpointed: the self-join below
+    // references it twice and every caller joins it twice more — the
+    // checkpoint makes that ONE TakeOrdered corpus pass total, not one
+    // per reference
     val sampled = e.select(col("vec_id").as("cent_id"), col("v").as("cv"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
       .orderBy(col("h"), col("cent_id")).limit(PqKs)
+      .localCheckpoint(true)
     // code_id = count of strictly-smaller (h, cent_id) keys, via a
     // broadcast self-join of the 16 sampled rows — ≡ row_number() − 1
     // in (h, cent_id) order without an unpartitioned WindowExec (the
@@ -394,11 +399,11 @@ object Similarity {
   /** Per-(vector, subspace) nearest-codeword assignment: map-side
     * combinable `min_by` over (d2, code_id) — the IVF assignment shape,
     * never a full-corpus window. Carries only (vec_id, m, code, d2). */
-  private def pqAssign(e: DataFrame): DataFrame =
+  private def pqAssign(e: DataFrame, cb: DataFrame): DataFrame =
     e.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
       .select(col("vec_id"), col("m"),
         slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
-      .join(broadcast(pqCodebook(e)), Seq("m"))
+      .join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), col("code_id"),
         dist2(col("sv"), col("csub")).as("d2"))
       .groupBy(col("vec_id"), col("m"))
@@ -412,8 +417,9 @@ object Similarity {
     * The per-vector fold runs over the m-sorted struct array so the
     * error summation order is fixed (matches the oracle's ORDER BY m
     * list fold). */
-  def pqCodes(embeddings: DataFrame): DataFrame =
-    pqAssign(withVec(embeddings))
+  def pqCodes(embeddings: DataFrame): DataFrame = {
+    val e = withVec(embeddings)
+    pqAssign(e, pqCodebook(e))
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("m"), col("code"), col("d2")))).as("arr"))
       .select(col("vec_id"),
@@ -422,6 +428,7 @@ object Similarity {
         floor6(expr("aggregate(arr, cast(0.0 as double), (acc, s) -> acc + s.d2)"))
           .as("recon_err"))
       .orderBy(col("vec_id"))
+  }
 
   /** PQ asymmetric-distance (ADC) top-k: queries precompute an
     * O(|Q|·M·Ks) distance table to every codeword (broadcast), corpus
@@ -431,12 +438,16 @@ object Similarity {
     * array for a fixed summation order. */
   def annPq(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val e = withVec(embeddings)
-    val codes = pqAssign(e).select(col("vec_id"), col("m"), col("code"))
+    // ONE codebook evaluation feeds both the corpus assignment and the
+    // query distance table (its 16-row sample is checkpointed, so the
+    // TakeOrdered corpus pass happens once per query, not per join)
+    val cb = pqCodebook(e)
+    val codes = pqAssign(e, cb).select(col("vec_id"), col("m"), col("code"))
     val dtable = e.filter(col("vec_id") < QueryCount)
       .withColumn("qm", explode(sequence(lit(0), lit(PqM - 1))))
       .select(col("vec_id").as("q_id"), col("qm"),
         slice(col("v"), col("qm") * PqSubDim + 1, lit(PqSubDim)).as("qsv"))
-      .join(broadcast(pqCodebook(e)), col("qm") === col("m"))
+      .join(broadcast(cb), col("qm") === col("m"))
       .select(col("q_id"), col("qm"), col("code_id"),
         dist2(col("qsv"), col("csub")).as("qd2"))
     val adc = codes
