@@ -1,0 +1,39 @@
+package graft
+
+/** Gates the scale contract that no query plan contains a window
+  * operator with an empty partitionSpec — each such operator funnels
+  * the whole input through ONE task (the "No Partition Defined for
+  * Window operation" warning) and is the canonical local-mode-only
+  * plan shape. Round 5 rewrote the last offenders (q_rfm's global
+  * ntile quartiles, q_skyline's price sweep, pqCodebook's sample
+  * rank) into range-partitioned local passes stitched by broadcast
+  * partitions-sized carry/offset tables; this spec keeps them — and
+  * the window-heavy indicator queries — honest. PLANS.md reports the
+  * same count for all 120 queries per round via graft.PlanAudit. */
+class PlanShapeSpec extends SparkSpec {
+
+  // The queries that ever had (or are most at risk of regrowing) a
+  // global window: the three round-5 rewrites, their family members
+  // sharing the helper subtrees, and the rank/ntile-flavoured
+  // indicator queries. Iterative fixpoint queries are excluded only
+  // because their construction executes jobs; their loops contain no
+  // windows at all.
+  private val watched = Seq(
+    "q_rfm", "q_skyline", "q_pq_codes", "q_ann_pq",
+    "q_window_ranks", "q_event_transitions", "q_stream_attribution",
+    "q_ann_ivf_lloyd", "q_ann_ivf", "q_drawdown", "q_topk_per_group",
+    "q_quantiles", "q_up_streaks", "q_swing_points", "q_asof_join",
+    "q_attribution")
+
+  for (name <- watched) test(s"$name plan has zero unpartitioned windows") {
+    val fn = SparkEntry.queries(name)
+    try {
+      val df = fn(spark, sf())
+      val nodes = PlanAudit.executedNodes(df.queryExecution.executedPlan)
+      assert(PlanAudit.globalWindows(nodes) === 0)
+    } finally {
+      graft.operators.Ema.unpersistAll()
+      spark.catalog.clearCache()
+    }
+  }
+}
