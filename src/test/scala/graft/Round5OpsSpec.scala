@@ -131,6 +131,45 @@ class Round5OpsSpec extends SparkSpec {
       Dedup.clusterStats(d).collect().map(stat).toSeq)
   }
 
+  test("rfm distributed ranks equal window ntile on randomized populations") {
+    // Seeded random populations sized to straddle bucket boundaries and
+    // carry heavy value ties (ties resolved by the user_id tiebreak in
+    // BOTH formulations, so equality is exact, not probabilistic).
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(5, 23, 64)) {
+      val rows = (1 to n).flatMap { uid =>
+        (0 until 1 + rnd.nextInt(3)).map { k =>
+          val day = 1 + rnd.nextInt(25)
+          ((uid * 10 + k).toLong, f"2024-01-$day%02d 10:00:00", uid.toLong,
+            "purchase",
+            // value pool of 4 distinct values → massive m_exact ties
+            Some((1 + rnd.nextInt(4)) * 5.0))
+        }
+      }
+      assertRfmMatchesWindow(mkEvents(rows))
+    }
+  }
+
+  test("skyline segmented sweep equals naive dominance on randomized points") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      // duplicate prices (pool of 15) with random sizes: exercises the
+      // max-per-price collapse, intra-segment sweep, and carry together
+      val pts = (1 to 60).map { i =>
+        (i.toLong, s"p$i", (1 + rnd.nextInt(15)).toDouble, (1 + rnd.nextInt(20)).toLong)
+      }
+      val naive = pts.filter { case (_, _, price, sz) =>
+        !pts.exists { case (_, _, p2, s2) =>
+          p2 <= price && s2 >= sz && (p2 < price || s2 > sz) }
+      }.map(_._1).toSet
+      val out = Relational.skylineParts(
+          pts.toDF("p_partkey", "p_name", "p_retailprice", "p_size"))
+        .collect().map(_.getAs[Long]("p_partkey")).toSet
+      assert(out === naive, s"trial $trial")
+    }
+  }
+
   test("mfi: a fully flat 14-bar window reports the neutral 50, not 100") {
     import spark.implicits._
     val bars = (0 until 20).map(i =>
