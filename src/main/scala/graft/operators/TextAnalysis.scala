@@ -186,20 +186,37 @@ object TextAnalysis {
     * exploded (doc, term) rows of a document are partition-local, so
     * the per-(doc, term) tf collapses map-side before the exchange —
     * the shuffle carries vocabulary×docs narrow rows, never raw
-    * positions; posting lists are capped, df/tf exact integers. This
-    * is the search-index construction step over the corpus. */
+    * positions; df/tf exact integers. The posting list is bounded
+    * BEFORE any aggregation buffer sees it: a `row_number() ≤ postK`
+    * filter over the term-partitioned window, which Spark rewrites to
+    * WindowGroupLimit (per-partition top-k retention, map-side AND
+    * final — a stopword's billions of candidate postings never
+    * co-reside in memory; a collect_list-then-slice would hold the
+    * whole list in ONE buffer). The scalar df/total_tf aggregate runs
+    * partial/final on the same reused perDoc exchange and joins the
+    * capped postings on term. */
   def invertedIndex(docs: DataFrame, postK: Int = 10): DataFrame = {
     val lws = split(trim(lower(col("text"))), "\\s+")
     val perDoc = docs
       .select(col("doc_id"), explode(lws).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // tf as a secondary sort key is a semantic no-op (doc_id is unique
+    // within a term partition — perDoc is distinct on (doc, term)) but
+    // keeps tf un-prunable in this branch, so its exchange canonicalizes
+    // identical to the stats branch's and ReuseExchange collapses them:
+    // ONE explode+partial-agg corpus pass feeds both consumers.
+    val wTerm = Window.partitionBy(col("term"))
+      .orderBy(col("doc_id"), col("tf"))
+    val posts = perDoc
+      .withColumn("_rk", row_number().over(wTerm))
+      .filter(col("_rk") <= postK)
+      .groupBy(col("term"))
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+        .as("postings"))
     perDoc.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        sum(col("tf")).as("total_tf"),
-        concat_ws(",",
-          slice(sort_array(collect_list(col("doc_id"))), 1, postK))
-          .as("postings"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .join(posts, Seq("term"))
       .orderBy(col("term"))
   }
 
