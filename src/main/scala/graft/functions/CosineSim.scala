@@ -92,6 +92,8 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dist2", exprs => Dist2(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "lsh_buckets", exprs => LshBuckets(exprs(0)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "lsh_proj", exprs => LshProjections(exprs(0)), "built-in")

@@ -178,9 +178,14 @@ object Similarity {
   def annLshMultiprobe(embeddings: DataFrame, k: Int = 3): DataFrame =
     rankTopK(lshCandidatePairs(embeddings, probed = true), k)
 
-  /** Squared L2 distance as a sequential fold (mirrors the oracle). */
+  /** Squared L2 distance — the native fused loop
+    * ([[graft.functions.Dist2]]); same left-to-right fold from 0.0 as
+    * the `aggregate(zip_with(...))` formulation it replaced (which ran
+    * interpreted, allocating the zipped array per evaluation), so
+    * bit-identical to the oracle's sequential list fold. Every caller
+    * goes through [[withVec]], which registers the function. */
   private def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    call_function("dist2", a, b)
 
   /** IVF-flat ANN: K fixed centroids sampled deterministically by md5
     * order (top-K is a distributed TakeOrdered — O(K) result no matter

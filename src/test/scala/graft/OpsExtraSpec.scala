@@ -157,6 +157,28 @@ class OpsExtraSpec extends SparkSpec {
     assert(n === 0)
   }
 
+  test("dist2 native expression is bit-identical to the zip_with fold") {
+    GraftFunctions.register(spark)
+    // real embeddings against a shifted copy of themselves: the fold
+    // and the fused loop must agree on every BIT (the PQ/IVF oracle
+    // parity depends on the identical left-to-right accumulation)
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("w", transform(col("v"), x => x * lit(1.5) - lit(0.25)))
+    val fold = aggregate(zip_with(col("v"), col("w"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val mism = e.select(expr("dist2(v, w)").as("a"), fold.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mism === 0)
+    // empty arrays and nulls behave like the fold: 0.0 and NULL
+    import spark.implicits._
+    val edge = Seq((Seq.empty[Double], Some(Seq.empty[Double])),
+      (Seq(1.0, 2.0), None)).toDF("a", "b")
+      .select(expr("dist2(a, b)").as("d")).collect()
+    assert(edge(0).getAs[Double]("d") === 0.0)
+    assert(edge(1).isNullAt(0))
+  }
+
   test("optimizer rule rewrites the declarative dot-product fold to DotProduct") {
     graft.functions.GraftExtensions.install(spark)
     val e = Tables.embeddings(spark, sf())
