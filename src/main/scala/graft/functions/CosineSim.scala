@@ -94,6 +94,10 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "dist2", exprs => Dist2(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "ngram_join", exprs => NgramJoin(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "poly_hash", exprs => PolyHash(exprs(0)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "lsh_buckets", exprs => LshBuckets(exprs(0)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "lsh_proj", exprs => LshProjections(exprs(0)), "built-in")

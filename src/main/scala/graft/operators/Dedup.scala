@@ -31,13 +31,18 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("keep_doc_id"))
 
-  /** Distinct word n-grams per doc (docs with < n words contribute none). */
+  /** Distinct word n-grams per doc (docs with < n words contribute
+    * none). Shingles come from the native `ngram_join` kernel
+    * ([[graft.functions.NgramJoin]]) — one loop, one string concat per
+    * gram — instead of the interpreted transform+concat_ws chain (same
+    * strings bit-for-bit; this is the hottest per-doc kernel of the
+    * dedup family). */
   def wordNgrams(docs: DataFrame, n: Int = 3): DataFrame = {
-    val terms = (0 until n).map(i => s"wsarr[i+$i]").mkString(", ")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("wsarr"))
       .filter(size(col("wsarr")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(wsarr) - $n), i -> concat_ws(' ', $terms))")).as("ng"))
+      .select(col("doc_id"),
+        explode(expr(s"ngram_join(wsarr, $n)")).as("ng"))
       .distinct()
   }
 
@@ -512,12 +517,11 @@ object Dedup {
     * (doc, gram)-keyed min-position shuffle carries narrow rows; docs
     * too short for a window still report a (0, 0) row. */
   def intradocRepeats(docs: DataFrame, n: Int = 10): DataFrame = {
-    val terms = (0 until n).map(i => s"wsarr[i+$i]").mkString(", ")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("wsarr"))
       .filter(size(col("wsarr")) >= n)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(wsarr) - $n), i -> concat_ws(' ', $terms))"))
+      .select(col("doc_id"), posexplode(expr(s"ngram_join(wsarr, $n)"))
         .as(Seq("pos", "gram")))
     val wg = Window.partitionBy(col("doc_id"), col("gram"))
     val stats = grams

@@ -93,10 +93,9 @@ object TextAnalysis {
         size(col("wsarr")).cast("long").as("n_words"),
         size(array_distinct(col("wsarr"))).cast("long").as("n_distinct"),
         col("wsarr"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val bigrams = base.filter(col("n_words") >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(wsarr) - 2), i -> concat(wsarr[i], ' ', wsarr[i+1]))"))
-        .as("bg"))
+      .select(col("doc_id"), explode(expr("ngram_join(wsarr, 2)")).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).cast("long").as("n_bigrams"))
@@ -146,11 +145,10 @@ object TextAnalysis {
     * top-k, the driver merges k·p rows; no global sort shuffle. Ties
     * break on the n-gram string so the result is deterministic. */
   def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
-    val terms = (0 until n).map(i => s"wsarr[i+$i]").mkString(", ")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(ws.as("wsarr"))
       .filter(size(col("wsarr")) >= n)
-      .select(explode(expr(
-        s"transform(sequence(0, size(wsarr) - $n), i -> concat_ws(' ', $terms))")).as("ng"))
+      .select(explode(expr(s"ngram_join(wsarr, $n)")).as("ng"))
       .groupBy(col("ng")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ng"))
       .limit(k)
@@ -286,13 +284,17 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: md5 of normalized text + 32-bit polynomial
-    * rolling hash (base 31, mod 2^32) over the normalized characters. */
-  def fingerprint(docs: DataFrame): DataFrame =
+    * rolling hash (base 31, mod 2^32) over the normalized characters —
+    * the native [[graft.functions.PolyHash]] loop (the
+    * aggregate-over-sequence fold it replaces ran an interpreted
+    * lambda with a substring allocation per character). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), normText(col("text")).as("norm"))
       .select(col("doc_id"), md5(col("norm")).as("md5_fp"),
-        expr("aggregate(sequence(1, length(norm)), CAST(0 AS BIGINT), " +
-          "(acc, i) -> (acc * 31 + ascii(substring(norm, i, 1))) % 4294967296)").as("poly_fp"))
+        expr("poly_hash(norm)").as("poly_fp"))
       .orderBy(col("doc_id"))
+  }
 
   /** N-gram novelty per document: the fraction of a doc's distinct
     * 3-grams whose first corpus occurrence (min doc_id) is this doc —

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{AsofJoin, Bars, Market, Relational, Skew}
+import graft.operators.{AsofJoin, Bars, Market, Relational, Skew, TextAnalysis}
 import graft.sources.Sinks
 
 class OpsExtraSpec extends SparkSpec {
@@ -177,6 +177,47 @@ class OpsExtraSpec extends SparkSpec {
       .select(expr("dist2(a, b)").as("d")).collect()
     assert(edge(0).getAs[Double]("d") === 0.0)
     assert(edge(1).isNullAt(0))
+  }
+
+  test("ngram_join native kernel equals the transform+concat_ws chain") {
+    GraftFunctions.register(spark)
+    // every document's token array, both formulations, n = 2, 3, 5, 10
+    val base = Tables.documents(spark, sf())
+      .select(split(trim(col("text")), "\\s+").as("wsarr"))
+    for (n <- Seq(2, 3, 5, 10)) {
+      val terms = (0 until n).map(i => s"wsarr[i+$i]").mkString(", ")
+      val mism = base.filter(size(col("wsarr")) >= n)
+        .select(expr(s"ngram_join(wsarr, $n)").as("a"),
+          expr(s"transform(sequence(0, size(wsarr) - $n), i -> concat_ws(' ', $terms))").as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(mism === 0, s"n=$n")
+    }
+    // edges: exactly n tokens -> one gram; fewer -> empty; nulls skipped
+    import spark.implicits._
+    val edge = Seq((Seq("a", "b", "c"), 0)).toDF("w", "z")
+      .select(expr("ngram_join(w, 3)").as("one"),
+        expr("ngram_join(w, 4)").as("none"))
+      .collect()(0)
+    assert(edge.getSeq[String](0) === Seq("a b c"))
+    assert(edge.getSeq[String](1) === Seq.empty)
+  }
+
+  test("poly_hash native kernel equals the per-character ascii fold") {
+    GraftFunctions.register(spark)
+    val mism = Tables.documents(spark, sf())
+      .select(TextAnalysis.normText(col("text")).as("norm"))
+      .select(expr("poly_hash(norm)").as("a"),
+        expr("aggregate(sequence(1, length(norm)), CAST(0 AS BIGINT), " +
+          "(acc, i) -> (acc * 31 + ascii(substring(norm, i, 1))) % 4294967296)").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mism === 0)
+    // empty string hashes to 0 (the fold's sequence(1,0) quirk also
+    // lands on 0), and the known value of "ab": (0*31+97)*31+98
+    import spark.implicits._
+    val v = Seq(("", "ab")).toDF("e", "ab")
+      .select(expr("poly_hash(e)"), expr("poly_hash(ab)")).collect()(0)
+    assert(v.getLong(0) === 0L)
+    assert(v.getLong(1) === 97L * 31 + 98)
   }
 
   test("optimizer rule rewrites the declarative dot-product fold to DotProduct") {
