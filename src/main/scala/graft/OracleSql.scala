@@ -1546,7 +1546,7 @@ object OracleSql {
     // shingles join on md5(ng) (16-byte key), mirroring the Spark side
     "q_source_overlap" -> s"""
       WITH $ngramCtes5,
-      s AS (SELECT DISTINCT md5(ng) AS ng, source
+      s AS (SELECT DISTINCT unhex(md5(ng)) AS ng, source
             FROM ng5 JOIN documents USING (doc_id)),
       c AS (SELECT source, count(*) AS n_ngrams FROM s GROUP BY source),
       p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared

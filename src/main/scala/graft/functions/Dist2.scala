@@ -27,15 +27,21 @@ case class Dist2(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure("dist2 requires array<double> inputs")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dist2"
 
+  // Ragged lengths / null elements return NULL, exactly like the fold:
+  // zip_with pads the shorter array with nulls, (x-y)*(x-y) of a null
+  // is null, and the running sum absorbs it into a NULL result.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       acc += d * d
       i += 1
@@ -50,13 +56,17 @@ case class Dist2(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-        int $n = Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
         double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $d = $a.getDouble($i) - $b.getDouble($i);
-          $acc += $d * $d;
+        if ($b.numElements() != $n) { ${ev.isNull} = true; }
+        else {
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            double $d = $a.getDouble($i) - $b.getDouble($i);
+            $acc += $d * $d;
+          }
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
         }
-        ${ev.value} = $acc;
       """
     })
 

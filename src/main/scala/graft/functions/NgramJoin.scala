@@ -23,7 +23,14 @@ case class NgramJoin(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // n is foldable, so evaluating it at analysis time is safe; n < 1
+      // is rejected rather than silently diverging from the
+      // transform+concat_ws chain (whose n=0 form yields size+1 empty
+      // strings — a shape no caller wants).
+      right.eval() match {
+        case n: Integer if n >= 1 => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure("ngram_join requires n >= 1")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       "ngram_join requires (array<string>, foldable int)")
   }

@@ -572,7 +572,9 @@ object Dedup {
   def crossSourceOverlap(docs: DataFrame): DataFrame = {
     val ng = wordNgrams(docs.select(col("doc_id"), col("text")), 5)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(md5(col("ng")).as("ng"), col("source")).distinct()
+      // unhex: a true 16-byte binary key (md5() alone returns the
+      // 32-char hex STRING, which would double the shuffle width)
+      .select(unhex(md5(col("ng"))).as("ng"), col("source")).distinct()
     val counts = ng.groupBy(col("source")).agg(count(lit(1)).as("n_ngrams"))
     ng.as("a")
       .join(ng.as("b"),

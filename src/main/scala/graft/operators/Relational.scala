@@ -569,7 +569,7 @@ object Relational {
     * runs through [[ntileByRank]] (range exchange + local rank +
     * broadcast offsets), so no global single-partition window touches
     * the users-sized aggregate — the plan that survives billions of
-    * users. The stats subtree is locally checkpointed once: three
+    * users. The stats subtree is persisted (lazily) once: three
     * range-partition passes (each with its own sampling job) would
     * otherwise re-aggregate the raw events four times. Monetary sums
     * in exact DECIMAL. */

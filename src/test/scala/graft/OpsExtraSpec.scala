@@ -170,13 +170,16 @@ class OpsExtraSpec extends SparkSpec {
     val mism = e.select(expr("dist2(v, w)").as("a"), fold.as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(mism === 0)
-    // empty arrays and nulls behave like the fold: 0.0 and NULL
+    // empty arrays, null input, and RAGGED lengths behave like the
+    // fold: 0.0, NULL, and NULL (zip_with pads with nulls -> NULL sum)
     import spark.implicits._
     val edge = Seq((Seq.empty[Double], Some(Seq.empty[Double])),
-      (Seq(1.0, 2.0), None)).toDF("a", "b")
+      (Seq(1.0, 2.0), None),
+      (Seq(1.0, 2.0), Some(Seq(1.0)))).toDF("a", "b")
       .select(expr("dist2(a, b)").as("d")).collect()
     assert(edge(0).getAs[Double]("d") === 0.0)
     assert(edge(1).isNullAt(0))
+    assert(edge(2).isNullAt(0))
   }
 
   test("ngram_join native kernel equals the transform+concat_ws chain") {

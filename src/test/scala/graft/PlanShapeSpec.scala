@@ -25,11 +25,26 @@ class PlanShapeSpec extends SparkSpec {
     "q_quantiles", "q_up_streaks", "q_swing_points", "q_asof_join",
     "q_attribution")
 
+  test("the gate itself sees through AQE: a planted global window counts") {
+    // Guard against vacuity: under AQE the executedPlan root is an
+    // AdaptiveSparkPlanExec LEAF — if executedNodes failed to descend
+    // into it, every count below would be trivially 0 and the 16 query
+    // tests would pass even after reintroducing a global ntile.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val offender = spark.range(100).toDF("id")
+      .withColumn("q", ntile(4).over(Window.orderBy(col("id"))))
+    val nodes = PlanAudit.executedNodes(offender.queryExecution.executedPlan)
+    assert(nodes.size > 1, "executedNodes must descend into AdaptiveSparkPlanExec")
+    assert(PlanAudit.globalWindows(nodes) === 1)
+  }
+
   for (name <- watched) test(s"$name plan has zero unpartitioned windows") {
     val fn = SparkEntry.queries(name)
     try {
       val df = fn(spark, sf())
       val nodes = PlanAudit.executedNodes(df.queryExecution.executedPlan)
+      assert(nodes.size > 1)
       assert(PlanAudit.globalWindows(nodes) === 0)
     } finally {
       graft.operators.Ema.unpersistAll()
