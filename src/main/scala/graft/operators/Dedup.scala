@@ -567,7 +567,11 @@ object Dedup {
     * 16-byte key instead of ~50-byte raw 5-gram strings (the oracle
     * mirrors the md5, so counts match bit-for-bit; an md5 collision
     * inside one source's vocabulary is the accepted 2⁻¹²⁸-scale
-    * approximation). With S sources each shingle hash fans out to at
+    * approximation). Consequently the output columns `n_ngrams`,
+    * `ngrams_a`/`ngrams_b`, `n_shared` and `overlap_frac` are counts of
+    * distinct shingle HASHES — collision-approximate, not exact raw
+    * 5-gram counts (indistinguishable in practice at 2⁻¹²⁸). With S
+    * sources each shingle hash fans out to at
     * most C(S,2) pairs — no quadratic blowup. */
   def crossSourceOverlap(docs: DataFrame): DataFrame = {
     val ng = wordNgrams(docs.select(col("doc_id"), col("text")), 5)

@@ -513,9 +513,11 @@ object Relational {
     * quantile scoring. Device (two-level carry, like Ema's segmented
     * scans): range-partition on the order key so partition ids are
     * ordered ranges, rank locally per partition, add the broadcast
-    * cumulative row-count of earlier partitions (the offsets table is
-    * shuffle-partitions-sized, so ITS window is over ~32 rows, not
-    * data), then map the exact global rank to its bucket with ntile's
+    * cumulative row-count of earlier partitions (prefix offsets come
+    * from a broadcast self-join of the partitions-sized counts table —
+    * ≤ parts² rows, NO window of any kind, which is what the
+    * zero-global-window PlanShapeSpec contract relies on), then map
+    * the exact global rank to its bucket with ntile's
     * front-loaded ceil/floor rule. Bit-identical to the window form for
     * any total order — callers must pass a tie-breaking key. */
   private def ntileByRank(df: DataFrame, key: Column, tieBreak: Column,

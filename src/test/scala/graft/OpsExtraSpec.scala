@@ -221,6 +221,24 @@ class OpsExtraSpec extends SparkSpec {
       .select(expr("poly_hash(e)"), expr("poly_hash(ab)")).collect()(0)
     assert(v.getLong(0) === 0L)
     assert(v.getLong(1) === 97L * 31 + 98)
+    // the kernel byte-walks UTF-8 directly: pin multi-byte sequences
+    // (2-, 3- and 4-byte code points) against the ascii() fold too
+    val mb = Seq(("héllo wörld", "日本語テキスト", "emoji 😀 mix é日😁"))
+      .toDF("two", "three", "four")
+    val folds = mb.select(
+      expr("poly_hash(two)").as("a2"),
+      expr("aggregate(sequence(1, length(two)), CAST(0 AS BIGINT), " +
+        "(acc, i) -> (acc * 31 + ascii(substring(two, i, 1))) % 4294967296)").as("b2"),
+      expr("poly_hash(three)").as("a3"),
+      expr("aggregate(sequence(1, length(three)), CAST(0 AS BIGINT), " +
+        "(acc, i) -> (acc * 31 + ascii(substring(three, i, 1))) % 4294967296)").as("b3"),
+      expr("poly_hash(four)").as("a4"),
+      expr("aggregate(sequence(1, length(four)), CAST(0 AS BIGINT), " +
+        "(acc, i) -> (acc * 31 + ascii(substring(four, i, 1))) % 4294967296)").as("b4"))
+      .collect()(0)
+    assert(folds.getLong(0) === folds.getLong(1))
+    assert(folds.getLong(2) === folds.getLong(3))
+    assert(folds.getLong(4) === folds.getLong(5))
   }
 
   test("optimizer rule rewrites the declarative dot-product fold to DotProduct") {
