@@ -104,6 +104,36 @@ object StreamPipelines {
       .option("checkpointLocation", s"$outDir/ckpt")
       .start()
 
+  /** Idempotent micro-batch write body for [[dualSinkDurable]], exposed
+    * so specs can exercise the failure replay directly. Each micro-batch
+    * lands in a batch-scoped partition directory (`raw/batch_id=<id>`)
+    * written with OVERWRITE: if the batch was fully written but the
+    * checkpoint offset commit was lost (process killed in the gap), the
+    * engine re-runs the same batchId on restart and the rewrite replaces
+    * the partition instead of appending a duplicate. This is what
+    * upgrades foreachBatch's at-least-once contract to exactly-once on
+    * an idempotent-capable sink — the plain [[dualSinkStream]] append is
+    * the reference loader's semantics (reference
+    * src/loader/bigquery_loader.py:211 buffered insert callback), this
+    * is the restart-survivable production shape. Readers see `batch_id`
+    * as a discovered partition column. */
+  def dualWriteBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    batch.persist()
+    batch.write.mode("overwrite").parquet(s"$outDir/raw/batch_id=$batchId")
+    graft.operators.Bars.ohlcv(batch).write.mode("overwrite")
+      .parquet(s"$outDir/processed/batch_id=$batchId")
+    batch.unpersist()
+    ()
+  }
+
+  /** [[dualSinkStream]] with exactly-once restart durability via
+    * batchId-keyed idempotent writes (see [[dualWriteBatch]]). */
+  def dualSinkDurable(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) => dualWriteBatch(batch, id, outDir) }
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
+
   /** Stream-static enrichment: join the unbounded stream against a
     * (small) static dimension with an explicit broadcast — per
     * micro-batch this is a stateless map-side hash join, the cheapest

@@ -39,6 +39,62 @@ class PlanShapeSpec extends SparkSpec {
     assert(PlanAudit.globalWindows(nodes) === 1)
   }
 
+  test("AQE splits a runtime-detected skewed join (the unsalted-skew path)") {
+    // SURVEY §4 claims Skew.saltedJoin covers KNOWN hot keys and AQE's
+    // skew-join covers the runtime-detected case; the salted half is
+    // oracle-proven (q_salted_join), this pins the AQE half. Plant a
+    // maximally skewed join (~90% of rows on one key), lower the skew
+    // thresholds to test scale (defaults are 256 MB — sized for real
+    // clusters), and assert on the EXECUTED adaptive plan that the
+    // sort-merge join ran in skew-split mode.
+    import org.apache.spark.sql.execution.PartialReducerPartitionSpec
+    import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // xxhash64 payload: incompressible, so the skewed reducer's
+      // COMPRESSED shuffle bytes (what skew detection measures) clear
+      // the lowered threshold
+      val left = spark.range(300000).select(
+        when(col("id") % 10 === 0, (col("id") % 50) + 1).otherwise(lit(0L)).as("k"),
+        xxhash64(col("id")).as("payload"))
+      val right = spark.range(51).select(col("id").as("k"), (col("id") * 2).as("r"))
+      val joined = left.join(right, Seq("k"))
+      // Execute through THIS dataset's QueryExecution: the skew split is
+      // a runtime re-plan, so the final adaptive plan exists only after
+      // the stages have materialized (inspecting before execution would
+      // see the static SMJ and pass/fail vacuously).
+      joined.collect()
+      val nodes = PlanAudit.executedNodes(joined.queryExecution.executedPlan)
+      val skewSmj = nodes.exists {
+        case s: SortMergeJoinExec => s.isSkewJoin
+        case _ => false
+      }
+      val skewRead = nodes.exists {
+        case r: AQEShuffleReadExec =>
+          r.partitionSpecs.exists(_.isInstanceOf[PartialReducerPartitionSpec])
+        case _ => false
+      }
+      assert(skewSmj || skewRead,
+        "AQE did not emit a skew-split join for a 90%-one-key SMJ")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   for (name <- watched) test(s"$name plan has zero unpartitioned windows") {
     val fn = SparkEntry.queries(name)
     try {

@@ -295,6 +295,60 @@ class StreamingSpec extends SparkSpec {
     assert(raw.select(col("event_id")).distinct().count() === total)
   }
 
+  test("durable dual sink: kill, commit-loss replay, restart — exactly-once vs batch oracle") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-durable").toString
+    val src = s"$tmp/src"
+    val events = Tables.events(spark, sf())
+    events.filter(col("event_id") < 500).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    // run 1: process what's there, then the process "dies"
+    val q1 = StreamPipelines.dualSinkDurable(
+      spark.readStream.schema(schema).parquet(src), tmp)
+    q1.processAllAvailable(); q1.stop()
+
+    // worst-case failure window: batch 0's sink writes completed but the
+    // checkpoint offset commit was lost → on restart the engine re-runs
+    // the SAME batchId with the SAME data. Simulate that replay directly:
+    // the idempotent overwrite must leave the sink unchanged.
+    val batch0 = spark.read.parquet(src)
+    StreamPipelines.dualWriteBatch(batch0, 0L, tmp)
+    val rawAfterReplay = spark.read.parquet(s"$tmp/raw")
+    assert(rawAfterReplay.count() === batch0.count(), "replay duplicated batch 0")
+
+    // new data arrives while the query is down
+    events.filter(col("event_id") >= 500 && col("event_id") < 600)
+      .write.mode("append").parquet(src)
+
+    // run 2: restart from the checkpoint — must pick up exactly the delta
+    val q2 = StreamPipelines.dualSinkDurable(
+      spark.readStream.schema(schema).parquet(src), tmp)
+    q2.processAllAvailable(); q2.stop()
+
+    // raw sink vs the batch oracle (the full input read in batch mode):
+    // exactly-once = same multiset of rows, both directions
+    val input = spark.read.parquet(src)
+    val raw = spark.read.parquet(s"$tmp/raw").drop("batch_id")
+    assert(raw.count() === input.count())
+    assert(raw.exceptAll(input).isEmpty && input.exceptAll(raw).isEmpty,
+      "raw sink is not exactly the batch input")
+
+    // the restart actually resumed (not re-ran): both runs' batches present
+    val batchIds = spark.read.parquet(s"$tmp/raw")
+      .select(col("batch_id").cast("long")).distinct().collect().map(_.getLong(0)).sorted
+    assert(batchIds.length >= 2, s"expected batches from both runs, got ${batchIds.toSeq}")
+
+    // processed sink vs the batch oracle, per batch: every batch's bars
+    // equal ohlcv() of that batch's raw rows, exactly once
+    val rawB = spark.read.parquet(s"$tmp/raw")
+    val expected = batchIds.map { b =>
+        graft.operators.Bars.ohlcv(rawB.filter(col("batch_id") === b).drop("batch_id"))
+      }.reduce(_ unionAll _)
+    val processed = spark.read.parquet(s"$tmp/processed").drop("batch_id")
+    assert(processed.exceptAll(expected).isEmpty && expected.exceptAll(processed).isEmpty,
+      "processed sink is not the per-batch OHLCV of the raw sink")
+  }
+
   test("file-source streaming into a parquet sink with checkpoint") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     // re-encode events (micros timestamps) so the file stream reads a
