@@ -48,6 +48,76 @@ object Bench {
     // per-query bench where each isolated timing pays its own
     // derivation by design. Writes BENCH_COMPOSITE.json and exits; the
     // driver contract (full map + minimal line) is untouched.
+    // Bars-family composite (SPARK_GRAFT_COMPOSITE=bars): ONE shared
+    // OHLCV materialization feeding every bar-consuming operator — the
+    // way a real indicator dashboard refresh runs — vs the per-query
+    // bench where each isolated timing re-derives bars by design
+    // (SURVEY §6 "bars pipeline reuse"). Writes BENCH_COMPOSITE_BARS.json.
+    if (sys.env.get("SPARK_GRAFT_COMPOSITE").exists(_.equalsIgnoreCase("bars"))) {
+      import org.apache.spark.sql.DataFrame
+      import graft.operators._
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def num(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val consumers: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "q_preprocess_mavg" -> (Indicators.preprocess(_)),
+        "q_gap_fill" -> (Bars.gapFill(_)),
+        "q_validate_bars" -> (Bars.validateOhlc(_)),
+        "q_market_hours" -> (Market.marketHours(_)),
+        "q_eod_ma5" -> (Market.eodMa5(_)),
+        "q_missing_report" -> (Market.missingReport(_)),
+        "q_processed_table" -> (Market.processedTable(_)),
+        "q_sma" -> (Indicators.sma(_)),
+        "q_bollinger" -> (Indicators.bollinger(_)),
+        "q_rsi" -> (Indicators.rsi(_)),
+        "q_macd" -> (Ema.macd(_)),
+        "q_atr" -> (Indicators.atr(_)),
+        "q_stochastic" -> (Indicators.stochastic(_)),
+        "q_vwap" -> (Indicators.vwap(_)),
+        "q_obv" -> (Indicators.obv(_)),
+        "q_williams_r" -> (Indicators.williamsR(_)),
+        "q_momentum" -> (Indicators.momentum(_)),
+        "q_summary_stats" -> (Indicators.summaryStats(_)),
+        "q_weekly_range" -> (Indicators.weeklyRange(_)),
+        "q_volume_heatmap" -> (Indicators.volumeHeatmap(_)),
+        "q_volume_pivot" -> (Indicators.volumePivot(_)),
+        "q_volume_unpivot" -> (Indicators.volumeUnpivot(_)),
+        "q_latest_metrics" -> (Indicators.latestMetrics(_)),
+        "q_donchian" -> (Indicators.donchian(_)),
+        "q_mfi" -> (Indicators.mfi(_)),
+        "q_candles" -> (Indicators.candlePatterns(_)),
+        "q_pivot_points" -> (Indicators.pivotPoints(_)),
+        "q_swing_points" -> (Indicators.swingPoints(_)),
+        "q_up_streaks" -> (Indicators.upStreaks(_)))
+      def onePass(): (Double, Double) = {
+        val ev = Tables.events(spark, sfDir)
+        // pipelined: derive + materialize bars ONCE, fan out consumers
+        var tShared = timed {
+          val shared = Bars.ohlcv(ev).localCheckpoint(true)
+          consumers.foreach { case (_, f) => f(shared).count() }
+        }
+        cleanup()
+        // standalone: every consumer re-derives its own bars (what the
+        // per-query bench measures, summed)
+        val tSolo = consumers.map { case (_, f) =>
+          val t = timed(f(Bars.ohlcv(ev)).count()); cleanup(); t
+        }.sum
+        (tShared, tSolo)
+      }
+      val p1 = onePass(); System.gc(); val p2 = onePass()
+      val (tShared, tSolo) =
+        (math.min(p1._1, p2._1), math.min(p1._2, p2._2))
+      val json =
+        s"""{"metric":"bars_family_composite","unit":"sec","n_consumers":${consumers.size},"pipelined":${num(tShared)},"standalone_sum":${num(tSolo)},"speedup":${num(tSolo / math.max(tShared, 1e-9))},"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_COMPOSITE_BARS.json"), json + "\n")
+      catch { case _: Throwable => () }
+      try spark.stop() catch { case _: Throwable => () }
+      System.err.println(json)
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_COMPOSITE").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
       import org.apache.spark.sql.functions.col
       import graft.operators.Dedup

@@ -962,16 +962,25 @@ object OracleSql {
       ORDER BY doc_a, doc_b"""
     },
 
+    // Spark PARSES the container header bytes; the oracle predicts the
+    // same fields from the deterministic construction formulas (WAV for
+    // even doc_id: 44-byte header, rate 8000*(1+id%3), channels
+    // 1+((id/2)%2), 16-bit; BMP for odd: 54-byte header, width
+    // 16+(id%32), height 1+len/(3*width)). A hash match proves the
+    // binary parse recovered every field.
     "q_multimodal_meta" -> """
-      WITH t AS (SELECT doc_id, strlen(text)::BIGINT AS len, text FROM documents)
+      WITH t AS (SELECT doc_id, strlen(text)::BIGINT AS len FROM documents)
       SELECT doc_id,
-        CASE len % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
-        len AS byte_len,
-        16 + (len % 64) AS width,
-        16 + ((len // 7) % 64) AS height,
-        (CASE WHEN len % 3 = 2 THEN 1 + (ascii(substr(text, 1, 1)) % 8) ELSE 1 END)::BIGINT AS n_frames,
-        (list_reduce(list_prepend(0, list_transform(generate_series(1, 16), i -> ascii(substr(text, i, 1)))),
-          (a, c) -> a + c)::DOUBLE / 16) AS brightness
+        CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS fmt,
+        (CASE WHEN doc_id % 2 = 0 THEN 44 + len ELSE 54 + len END)::BIGINT AS byte_len,
+        (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 16 + (doc_id % 32) END)::BIGINT AS width,
+        (CASE WHEN doc_id % 2 = 0 THEN 0
+              ELSE 1 + (len // (3 * (16 + (doc_id % 32)))) END)::BIGINT AS height,
+        (CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 3) ELSE 0 END)::BIGINT AS sample_rate,
+        (CASE WHEN doc_id % 2 = 0 THEN 1 + ((doc_id // 2) % 2) ELSE 0 END)::BIGINT AS channels,
+        (CASE WHEN doc_id % 2 = 0 THEN (len * 1000) //
+            (8000 * (1 + doc_id % 3) * (1 + ((doc_id // 2) % 2)) * 2)
+          ELSE 0 END)::BIGINT AS duration_ms
       FROM t ORDER BY doc_id""",
 
     "q_train_split" -> """
@@ -1653,23 +1662,26 @@ object OracleSql {
         NULL::DOUBLE, NULL::DOUBLE FROM events
       ORDER BY column_name""",
 
-    // per-format rollup of the (stub-)decoded media metadata
+    // per-format rollup of the header-parsed media metadata (same
+    // construction-formula prediction as q_multimodal_meta)
     "q_multimodal_stats" -> """
-      WITH t AS (SELECT doc_id, strlen(text)::BIGINT AS len, text FROM documents),
+      WITH t AS (SELECT doc_id, strlen(text)::BIGINT AS len FROM documents),
       m AS (SELECT
-              CASE len % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
-              len AS byte_len,
-              16 + (len % 64) AS width,
-              16 + ((len // 7) % 64) AS height,
-              (CASE WHEN len % 3 = 2 THEN 1 + (ascii(substr(text, 1, 1)) % 8) ELSE 1 END)::BIGINT AS n_frames,
-              (list_reduce(list_prepend(0, list_transform(generate_series(1, 16),
-                 i -> ascii(substr(text, i, 1)))), (a, c) -> a + c)::DOUBLE / 16) AS brightness
+              CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS fmt,
+              (CASE WHEN doc_id % 2 = 0 THEN 44 + len ELSE 54 + len END)::BIGINT AS byte_len,
+              (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 16 + (doc_id % 32) END)::BIGINT AS width,
+              (CASE WHEN doc_id % 2 = 0 THEN 0
+                    ELSE 1 + (len // (3 * (16 + (doc_id % 32)))) END)::BIGINT AS height,
+              (CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 3) ELSE 0 END)::BIGINT AS sample_rate,
+              (CASE WHEN doc_id % 2 = 0 THEN (len * 1000) //
+                  (8000 * (1 + doc_id % 3) * (1 + ((doc_id // 2) % 2)) * 2)
+                ELSE 0 END)::BIGINT AS duration_ms
             FROM t)
       SELECT fmt, count(*) AS n_docs, sum(byte_len)::BIGINT AS total_bytes,
         round(sum(width)::DOUBLE / count(*) + 5e-9, 4) AS avg_width,
         round(sum(height)::DOUBLE / count(*) + 5e-9, 4) AS avg_height,
-        sum(n_frames)::BIGINT AS total_frames,
-        round(sum(CAST(brightness AS DECIMAL(18,6)))::DOUBLE / count(*) + 5e-9, 4) AS avg_brightness
+        sum(duration_ms)::BIGINT AS total_duration_ms,
+        round(sum(sample_rate)::DOUBLE / count(*) + 5e-9, 4) AS avg_sample_rate
       FROM m GROUP BY fmt ORDER BY fmt""",
 
     // TPC-H Q5 shape: customer and supplier share the nation

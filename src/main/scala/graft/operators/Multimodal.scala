@@ -6,40 +6,113 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
   * decoded per-partition in batches.
   *
-  * The image/audio codecs aren't available in this environment, so the
-  * decoder is a clearly-marked deterministic stub — but the Spark-side
-  * plumbing is real: a typed Dataset, `mapPartitions` batch processing
-  * (the Scala analogue of `mapInPandas` batch UDFs), an explicit output
-  * schema, and formulas reproducible by the oracle so the whole path is
-  * correctness-gated.
+  * The decode path is REAL: each payload is a well-formed media
+  * container (WAV RIFF or BMP), and [[parseMedia]] derives the metadata
+  * exclusively by parsing the container's binary header — a RIFF chunk
+  * walk with little-endian field reads, exactly what a production
+  * decoder does before handing the sample data to a codec. Since the
+  * test corpus has no media files, [[encodeMedia]] is the stand-in for
+  * "read bytes from storage": it wraps each document's bytes in a valid
+  * container whose parameters are deterministic functions of
+  * (doc_id, payload length), which is what lets DuckDB predict the
+  * parsed fields independently — the oracle computes the metadata from
+  * the construction formulas, Spark recovers it ONLY from the bytes, and
+  * the hash match proves the parser correct. Only the sample-data
+  * decode (the codec itself) remains out of scope in this environment.
   *
   * Scale notes: mapPartitions streams rows (no per-row task overhead, no
-  * driver collection); a real decoder would slot into `decodeOne`
-  * unchanged. Binary payloads stay columnar until the decode boundary.
+  * driver collection); binary payloads stay columnar until the decode
+  * boundary; a real codec call slots in after [[parseMedia]] unchanged.
   */
 object Multimodal {
 
   case class MediaIn(doc_id: Long, blob: Array[Byte])
   case class MediaMeta(doc_id: Long, fmt: String, byte_len: Long,
-      width: Long, height: Long, n_frames: Long, brightness: Double)
+      width: Long, height: Long, sample_rate: Long, channels: Long,
+      duration_ms: Long)
 
-  /** STUB decoder: derives deterministic pseudo-metadata from the bytes.
-    * A production build replaces the body with a real codec call; the
-    * signature (bytes in, typed struct out) is the contract. */
-  private def decodeOne(id: Long, b: Array[Byte]): MediaMeta = {
-    val len = b.length.toLong
-    val fmt = (len % 3) match {
-      case 0 => "image"
-      case 1 => "audio"
-      case _ => "video"
+  /** Test-corpus container writer (the stand-in for reading real media
+    * files): wraps a payload in a valid WAV (even doc_id) or BMP (odd)
+    * container. Parameters are deterministic in (doc_id, payload
+    * length) so the oracle can predict what the parser must recover:
+    *  - WAV: PCM, channels = 1+((doc_id/2)%2), rate = 8000*(1+doc_id%3),
+    *    16-bit; layout RIFF[WAVE] + fmt(16) + data(payload) = 44+len.
+    *  - BMP: 24bpp, width = 16+(doc_id%32), height = 1+len/(3*width);
+    *    54-byte header + payload as (unpadded) pixel data.
+    */
+  private[graft] def encodeMedia(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val len = payload.length
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val out = new java.io.ByteArrayOutputStream(len + 64)
+    def ascii(s: String) = out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    if (id % 2 == 0) {
+      val channels = (1 + (id / 2) % 2).toInt
+      val rate = (8000 * (1 + id % 3)).toInt
+      val bits = 16
+      val byteRate = rate * channels * (bits / 8)
+      ascii("RIFF"); out.write(le32(36L + len)); ascii("WAVE")
+      ascii("fmt "); out.write(le32(16)); out.write(le16(1)) // PCM
+      out.write(le16(channels)); out.write(le32(rate)); out.write(le32(byteRate))
+      out.write(le16(channels * (bits / 8))); out.write(le16(bits))
+      ascii("data"); out.write(le32(len)); out.write(payload, 0, len)
+    } else {
+      val width = (16 + id % 32).toInt
+      val height = (1 + len / (3L * width)).toInt
+      ascii("BM"); out.write(le32(54L + len)); out.write(le32(0)) // reserved
+      out.write(le32(54)) // pixel-data offset
+      out.write(le32(40)) // BITMAPINFOHEADER size
+      out.write(le32(width)); out.write(le32(height))
+      out.write(le16(1)) // planes
+      out.write(le16(24)) // bpp
+      out.write(le32(0)) // BI_RGB
+      out.write(le32(len)) // biSizeImage
+      out.write(le32(2835)); out.write(le32(2835)) // 72 dpi
+      out.write(le32(0)); out.write(le32(0)) // palette
+      out.write(payload, 0, len)
     }
-    val width = 16 + (len % 64)
-    val height = 16 + ((len / 7) % 64)
-    val frames = if (fmt == "video") 1 + ((b(0) & 0xff) % 8).toLong else 1L
-    var s = 0
-    var i = 0
-    while (i < 16 && i < b.length) { s += b(i) & 0xff; i += 1 }
-    MediaMeta(id, fmt, len, width, height, frames, s / 16.0)
+    out.toByteArray
+  }
+
+  /** The REAL decode boundary: recover typed metadata from container
+    * bytes alone. WAV: verify the RIFF/WAVE magic, then walk the chunk
+    * list (word-aligned sizes) picking `fmt ` (channels, sample rate,
+    * bits) and `data` (sample byte count); duration is derived from the
+    * parsed byte rate, never from the payload we happened to wrap. BMP:
+    * verify the BM magic, read width/height out of BITMAPINFOHEADER.
+    * Unknown magic → "unknown" row, never an exception (a corrupt blob
+    * in a 100 TB corpus must not kill the stage). */
+  private[graft] def parseMedia(id: Long, b: Array[Byte]): MediaMeta = {
+    def u16(off: Int): Long = ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toLong
+    def u32(off: Int): Long =
+      ((b(off) & 0xff).toLong | ((b(off + 1) & 0xff).toLong << 8) |
+        ((b(off + 2) & 0xff).toLong << 16) | ((b(off + 3) & 0xff).toLong << 24))
+    def tag(off: Int): String =
+      if (off + 4 <= b.length)
+        new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (tag(0) == "RIFF" && tag(8) == "WAVE") {
+      var off = 12
+      var rate = 0L; var ch = 0L; var bits = 0L; var dataLen = 0L
+      while (off + 8 <= b.length) {
+        val sz = u32(off + 4)
+        tag(off) match {
+          case "fmt " if off + 24 <= b.length =>
+            ch = u16(off + 10); rate = u32(off + 12); bits = u16(off + 22)
+          case "data" => dataLen = sz
+          case _ =>
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      }
+      val byteRate = rate * ch * (bits / 8)
+      MediaMeta(id, "wav", b.length.toLong, 0L, 0L, rate, ch,
+        if (byteRate > 0) dataLen * 1000L / byteRate else 0L)
+    } else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+      MediaMeta(id, "bmp", b.length.toLong, u32(18), u32(22), 0L, 0L, 0L)
+    } else {
+      MediaMeta(id, "unknown", b.length.toLong, 0L, 0L, 0L, 0L, 0L)
+    }
   }
 
   /** Frame sampling: one row per decoded frame with a deterministic
@@ -63,9 +136,8 @@ object Multimodal {
   /** Per-format corpus statistics over the decoded metadata — the
     * "what's in this media corpus" rollup a multimodal curation run
     * starts with. Composes [[extractMeta]] (the typed decode boundary)
-    * with a plain aggregate; dims/bytes sum as exact integers and
-    * brightness (a dyadic 1/16-step stub value) sums in DECIMAL, so
-    * the averages are engine-exact integer/decimal ratios. */
+    * with a plain aggregate; all fields are parsed integers, so the
+    * averages are engine-exact integer ratios. */
   def mediaStats(docs: DataFrame): DataFrame = {
     val meta = extractMeta(docs)
     meta.groupBy(col("fmt"))
@@ -75,21 +147,23 @@ object Multimodal {
           .as("avg_width"),
         round(sum(col("height")).cast("double") / count(lit(1)) + lit(5e-9), 4)
           .as("avg_height"),
-        sum(col("n_frames")).as("total_frames"),
-        round(sum(col("brightness").cast("decimal(18,6)")).cast("double")
-          / count(lit(1)) + lit(5e-9), 4).as("avg_brightness"))
+        sum(col("duration_ms")).as("total_duration_ms"),
+        round(sum(col("sample_rate")).cast("double") / count(lit(1)) + lit(5e-9), 4)
+          .as("avg_sample_rate"))
       .orderBy(col("fmt"))
   }
 
-  /** Batch decode over a binary column (documents.text cast to bytes
-    * stands in for real image/audio payloads in the test data). */
+  /** Batch decode over a binary column: wrap each document's bytes in a
+    * real container (the test corpus's stand-in for media files on
+    * storage), then recover the metadata by PARSING the container
+    * header — see [[parseMedia]]. */
   def extractMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val in: Dataset[MediaIn] = docs
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .as[MediaIn]
-    in.mapPartitions(_.map(r => decodeOne(r.doc_id, r.blob)))
+    in.mapPartitions(_.map(r => parseMedia(r.doc_id, encodeMedia(r.doc_id, r.blob))))
       .toDF()
       .orderBy(col("doc_id"))
   }

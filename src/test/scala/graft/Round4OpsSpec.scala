@@ -300,9 +300,35 @@ class Round4OpsSpec extends SparkSpec {
       assert(stats(fmt).getAs[Long]("n_docs") === rows.length.toLong)
       assert(stats(fmt).getAs[Long]("total_bytes") ===
         rows.map(_.getAs[Long]("byte_len")).sum)
-      assert(stats(fmt).getAs[Long]("total_frames") ===
-        rows.map(_.getAs[Long]("n_frames")).sum)
+      assert(stats(fmt).getAs[Long]("total_duration_ms") ===
+        rows.map(_.getAs[Long]("duration_ms")).sum)
     }
+  }
+
+  test("parseMedia recovers WAV/BMP header fields from raw container bytes") {
+    import graft.operators.Multimodal
+    // hand-built canonical 8 kHz mono 16-bit WAV carrying 16000 sample
+    // bytes = exactly 1000 ms; parser must read rate/channels from the
+    // fmt chunk and duration from the parsed byte rate
+    val payload = Array.fill[Byte](16000)(7)
+    val wav = Multimodal.encodeMedia(0L, payload) // even id → WAV rate 8000 ch 1
+    val m = Multimodal.parseMedia(0L, wav)
+    assert(m.fmt === "wav" && m.sample_rate === 8000L && m.channels === 1L)
+    assert(m.duration_ms === 1000L && m.byte_len === 44L + 16000L)
+    // parser is a chunk WALK, not fixed offsets: inject an extra chunk
+    // ("LIST", 4 bytes) between fmt and data — fields must still parse
+    val (head, tail) = wav.splitAt(36)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val m2 = Multimodal.parseMedia(0L, head ++ listChunk ++ tail)
+    assert(m2.sample_rate === 8000L && m2.duration_ms === 1000L)
+    // BMP: width/height come from BITMAPINFOHEADER little-endian fields
+    val bmp = Multimodal.encodeMedia(33L, Array.fill[Byte](300)(1)) // odd → BMP
+    val b = Multimodal.parseMedia(33L, bmp)
+    assert(b.fmt === "bmp" && b.width === (16 + 33 % 32).toLong)
+    assert(b.height === (1 + 300 / (3 * (16 + 33 % 32))).toLong)
+    // corrupt magic must degrade to an "unknown" row, not an exception
+    assert(Multimodal.parseMedia(9L, Array[Byte](1, 2, 3)).fmt === "unknown")
   }
 
   test("rfmSegments: quartile scores follow the planted metric order") {
