@@ -1640,6 +1640,19 @@ object OracleSql {
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       ORDER BY p_event, c_event""",
 
+    // tolerance-band gate for the sketch path: the oracle computes the
+    // EXACT anchors and expects the accuracy verdicts to be literally
+    // true — sketch values themselves are engine-specific (Spark HLL++
+    // vs DuckDB HLL) and can never hash-match, so the CONTRACT (within
+    // 3·rsd of exact; approx median inside the exact p45..p55 band) is
+    // what is cross-engine-gated
+    "q_profile_approx" -> """
+      SELECT event_type, count(*) AS n_events,
+        count(DISTINCT user_id) AS n_users_exact,
+        TRUE AS users_within_3rsd,
+        TRUE AS median_within_band
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     // per-column profile; numeric min/max (ts as unix micros)
     "q_profile_events" -> """
       SELECT 'event_id' AS column_name, count(event_id) AS n_nonnull,

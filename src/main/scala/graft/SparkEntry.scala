@@ -159,6 +159,7 @@ object SparkEntry {
     "q_multimodal_stats" -> ((s, d) => Multimodal.mediaStats(Tables.documents(s, d))),
     "q_attribution" -> ((s, d) => Relational.attribution(Tables.events(s, d))),
     "q_profile_events" -> ((s, d) => Relational.profileEvents(Tables.events(s, d))),
+    "q_profile_approx" -> ((s, d) => Relational.profileApprox(Tables.events(s, d))),
     // H. streaming (batch-equivalent of the structured-streaming pipeline)
     "q_stream_window" -> ((s, d) =>
       graft.streaming.StreamPipelines.windowedAgg(Tables.events(s, d))

@@ -209,6 +209,33 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Oracle-gated tolerance band for [[statsApprox]] (q_profile_approx).
+    * Sketch INTERNALS are engine-specific — Spark's HLL++ and DuckDB's
+    * HLL will not agree bit-for-bit, so the raw approx values can never
+    * hash-match an oracle. What CAN be cross-engine-gated is the
+    * accuracy CONTRACT: this query emits exact anchors (n_events, exact
+    * distinct) plus boolean verdicts — HLL estimate within 3·rsd of the
+    * exact distinct, approx median inside the exact p45..p55 band — and
+    * the oracle computes the same exact anchors with the verdicts as
+    * literal TRUE. A sketch drifting out of tolerance on either engine
+    * breaks the hash match. The exact columns exist to measure the
+    * sketch at test scale; the 100 TB production path is the approx
+    * side alone (see [[statsApprox]]). */
+  def profileApprox(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), rsd).as("_nu_approx"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("_med_approx"),
+        expr("percentile(value, 0.45)").as("_p45"),
+        expr("percentile(value, 0.55)").as("_p55"))
+      .select(col("event_type"), col("n_events"), col("n_users_exact"),
+        (abs(col("_nu_approx") - col("n_users_exact")) <=
+          lit(3 * rsd) * col("n_users_exact")).as("users_within_3rsd"),
+        (col("_med_approx") >= col("_p45") && col("_med_approx") <= col("_p55"))
+          .as("median_within_band"))
+      .orderBy(col("event_type"))
+
   /** Events enriched with per-symbol aggregate stats via the
     * [[Skew.saltedJoin]] — the oracle-gated proof that salting is
     * result-transparent. `events` is maximally skewed on the join key
