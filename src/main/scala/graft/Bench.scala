@@ -118,6 +118,41 @@ object Bench {
       System.err.println(json)
       return
     }
+    // Checkpoint-I/O probe (SPARK_GRAFT_CKPT=1): run the iterative
+    // dedup-clusters fixpoint once and report what its per-round
+    // localCheckpoints actually cost — block count (= rounds + initial),
+    // bytes held in memory vs spilled to disk, and the input size for
+    // scale — so "is checkpoint I/O dominant at sf1.0?" is a measurement,
+    // not a guess. Snapshot BEFORE any GC: ContextCleaner reclaims
+    // checkpoint blocks once their frames are collected.
+    if (sys.env.get("SPARK_GRAFT_CKPT").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
+      import graft.operators.Dedup
+      def num(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val docs = Tables.documents(spark, sfDir)
+      val t0 = System.nanoTime()
+      val rows = Dedup.dedupClusters(docs).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val cached = spark.sparkContext.getRDDStorageInfo
+        .filter(i => i.memSize + i.diskSize > 0)
+      val memB = cached.map(_.memSize).sum
+      val diskB = cached.map(_.diskSize).sum
+      val inputB = {
+        val p = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      val json =
+        s"""{"metric":"ckpt_probe","query":"q_dedup_clusters","rows":$rows,"sec":${num(secs)},"ckpt_blocks":${cached.length},"ckpt_mem_bytes":$memB,"ckpt_disk_bytes":$diskB,"input_bytes":$inputB,"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_CKPT.json"), json + "\n")
+      catch { case _: Throwable => () }
+      try spark.stop() catch { case _: Throwable => () }
+      System.err.println(json)
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_COMPOSITE").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
       import org.apache.spark.sql.functions.col
       import graft.operators.Dedup
