@@ -42,6 +42,13 @@ object Bench {
       catch { case _: Throwable => -1.0 }
       finally cleanup()
     }
+    // Locale-pinned formatting: the default-locale f interpolator writes
+    // a comma decimal separator on e.g. de_DE JVMs, which is not JSON.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
     // Composite pipeline mode (SPARK_GRAFT_COMPOSITE=1): time the dedup
     // cluster family the way a real pipeline runs it — ONE pair-graph
     // derivation + fixpoint feeding all three consumers — against the
@@ -56,11 +63,6 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_COMPOSITE").exists(_.equalsIgnoreCase("bars"))) {
       import org.apache.spark.sql.DataFrame
       import graft.operators._
-      def timed(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      def num(v: Double): String =
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val consumers: Seq[(String, DataFrame => DataFrame)] = Seq(
         "q_preprocess_mavg" -> (Indicators.preprocess(_)),
         "q_gap_fill" -> (Bars.gapFill(_)),
@@ -94,15 +96,15 @@ object Bench {
       def onePass(): (Double, Double) = {
         val ev = Tables.events(spark, sfDir)
         // pipelined: derive + materialize bars ONCE, fan out consumers
-        var tShared = timed {
+        val tShared = timed {
           val shared = Bars.ohlcv(ev).localCheckpoint(true)
           consumers.foreach { case (_, f) => f(shared).count() }
-        }
+        }._2
         cleanup()
         // standalone: every consumer re-derives its own bars (what the
         // per-query bench measures, summed)
         val tSolo = consumers.map { case (_, f) =>
-          val t = timed(f(Bars.ohlcv(ev)).count()); cleanup(); t
+          val t = timed(f(Bars.ohlcv(ev)).count())._2; cleanup(); t
         }.sum
         (tShared, tSolo)
       }
@@ -127,12 +129,14 @@ object Bench {
     // checkpoint blocks once their frames are collected.
     if (sys.env.get("SPARK_GRAFT_CKPT").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
       import graft.operators.Dedup
-      def num(v: Double): String =
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val docs = Tables.documents(spark, sfDir)
-      val t0 = System.nanoTime()
-      val rows = Dedup.dedupClusters(docs).count()
-      val secs = (System.nanoTime() - t0) / 1e9
+      val (rows, secs) = timed(Dedup.dedupClusters(docs).count())
+      // Plain Dataset.persist goes through the CacheManager, so the
+      // blocking clearCache() releases those frames (e.g. the fixpoint's
+      // edges cache, whose own unpersist is asynchronous); localCheckpoint
+      // blocks live at the RDD level and survive — what remains in the
+      // storage snapshot IS the checkpoint footprint, not cache bytes.
+      spark.catalog.clearCache()
       val cached = spark.sparkContext.getRDDStorageInfo
         .filter(i => i.memSize + i.diskSize > 0)
       val memB = cached.map(_.memSize).sum
@@ -156,11 +160,6 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_COMPOSITE").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
       import org.apache.spark.sql.functions.col
       import graft.operators.Dedup
-      def timed[A](f: => A): (A, Double) = {
-        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
-      }
-      def num(v: Double): String =
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       def onePass(): (Double, Double, Double, Double) = {
         val d = Tables.documents(spark, sfDir)
         val ids = d.select(col("doc_id"))
@@ -201,10 +200,6 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    // Locale-pinned formatting: the default-locale f interpolator writes
-    // a comma decimal separator on e.g. de_DE JVMs, which is not JSON.
-    def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(v: Double): String = if (v < 0) "-1" else num(v)
     // Noise sentinel: the same cheap canary query timed at the start,
     // middle, and end of the session. A quiet session shows a flat canary;

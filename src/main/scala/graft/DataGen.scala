@@ -93,9 +93,16 @@ object DataGen {
       .withColumn("l_suppkey", col("l_suppkey") + col("rep") * suppS)
       .drop("rep"), "lineitem", 32)
 
-    // events: ts arrives as a nanosecond long (nanosAsLong); replicas
-    // tile the time axis on 5-min boundaries; written as micros.
-    val events = spark.read.parquet(s"$src/events.parquet")
+    // events: replicas tile the time axis on 5-min boundaries; written
+    // as micros. The driver's parquet has TIMESTAMP(NANOS) ts read as a
+    // nanosecond long (nanosAsLong); DataGen's own output is a real
+    // micros timestamp — normalize to the ns long so scale-ups chain
+    // (sf0.1 → sf1.0 → sf10) instead of throwing on the span math.
+    val eventsRaw = spark.read.parquet(s"$src/events.parquet")
+    val events = eventsRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => eventsRaw
+      case _ => eventsRaw.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+    }
     val evS = stride(events, "event_id")
     val userS = stride(events, "user_id")
     val Row5 = 300000000000L // 5 min in ns

@@ -93,17 +93,22 @@ object Multimodal {
         new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       else ""
     if (tag(0) == "RIFF" && tag(8) == "WAVE") {
-      var off = 12
+      // Walk offset in Long: a corrupt chunk size near 2^32 must advance
+      // past b.length and end the loop, never wrap negative (infinite
+      // loop) or index out of bounds — u32 is unsigned so off grows by
+      // >= 8 every iteration.
+      var off = 12L
       var rate = 0L; var ch = 0L; var bits = 0L; var dataLen = 0L
       while (off + 8 <= b.length) {
-        val sz = u32(off + 4)
-        tag(off) match {
+        val o = off.toInt
+        val sz = u32(o + 4)
+        tag(o) match {
           case "fmt " if off + 24 <= b.length =>
-            ch = u16(off + 10); rate = u32(off + 12); bits = u16(off + 22)
+            ch = u16(o + 10); rate = u32(o + 12); bits = u16(o + 22)
           case "data" => dataLen = sz
           case _ =>
         }
-        off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
       }
       val byteRate = rate * ch * (bits / 8)
       MediaMeta(id, "wav", b.length.toLong, 0L, 0L, rate, ch,

@@ -96,9 +96,10 @@ object StreamPipelines {
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.persist()
-        batch.write.mode("append").parquet(s"$outDir/raw")
-        graft.operators.Bars.ohlcv(batch).write.mode("append").parquet(s"$outDir/processed")
-        batch.unpersist()
+        try {
+          batch.write.mode("append").parquet(s"$outDir/raw")
+          graft.operators.Bars.ohlcv(batch).write.mode("append").parquet(s"$outDir/processed")
+        } finally batch.unpersist() // a failed sink write must not leak the cached batch across the restart
         ()
       }
       .option("checkpointLocation", s"$outDir/ckpt")
@@ -119,10 +120,11 @@ object StreamPipelines {
     * as a discovered partition column. */
   def dualWriteBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
     batch.persist()
-    batch.write.mode("overwrite").parquet(s"$outDir/raw/batch_id=$batchId")
-    graft.operators.Bars.ohlcv(batch).write.mode("overwrite")
-      .parquet(s"$outDir/processed/batch_id=$batchId")
-    batch.unpersist()
+    try {
+      batch.write.mode("overwrite").parquet(s"$outDir/raw/batch_id=$batchId")
+      graft.operators.Bars.ohlcv(batch).write.mode("overwrite")
+        .parquet(s"$outDir/processed/batch_id=$batchId")
+    } finally batch.unpersist() // a failed sink write must not leak the cached batch across the replay
     ()
   }
 

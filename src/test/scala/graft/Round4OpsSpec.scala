@@ -329,6 +329,14 @@ class Round4OpsSpec extends SparkSpec {
     assert(b.height === (1 + 300 / (3 * (16 + 33 % 32))).toLong)
     // corrupt magic must degrade to an "unknown" row, not an exception
     assert(Multimodal.parseMedia(9L, Array[Byte](1, 2, 3)).fmt === "unknown")
+    // a hostile 32-bit chunk size near 2^32 must terminate the walk —
+    // Int arithmetic would wrap it negative and either spin forever
+    // (advance of 0) or index out of bounds walking backwards
+    val evil = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    assert(Multimodal.parseMedia(1L, evil).fmt === "wav")
+    assert(Multimodal.parseMedia(1L, evil).duration_ms === 0L)
   }
 
   test("rfmSegments: quartile scores follow the planted metric order") {
