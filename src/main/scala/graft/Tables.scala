@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated test tables.
   * Declarative reads keep filter/column pushdown available to Catalyst;
@@ -16,14 +16,18 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read it as a nanosecond long and truncate to micros (the
-    * same floor DuckDB applies, so oracle timestamps agree). */
+  /** Normalize `events.ts` to session-UTC TIMESTAMP regardless of how the
+    * generator wrote it: parquet TIMESTAMP(NANOS) (Spark 4 rejects by
+    * default — read as a nanosecond long and truncate to micros, the same
+    * floor DuckDB applies) or TIMESTAMP_NTZ (naive micros — reinterpret in
+    * the UTC session so `unix_micros`/window arithmetic resolves; values
+    * are bit-identical because the session timezone is pinned to UTC). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }
@@ -37,11 +41,15 @@ object Tables {
       case LongType =>
         val nanos = java.time.LocalDateTime.parse(fromUtc.replace(' ', 'T'))
           .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
-        df.filter(org.apache.spark.sql.functions.col("ts") >= nanos)
+        df.filter(col("ts") >= nanos)
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // Compare against an NTZ literal so the range predicate stays on
+        // the raw parquet column type and pushes down to row groups.
+        df.filter(col("ts") >= lit(fromUtc).cast(TimestampNTZType))
+          .withColumn("ts", col("ts").cast(TimestampType))
       case _ =>
-        df.filter(org.apache.spark.sql.functions.col("ts") >=
-          org.apache.spark.sql.functions.lit(fromUtc).cast("timestamp"))
+        df.filter(col("ts") >= lit(fromUtc).cast("timestamp"))
     }
   }
 
