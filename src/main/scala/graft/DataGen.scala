@@ -101,6 +101,10 @@ object DataGen {
     val eventsRaw = spark.read.parquet(s"$src/events.parquet")
     val events = eventsRaw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => eventsRaw
+      // TIMESTAMP_NTZ needs an explicit hop through TIMESTAMP before
+      // unix_micros; the UTC session makes the reinterpretation exact.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        eventsRaw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
       case _ => eventsRaw.withColumn("ts", expr("unix_micros(ts) * 1000L"))
     }
     val evS = stride(events, "event_id")

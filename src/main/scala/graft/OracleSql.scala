@@ -1612,6 +1612,39 @@ object OracleSql {
         array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), ',') AS postings
       FROM pd GROUP BY term ORDER BY term""",
 
+    // J. semi-structured: JSON props extraction / profile / histogram /
+    // per-type frequency top-k (DuckDB json_extract mirrors from_json's
+    // NULL-on-missing semantics)
+    "q_props_extract" -> """
+      SELECT event_id, event_type, json_extract(props, '$.k')::BIGINT AS k
+      FROM events ORDER BY event_id""",
+
+    "q_props_agg" -> """
+      WITH e AS (SELECT event_type, value,
+                   json_extract(props, '$.k')::BIGINT AS k FROM events)
+      SELECT event_type, count(*) AS n_events,
+        count(DISTINCT k) AS n_k, min(k) AS min_k, max(k) AS max_k,
+        round(sum(k)::DOUBLE / count(k) + 5e-9, 4) AS avg_k,
+        round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
+      FROM e GROUP BY event_type ORDER BY event_type""",
+
+    "q_props_hist" -> """
+      WITH e AS (SELECT value, json_extract(props, '$.k')::BIGINT AS k
+                 FROM events)
+      SELECT (k // 10)::BIGINT AS k_bucket, count(*) AS n,
+        round(sum(value::DECIMAL(18,6))::DOUBLE / count(*) + 5e-9, 4) AS avg_value
+      FROM e WHERE k IS NOT NULL
+      GROUP BY k_bucket ORDER BY k_bucket""",
+
+    "q_props_top_values" -> """
+      WITH e AS (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k
+                 FROM events),
+      f AS (SELECT event_type, k, count(*) AS n FROM e
+            WHERE k IS NOT NULL GROUP BY event_type, k)
+      SELECT event_type, k, n,
+        row_number() OVER (PARTITION BY event_type ORDER BY n DESC, k) AS rnk
+      FROM f QUALIFY rnk <= 3 ORDER BY event_type, rnk""",
+
     // last-touch attribution: the oracle is the O(pairs) range join +
     // rank-1 (same semantics, different physical plan than the Spark
     // single-shuffle running-last)

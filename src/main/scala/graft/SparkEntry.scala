@@ -157,6 +157,11 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
     "q_multimodal_stats" -> ((s, d) => Multimodal.mediaStats(Tables.documents(s, d))),
+    // J. semi-structured (JSON props column)
+    "q_props_extract" -> ((s, d) => SemiStructured.propsExtract(Tables.events(s, d))),
+    "q_props_agg" -> ((s, d) => SemiStructured.propsAgg(Tables.events(s, d))),
+    "q_props_hist" -> ((s, d) => SemiStructured.propsHist(Tables.events(s, d))),
+    "q_props_top_values" -> ((s, d) => SemiStructured.propsTopValues(Tables.events(s, d))),
     "q_attribution" -> ((s, d) => Relational.attribution(Tables.events(s, d))),
     "q_profile_events" -> ((s, d) => Relational.profileEvents(Tables.events(s, d))),
     "q_profile_approx" -> ((s, d) => Relational.profileApprox(Tables.events(s, d))),
