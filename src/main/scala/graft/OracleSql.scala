@@ -1081,6 +1081,17 @@ object OracleSql {
         min(value) AS min_value, max(value) AS max_value
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
 
+    // JSON-feed round trip: the Spark side serializes each event to a
+    // JSON message and parses it back before aggregating, so this plain
+    // agg over the raw table is a fidelity oracle for the round trip
+    // (sum widens to HUGEINT in DuckDB → ::BIGINT)
+    "q_stream_props" -> """
+      SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start, event_type,
+        count(*) AS n_events,
+        sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+
     // sliding 10-min/5-min windows: every event lands in exactly the
     // 5-min-floor window and the one 5 minutes earlier; DECIMAL sum
     // because the row duplication doubles the fold

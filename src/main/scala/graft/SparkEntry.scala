@@ -172,6 +172,11 @@ object SparkEntry {
     "q_stream_sliding" -> ((s, d) =>
       graft.streaming.StreamPipelines.slidingAgg(Tables.events(s, d))
         .orderBy("win_start", "event_type")),
+    // serialize→parse→extract→window: the reference's publish-to-load
+    // JSON path as one plan; same code runs the streaming variant
+    "q_stream_props" -> ((s, d) =>
+      graft.streaming.StreamPipelines.propsWindowAgg(Tables.events(s, d))
+        .orderBy("win_start", "event_type")),
     // batch run of the SAME stream-stream join plan (the watermark
     // nodes are no-ops in batch) — the one-semantics-two-latencies
     // claim, oracle-gated; the bridging spec additionally proves the

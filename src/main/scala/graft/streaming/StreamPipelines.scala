@@ -80,6 +80,59 @@ object StreamPipelines {
   def slidingAggStream(events: DataFrame): DataFrame =
     slidingAgg(events.withWatermark("ts", "30 minutes"))
 
+  /** JSON message schema for the republished event feed — exactly the
+    * columns of the events table (the reference wraps each record as a
+    * JSON string before publishing, stocks_pipeline.py:80). */
+  private val MsgSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** Microsecond-exact timestamp format for the feed: the default JSON
+    * timestamp pattern stops at milliseconds, which would silently drop
+    * sub-ms digits on the serialize→parse round trip. */
+  private val MsgTsOpts: java.util.Map[String, String] =
+    java.util.Map.of("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Serialize events into single-string JSON messages (the publish half
+    * of the feed). `props` — itself a JSON string — rides along as an
+    * escaped string value; the parse side hands it back verbatim. */
+  def toJsonFeed(events: DataFrame): DataFrame =
+    events.select(to_json(
+      struct(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props")), MsgTsOpts).as("msg"))
+
+  /** Parse the JSON feed back into typed rows: one `from_json` per
+    * message, PERMISSIVE (a malformed message becomes an all-NULL row
+    * rather than failing the stream). Identical plan in batch and
+    * streaming. */
+  def parseJsonFeed(msgs: DataFrame): DataFrame =
+    msgs.select(from_json(col("msg"), MsgSchema, MsgTsOpts).as("e"))
+      .select("e.*")
+
+  private def propsWindowCore(parsed: DataFrame): DataFrame =
+    parsed
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+      .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_k"), col("sum_value"))
+
+  /** The full ingest path the reference runs between publish and load —
+    * serialize → typed parse → nested-JSON extract → tumbling window
+    * profile — in one declarative plan. Batch entry (oracle-gated as
+    * q_stream_props); [[propsWindowAggStream]] is the same plan over an
+    * unbounded message feed. */
+  def propsWindowAgg(events: DataFrame): DataFrame =
+    propsWindowCore(parseJsonFeed(toJsonFeed(events)))
+
+  /** Streaming variant of [[propsWindowAgg]] over raw JSON messages
+    * (append-mode safe via the watermark). */
+  def propsWindowAggStream(msgs: DataFrame): DataFrame =
+    propsWindowCore(parseJsonFeed(msgs).withWatermark("ts", "30 minutes"))
+
   /** Streaming dedup on (event_type, ts) within the watermark — the
     * streaming analogue of Relational.dedupLatest (reference
     * src/preprocessing/dedup_pipeline.py continuous 5-min dedup loop). */
