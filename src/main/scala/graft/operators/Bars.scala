@@ -59,15 +59,24 @@ object Bars {
       .agg(min(col("bar_ts")).as("t0"), max(col("bar_ts")).as("t1"))
       .select(col("symbol"),
         explode(expr("sequence(t0, t1, interval 5 minutes)")).as("bar_ts"))
-    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_ts"))
-    val wF = w.rowsBetween(Window.unboundedPreceding, 0)
-    val wB = w.rowsBetween(0, Window.unboundedFollowing)
+    // Both fills as RUNNING frames (unboundedPreceding..current), the
+    // back-fill over a descending sort: `first ignoreNulls over
+    // (current..unboundedFollowing)` is semantically identical but Spark
+    // executes that frame shape by re-scanning to the partition end for
+    // EVERY row — O(rows²) per partition, minutes per task once a 10×
+    // time axis grows the per-symbol grid. The running frame folds each
+    // row once, O(rows); the desc window costs one extra in-partition
+    // sort on the same shuffle.
+    val wF = Window.partitionBy(col("symbol")).orderBy(col("bar_ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wB = Window.partitionBy(col("symbol")).orderBy(col("bar_ts").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     grid.join(bars.select(col("symbol"), col("bar_ts"), col("close"), col("volume")),
         Seq("symbol", "bar_ts"), "left")
       .select(col("symbol"), col("bar_ts"), col("close"),
         when(col("close").isNull, 1L).otherwise(0L).as("is_gap"),
         last(col("close"), ignoreNulls = true).over(wF).as("close_ffill"),
-        first(col("close"), ignoreNulls = true).over(wB).as("close_bfill"),
+        last(col("close"), ignoreNulls = true).over(wB).as("close_bfill"),
         coalesce(col("volume"), lit(0L)).as("volume_filled"))
       .orderBy(col("symbol"), col("bar_ts"))
   }
