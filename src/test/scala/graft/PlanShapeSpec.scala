@@ -23,7 +23,34 @@ class PlanShapeSpec extends SparkSpec {
     "q_window_ranks", "q_event_transitions", "q_stream_attribution",
     "q_ann_ivf_lloyd", "q_ann_ivf", "q_drawdown", "q_topk_per_group",
     "q_quantiles", "q_up_streaks", "q_swing_points", "q_asof_join",
-    "q_attribution")
+    "q_attribution", "q_gap_fill", "q_preprocess_mavg", "q_macd")
+
+  test("a planted unbounded-following frame counts; running frames do not") {
+    // Round 7 found gapFill's backfill frame (currentRow ->
+    // unboundedFollowing) running O(rows^2) per partition — 11+ stuck
+    // minutes at sf1.0. quadraticFrames must flag exactly that shape:
+    // bounded lower + UnboundedFollowing upper. Running frames and
+    // whole-partition (unbounded-to-unbounded) frames are O(rows).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val base = spark.range(100).toDF("id")
+      .withColumn("g", col("id") % 4).withColumn("v", col("id") * 2)
+    val part = Window.partitionBy(col("g")).orderBy(col("id"))
+    val offender = base.withColumn("x",
+      first(col("v"), ignoreNulls = true)
+        .over(part.rowsBetween(0, Window.unboundedFollowing)))
+    assert(PlanAudit.quadraticFrames(
+      PlanAudit.executedNodes(offender.queryExecution.executedPlan)) === 1)
+    val running = base.withColumn("x",
+      last(col("v"), ignoreNulls = true)
+        .over(part.rowsBetween(Window.unboundedPreceding, 0)))
+    assert(PlanAudit.quadraticFrames(
+      PlanAudit.executedNodes(running.queryExecution.executedPlan)) === 0)
+    val whole = base.withColumn("x", max(col("v")).over(
+      part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    assert(PlanAudit.quadraticFrames(
+      PlanAudit.executedNodes(whole.queryExecution.executedPlan)) === 0)
+  }
 
   test("the gate itself sees through AQE: a planted global window counts") {
     // Guard against vacuity: under AQE the executedPlan root is an
@@ -95,13 +122,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  for (name <- watched) test(s"$name plan has zero unpartitioned windows") {
+  for (name <- watched) test(s"$name plan has zero unpartitioned windows and zero quadratic frames") {
     val fn = SparkEntry.queries(name)
     try {
       val df = fn(spark, sf())
       val nodes = PlanAudit.executedNodes(df.queryExecution.executedPlan)
       assert(nodes.size > 1)
       assert(PlanAudit.globalWindows(nodes) === 0)
+      assert(PlanAudit.quadraticFrames(nodes) === 0)
     } finally {
       graft.operators.Ema.unpersistAll()
       spark.catalog.clearCache()
