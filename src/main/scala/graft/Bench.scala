@@ -255,9 +255,13 @@ object Bench {
     // strategy stripping sbt's "[info] " prefix and showSuccess=false
     // dropping the "[success]" trailer.
     val full = line(results, canaryJson)
+    // sf1.0 runs land in their own artifact so a scale refresh can never
+    // clobber the driver-facing sf0.1 BENCH_FULL.json.
+    val artifact =
+      if (sfDir.contains("sf1.0")) "BENCH_FULL_SF1.json" else "BENCH_FULL.json"
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+        java.nio.file.Paths.get(artifact), full + "\n")
       catch { case _: Throwable => () }
     else System.err.println(full)
     val failed = results.count(_._2 < 0)
