@@ -60,6 +60,16 @@ object OracleSql {
         CASE WHEN rn >= 200 THEN round(sum(CAST("close" AS DECIMAL(18,6))) ${wf("ROWS BETWEEN 199 PRECEDING AND CURRENT ROW")}::DOUBLE / 200 + 5e-9, 4) END AS sma200
       FROM b ORDER BY symbol, bar_ts""",
 
+    // identical SQL to q_sma: the segmented variant's contract is
+    // bit-equality with the per-symbol-window form
+    "q_sma_seg" -> s"""
+      WITH $barsCte, $rnCte
+      SELECT symbol, bar_ts, "close",
+        CASE WHEN rn >= 20 THEN round(sum(CAST("close" AS DECIMAL(18,6))) $w20::DOUBLE / 20 + 5e-9, 4) END AS sma20,
+        CASE WHEN rn >= 50 THEN round(sum(CAST("close" AS DECIMAL(18,6))) ${wf("ROWS BETWEEN 49 PRECEDING AND CURRENT ROW")}::DOUBLE / 50 + 5e-9, 4) END AS sma50,
+        CASE WHEN rn >= 200 THEN round(sum(CAST("close" AS DECIMAL(18,6))) ${wf("ROWS BETWEEN 199 PRECEDING AND CURRENT ROW")}::DOUBLE / 200 + 5e-9, 4) END AS sma200
+      FROM b ORDER BY symbol, bar_ts""",
+
     "q_bollinger" -> s"""
       WITH $barsCte, $rnCte
       SELECT symbol, bar_ts, "close",

@@ -38,6 +38,9 @@ object SparkEntry {
     "q_processed_table" -> ((s, d) => Market.processedTable(bars(s, d))),
     // B. technical indicators
     "q_sma" -> ((s, d) => Indicators.sma(bars(s, d))),
+    // the bounded-task-size variant of q_sma (chunked series; same
+    // output contract, oracle-gated against the identical SQL)
+    "q_sma_seg" -> ((s, d) => SegmentedWindows.smaSegmented(bars(s, d))),
     "q_bollinger" -> ((s, d) => Indicators.bollinger(bars(s, d))),
     "q_rsi" -> ((s, d) => Indicators.rsi(bars(s, d))),
     "q_macd" -> ((s, d) => Ema.macd(bars(s, d))),

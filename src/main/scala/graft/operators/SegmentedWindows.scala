@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Segmented finite-window rolling aggregates — the 100 TB shape for the
+  * indicator suite.
+  *
+  * Every indicator window partitions by `symbol` (reference
+  * app/dashboard.py:84-145 computes per-symbol series), which is correct
+  * but caps parallelism at the number of symbols: the test feed carries
+  * FIVE event types, so a 10-year tick history would funnel through five
+  * window tasks no matter how many executors exist. The EMA family
+  * already solved this for *sequential recursion* (Ema.scala segmented
+  * scans); this operator solves it for *finite row frames*
+  * (`ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`):
+  *
+  *  1. exact per-symbol row index WITHOUT a per-symbol global window —
+  *     range-partition on (symbol, bar_ts), rank locally per physical
+  *     partition, add broadcast per-(partition, symbol) prefix offsets
+  *     (the q_rfm ntile device, Relational.scala:511);
+  *  2. chunk the series: `_chunk = _idx div chunkRows`;
+  *  3. duplicate each chunk's last k-1 rows into the NEXT chunk (carry
+  *     rows), so every row's k-1 predecessors are physically present in
+  *     its (symbol, chunk) partition;
+  *  4. run the ordinary rolling frame partitioned by (symbol, _chunk) —
+  *     task size is bounded by chunkRows + k - 1 ROWS regardless of
+  *     series length — then drop the carry rows.
+  *
+  * Exact for any gap structure (row-count chunking, not time bucketing),
+  * bit-identical to the single-partition-per-symbol form. The trade is
+  * two extra shuffles (the range pass and the chunk exchange) — fixed
+  * cost at toy scale, the difference between five tasks and
+  * series/chunkRows tasks at cluster scale.
+  */
+object SegmentedWindows {
+
+  /** bars + `_idx`: exact 0-based per-symbol row index in bar_ts order.
+    * No window spans more than one physical partition; prefix offsets
+    * travel via a broadcast (partitions × symbols)-sized meta join. */
+  private[graft] def withSeriesIndex(bars: DataFrame): DataFrame = {
+    val nParts = bars.sparkSession.sessionState.conf.numShufflePartitions
+    // persisted for the same reason as ntileByRank: spark_partition_id is
+    // nondeterministic, so the local-rank pass and the counts pass must
+    // read ONE materialization (released via Ema.unpersistAll).
+    val ranged = Ema.persistTracked(
+      bars.repartitionByRange(nParts, col("symbol").asc, col("bar_ts").asc)
+        .withColumn("_pid", spark_partition_id().cast("long")))
+    val wLocal = Window.partitionBy(col("_pid"), col("symbol"))
+      .orderBy(col("bar_ts"))
+    val counts = ranged.groupBy(col("_pid"), col("symbol"))
+      .agg(count(lit(1)).as("_pn"))
+    val offsets = counts
+      .join(broadcast(counts.select(col("_pid").as("_qid"),
+        col("symbol").as("_qsym"), col("_pn").as("_qn"))),
+        col("_qsym") === col("symbol") && col("_qid") < col("_pid"), "left")
+      .groupBy(col("_pid"), col("symbol"))
+      .agg(coalesce(sum(col("_qn")), lit(0L)).as("_off"))
+    ranged
+      .withColumn("_lrk", row_number().over(wLocal).cast("long") - 1L)
+      .join(broadcast(offsets), Seq("_pid", "symbol"), "left")
+      .withColumn("_idx", col("_lrk") + coalesce(col("_off"), lit(0L)))
+      .drop("_pid", "_lrk", "_off")
+  }
+
+  /** SMA 20/50/200 with bounded window tasks — same output contract as
+    * [[Indicators.sma]] (oracle-gated against the identical SQL). */
+  def smaSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame = {
+    val k = 200 // widest frame; one carry of k-1 rows serves all three
+    val idxd = withSeriesIndex(bars)
+      .select(col("symbol"), col("bar_ts"), col("close"), col("_idx"))
+    val base = idxd
+      .withColumn("_chunk", expr(s"_idx div $chunkRows"))
+      .withColumn("_carry", lit(false))
+    val carried = idxd
+      .filter(col("_idx") % chunkRows >= chunkRows - (k - 1))
+      .withColumn("_chunk", expr(s"_idx div $chunkRows") + 1L)
+      .withColumn("_carry", lit(true))
+    val w = Window.partitionBy(col("symbol"), col("_chunk"))
+      .orderBy(col("_idx"))
+    def davg(n: Int): Column =
+      sum(col("close").cast("decimal(18,6)")).over(w.rowsBetween(-(n - 1), 0))
+        .cast("double") / n
+    // _idx is the exact global row number, so the warmup gate needs no
+    // count-over-frame: row i has i predecessors.
+    def gated(n: Int)(c: Column): Column = when(col("_idx") >= n - 1, c)
+    base.unionByName(carried)
+      .select(col("symbol"), col("bar_ts"), col("close"), col("_carry"),
+        gated(20)(round(davg(20) + lit(5e-9), 4)).as("sma20"),
+        gated(50)(round(davg(50) + lit(5e-9), 4)).as("sma50"),
+        gated(200)(round(davg(200) + lit(5e-9), 4)).as("sma200"))
+      .filter(!col("_carry"))
+      .drop("_carry")
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+}
