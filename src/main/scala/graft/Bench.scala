@@ -255,10 +255,15 @@ object Bench {
     // strategy stripping sbt's "[info] " prefix and showSuccess=false
     // dropping the "[success]" trailer.
     val full = line(results, canaryJson)
-    // sf1.0 runs land in their own artifact so a scale refresh can never
-    // clobber the driver-facing sf0.1 BENCH_FULL.json.
-    val artifact =
-      if (sfDir.contains("sf1.0")) "BENCH_FULL_SF1.json" else "BENCH_FULL.json"
+    // Only the driver-facing sf0.1 dir writes BENCH_FULL.json; every
+    // other scale lands in its own suffixed artifact so no scale refresh
+    // (sf1.0 today, sf10 tomorrow) can clobber the driver's file.
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val artifact = sfBase match {
+      case "sf0.1" => "BENCH_FULL.json"
+      case "sf1.0" => "BENCH_FULL_SF1.json"
+      case other => s"BENCH_FULL_${other.replaceAll("[^A-Za-z0-9]", "_")}.json"
+    }
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(artifact), full + "\n")

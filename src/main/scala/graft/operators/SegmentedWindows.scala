@@ -68,8 +68,15 @@ object SegmentedWindows {
     * [[Indicators.sma]] (oracle-gated against the identical SQL). */
   def smaSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame = {
     val k = 200 // widest frame; one carry of k-1 rows serves all three
-    val idxd = withSeriesIndex(bars)
-      .select(col("symbol"), col("bar_ts"), col("close"), col("_idx"))
+    // The carry reaches exactly ONE chunk back, so a chunk must be at
+    // least k-1 rows wide or head-of-chunk frames silently come up short
+    // (the warmup gate would still pass — wrong values, no error).
+    require(chunkRows >= k - 1, s"chunkRows ($chunkRows) must be >= ${k - 1}")
+    // project BEFORE the range shuffle + persist: the cache boundary
+    // blocks Catalyst column pruning, so whatever enters it is what the
+    // shuffle carries and the cache holds.
+    val idxd = withSeriesIndex(
+      bars.select(col("symbol"), col("bar_ts"), col("close")))
     val base = idxd
       .withColumn("_chunk", expr(s"_idx div $chunkRows"))
       .withColumn("_carry", lit(false))

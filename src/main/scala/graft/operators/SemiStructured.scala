@@ -29,7 +29,9 @@ object SemiStructured {
   private val PropsSchema =
     org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")
 
-  private def withK(events: DataFrame): DataFrame =
+  /** Shared by the streaming feed pipeline (StreamPipelines) so the
+    * props payload shape lives in exactly one place. */
+  private[graft] def withK(events: DataFrame): DataFrame =
     events.withColumn("k", from_json(col("props"), PropsSchema).getField("k"))
 
   /** Per-event typed projection of the JSON payload. */

@@ -110,9 +110,12 @@ object StreamPipelines {
       .select("e.*")
 
   private def propsWindowCore(parsed: DataFrame): DataFrame =
-    parsed
-      .withColumn("k", from_json(col("props"),
-        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+    graft.operators.SemiStructured.withK(
+      // Drop unparseable messages (all-NULL rows) at the boundary, in
+      // BOTH batch and streaming: a NULL event time would otherwise pin
+      // a (NULL window) state entry the watermark can never evict —
+      // append mode would hold it forever.
+      parsed.filter(col("ts").isNotNull))
       .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("k")).as("sum_k"),

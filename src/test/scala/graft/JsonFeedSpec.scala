@@ -52,7 +52,9 @@ class JsonFeedSpec extends SparkSpec {
     val q = StreamPipelines.propsWindowAggStream(mem.toDF().toDF("msg"))
       .writeStream.outputMode("append").format("memory").queryName("props_out")
       .start()
-    mem.addData(msgs: _*)
+    // a malformed message must be dropped at the parse boundary, not
+    // pinned as an unevictable NULL-window state entry
+    mem.addData(msgs :+ "not json": _*)
     q.processAllAvailable()
     // advance the watermark past all windows so append mode emits them
     mem.addData(StreamPipelines.toJsonFeed(ev(Seq(

@@ -70,9 +70,9 @@ class SegmentedWindowsSpec extends SparkSpec {
   }
 
   test("window tasks are bounded: no (symbol, chunk) group exceeds chunkRows + 199") {
-    val bars = plantedBars(900, Seq("CC"))
+    val bars = plantedBars(2000, Seq("CC"))
     try {
-      val chunkRows = 128
+      val chunkRows = 256
       // rebuild the operator's grouping (base + carry) and measure the
       // largest (symbol, chunk) group — the bound every window task
       // relies on at scale
