@@ -70,6 +70,16 @@ object OracleSql {
         CASE WHEN rn >= 200 THEN round(sum(CAST("close" AS DECIMAL(18,6))) ${wf("ROWS BETWEEN 199 PRECEDING AND CURRENT ROW")}::DOUBLE / 200 + 5e-9, 4) END AS sma200
       FROM b ORDER BY symbol, bar_ts""",
 
+    // identical SQL to q_bollinger: the segmented variant's contract is
+    // bit-equality with the per-symbol-window form
+    "q_bollinger_seg" -> s"""
+      WITH $barsCte, $rnCte
+      SELECT symbol, bar_ts, "close",
+        CASE WHEN rn >= 20 THEN round(sum(CAST("close" AS DECIMAL(18,6))) $w20::DOUBLE / 20 + 5e-9, 4) END AS sma20,
+        CASE WHEN rn >= 20 THEN round(sum(CAST("close" AS DECIMAL(18,6))) $w20::DOUBLE / 20 + stddev_samp("close") $w20 * 2 + 5e-9, 4) END AS bb_upper,
+        CASE WHEN rn >= 20 THEN round(sum(CAST("close" AS DECIMAL(18,6))) $w20::DOUBLE / 20 - stddev_samp("close") $w20 * 2 + 5e-9, 4) END AS bb_lower
+      FROM b ORDER BY symbol, bar_ts""",
+
     "q_bollinger" -> s"""
       WITH $barsCte, $rnCte
       SELECT symbol, bar_ts, "close",

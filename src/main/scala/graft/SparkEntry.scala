@@ -41,6 +41,7 @@ object SparkEntry {
     // the bounded-task-size variant of q_sma (chunked series; same
     // output contract, oracle-gated against the identical SQL)
     "q_sma_seg" -> ((s, d) => SegmentedWindows.smaSegmented(bars(s, d))),
+    "q_bollinger_seg" -> ((s, d) => SegmentedWindows.bollingerSegmented(bars(s, d))),
     "q_bollinger" -> ((s, d) => Indicators.bollinger(bars(s, d))),
     "q_rsi" -> ((s, d) => Indicators.rsi(bars(s, d))),
     "q_macd" -> ((s, d) => Ema.macd(bars(s, d))),

@@ -64,19 +64,17 @@ object SegmentedWindows {
       .drop("_pid", "_lrk", "_off")
   }
 
-  /** SMA 20/50/200 with bounded window tasks — same output contract as
-    * [[Indicators.sma]] (oracle-gated against the identical SQL). */
-  def smaSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame = {
-    val k = 200 // widest frame; one carry of k-1 rows serves all three
+  /** The chunked frame: every row duplicated with `_chunk`/`_carry`
+    * columns such that a `rowsBetween(-(k-1), 0)` frame over
+    * `(symbol, _chunk) ORDER BY _idx` is complete for every non-carry
+    * row, with task size bounded by chunkRows + k - 1. Callers compute
+    * their window aggregates over [[frameWindow]] and then
+    * [[dropCarry]]. */
+  private def chunked(idxd: DataFrame, k: Int, chunkRows: Int): DataFrame = {
     // The carry reaches exactly ONE chunk back, so a chunk must be at
     // least k-1 rows wide or head-of-chunk frames silently come up short
     // (the warmup gate would still pass — wrong values, no error).
     require(chunkRows >= k - 1, s"chunkRows ($chunkRows) must be >= ${k - 1}")
-    // project BEFORE the range shuffle + persist: the cache boundary
-    // blocks Catalyst column pruning, so whatever enters it is what the
-    // shuffle carries and the cache holds.
-    val idxd = withSeriesIndex(
-      bars.select(col("symbol"), col("bar_ts"), col("close")))
     val base = idxd
       .withColumn("_chunk", expr(s"_idx div $chunkRows"))
       .withColumn("_carry", lit(false))
@@ -84,21 +82,54 @@ object SegmentedWindows {
       .filter(col("_idx") % chunkRows >= chunkRows - (k - 1))
       .withColumn("_chunk", expr(s"_idx div $chunkRows") + 1L)
       .withColumn("_carry", lit(true))
-    val w = Window.partitionBy(col("symbol"), col("_chunk"))
-      .orderBy(col("_idx"))
-    def davg(n: Int): Column =
-      sum(col("close").cast("decimal(18,6)")).over(w.rowsBetween(-(n - 1), 0))
-        .cast("double") / n
-    // _idx is the exact global row number, so the warmup gate needs no
-    // count-over-frame: row i has i predecessors.
-    def gated(n: Int)(c: Column): Column = when(col("_idx") >= n - 1, c)
     base.unionByName(carried)
+  }
+
+  private val frameWindow =
+    Window.partitionBy(col("symbol"), col("_chunk")).orderBy(col("_idx"))
+
+  private def dropCarry(df: DataFrame): DataFrame =
+    df.filter(!col("_carry")).drop("_carry")
+
+  // _idx is the exact global row number, so the warmup gate needs no
+  // count-over-frame: row i has i predecessors.
+  private def gated(n: Int)(c: Column): Column = when(col("_idx") >= n - 1, c)
+
+  private def davg(n: Int): Column =
+    sum(col("close").cast("decimal(18,6)"))
+      .over(frameWindow.rowsBetween(-(n - 1), 0)).cast("double") / n
+
+  /** SMA 20/50/200 with bounded window tasks — same output contract as
+    * [[Indicators.sma]] (oracle-gated against the identical SQL). */
+  def smaSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame = {
+    // project BEFORE the range shuffle + persist: the cache boundary
+    // blocks Catalyst column pruning, so whatever enters it is what the
+    // shuffle carries and the cache holds.
+    val idxd = withSeriesIndex(
+      bars.select(col("symbol"), col("bar_ts"), col("close")))
+    dropCarry(chunked(idxd, k = 200, chunkRows)
       .select(col("symbol"), col("bar_ts"), col("close"), col("_carry"),
         gated(20)(round(davg(20) + lit(5e-9), 4)).as("sma20"),
         gated(50)(round(davg(50) + lit(5e-9), 4)).as("sma50"),
-        gated(200)(round(davg(200) + lit(5e-9), 4)).as("sma200"))
-      .filter(!col("_carry"))
-      .drop("_carry")
+        gated(200)(round(davg(200) + lit(5e-9), 4)).as("sma200")))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Bollinger bands with bounded window tasks — same output contract as
+    * [[Indicators.bollinger]] (oracle-gated against the identical SQL).
+    * Demonstrates the device on a VARIANCE frame: stddev_samp is not a
+    * running aggregate, so the bounded (symbol, chunk) partition is what
+    * keeps its per-task sort small. */
+  def bollingerSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame = {
+    val idxd = withSeriesIndex(
+      bars.select(col("symbol"), col("bar_ts"), col("close")))
+    val sma20 = davg(20)
+    val sd = stddev_samp(col("close")).over(frameWindow.rowsBetween(-19, 0))
+    dropCarry(chunked(idxd, k = 20, chunkRows)
+      .select(col("symbol"), col("bar_ts"), col("close"), col("_carry"),
+        gated(20)(round(sma20 + lit(5e-9), 4)).as("sma20"),
+        gated(20)(round(sma20 + sd * 2 + lit(5e-9), 4)).as("bb_upper"),
+        gated(20)(round(sma20 - sd * 2 + lit(5e-9), 4)).as("bb_lower")))
       .orderBy(col("symbol"), col("bar_ts"))
   }
 }

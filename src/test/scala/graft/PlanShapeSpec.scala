@@ -24,7 +24,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_ann_ivf_lloyd", "q_ann_ivf", "q_drawdown", "q_topk_per_group",
     "q_quantiles", "q_up_streaks", "q_swing_points", "q_asof_join",
     "q_attribution", "q_gap_fill", "q_preprocess_mavg", "q_macd",
-    "q_sma_seg")
+    "q_sma_seg", "q_bollinger_seg")
 
   test("a planted unbounded-following frame counts; running frames do not") {
     // Round 7 found gapFill's backfill frame (currentRow ->

@@ -54,6 +54,23 @@ class SegmentedWindowsSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("segmented Bollinger equals the window Bollinger (variance frame) on a gappy series") {
+    val bars = plantedBars(700, Seq("AA", "BB"))
+    try {
+      val seg = SegmentedWindows.bollingerSegmented(bars, chunkRows = 256).collect()
+      val ref = Indicators.bollinger(bars).collect()
+      assert(seg.map(_.toString).toSeq === ref.map(_.toString).toSeq)
+    } finally cleanup()
+  }
+
+  test("smaSegmented rejects chunks narrower than the widest frame") {
+    val bars = plantedBars(50, Seq("AA"))
+    intercept[IllegalArgumentException] {
+      SegmentedWindows.smaSegmented(bars, chunkRows = 128)
+    }
+    cleanup()
+  }
+
   test("withSeriesIndex assigns the exact global per-symbol row index") {
     import org.apache.spark.sql.expressions.Window
     val bars = plantedBars(900, Seq("CC", "DD", "EE"))
