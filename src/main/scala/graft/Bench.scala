@@ -22,6 +22,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // declared at build (no per-read option exists for it): lets the
+      // events loader read TIMESTAMP(NANOS) parquet without mutating conf
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
@@ -264,10 +267,15 @@ object Bench {
       case "sf1.0" => "BENCH_FULL_SF1.json"
       case other => s"BENCH_FULL_${other.replaceAll("[^A-Za-z0-9]", "_")}.json"
     }
+    // Name the artifact VISIBLY: routing keys on the data dir basename,
+    // so a renamed/symlinked dir reroutes the write — the log line makes
+    // that show up in the run output instead of failing silently.
+    System.err.println(s"[bench] per-query artifact: $artifact (sfDir=$sfDir)")
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(artifact), full + "\n")
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     else System.err.println(full)
     val failed = results.count(_._2 < 0)
     val minimal =

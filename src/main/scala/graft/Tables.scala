@@ -16,6 +16,17 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `spark.sql.legacy.parquet.nanosAsLong` has NO per-read option form
+    * (ParquetOptions carries only compression/mergeSchema/rebase keys) —
+    * it is consulted at schema inference, so a session that reads
+    * TIMESTAMP(NANOS) parquet must carry it. Our own mains declare it at
+    * session build; for sessions built elsewhere (the driver's) this
+    * guard sets it AT MOST ONCE per session and never flips a value an
+    * operator already observed — no repeated conf mutation per read. */
+  private def ensureNanosAsLong(spark: SparkSession): Unit =
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   /** Normalize `events.ts` to session-UTC TIMESTAMP regardless of how the
     * generator wrote it: parquet TIMESTAMP(NANOS) (Spark 4 rejects by
     * default — read as a nanosecond long and truncate to micros, the same
@@ -23,7 +34,7 @@ object Tables {
     * the UTC session so `unix_micros`/window arithmetic resolves; values
     * are bit-identical because the session timezone is pinned to UTC). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -35,7 +46,7 @@ object Tables {
     * so the range predicate reaches the parquet scan (row-group pruning at
     * scale); filtering after the micros conversion only pushes IsNotNull. */
   def eventsFrom(spark: SparkSession, dir: String, fromUtc: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType =>

@@ -50,15 +50,23 @@ object SemiStructured {
         count_distinct(col("k")).as("n_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"),
-        round(sum(col("k")).cast("double") / count(col("k")) + lit(5e-9), 4).as("avg_k"),
+        // sum in DECIMAL(38,0): DuckDB widens a BIGINT sum to HUGEINT, so
+        // an ANSI long-sum overflow here would be an asymmetric failure
+        // at corpus scale; the decimal→double cast is the same nearest
+        // double as long→double for every exactly-representable sum.
+        round(sum(col("k").cast("decimal(38,0)")).cast("double") / count(col("k")) + lit(5e-9), 4).as("avg_k"),
         round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
       .orderBy(col("event_type"))
 
-  /** Decile histogram of k with the mean event value per bucket. */
+  /** Decile histogram of k with the mean event value per bucket.
+    * Bucketing must FLOOR (DuckDB `k // 10` floors; Spark `div`
+    * truncates toward zero — they diverge on negative k, which the
+    * feed's schema admits), so the bucket is computed as exact integer
+    * floor division: no double round-trip, correct for all of BIGINT. */
   def propsHist(events: DataFrame): DataFrame =
     withK(events)
       .filter(col("k").isNotNull)
-      .groupBy(expr("k div 10").as("k_bucket"))
+      .groupBy(expr("k div 10 - CASE WHEN k % 10 < 0 THEN 1 ELSE 0 END").as("k_bucket"))
       .agg(
         count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(18,6)")).cast("double") /

@@ -118,7 +118,9 @@ object StreamPipelines {
       parsed.filter(col("ts").isNotNull))
       .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("k")).as("sum_k"),
+        // decimal sum → long: parity with the oracle's HUGEINT-widened
+        // sum under ANSI mode (a raw long sum throws on overflow)
+        sum(col("k").cast("decimal(38,0)")).cast("long").as("sum_k"),
         round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
       .select(col("win.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_k"), col("sum_value"))
