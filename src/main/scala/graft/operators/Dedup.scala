@@ -238,11 +238,21 @@ object Dedup {
     edges.unpersist()
     // the returned plan reads the final labels checkpoint (its blocks
     // are held alive by the plan's RDD reference, reclaimed on GC)
-    labels
-      .select(col("doc_id"), col("label").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    annotateClusters(labels.select(col("doc_id"), col("label").as("cluster_id")))
+  }
+
+  /** Per-doc cluster size WITHOUT a cluster_id-partitioned window: a
+    * mega-cluster (one boilerplate template with 10^8 members) would
+    * land in ONE window task; the partial-aggregatable groupBy count +
+    * equi-join computes the same annotation with map-side combine and
+    * AQE-skew-splittable join partitions. Same output contract:
+    * (doc_id, cluster_id, cluster_size, is_canonical). */
+  private def annotateClusters(labeled: DataFrame): DataFrame = {
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
   /** One large-star round (Kiveris et al., SoCC'14): every node u links
@@ -330,14 +340,10 @@ object Dedup {
     * the compute-once LSS entry point (see [[dedupPairGraph]]). Same
     * unordered output contract as [[dedupClustersFromPairs]]. */
   def dedupClustersLSSFromPairs(pairs: DataFrame, ids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val labels = connectedComponentsLSS(edges, ids.select(col("doc_id").as("id")))
-    labels
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    annotateClusters(
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
   }
 
   /** 60-bit SimHash over distinct unigram tokens (md5-derived 60-bit
