@@ -2093,5 +2093,20 @@ object OracleSql {
     }
   )
 
-  val all: Map[String, String] = core ++ textOps ++ vectorOps
+  private val merged: Map[String, String] = core ++ textOps ++ vectorOps
+
+  // Segmented-device variants share the base query's SQL VERBATIM: the
+  // seg contract is bit-equality with the per-symbol-window form, so a
+  // single source of SQL truth also guards against the two drifting.
+  private val segAliases: Map[String, String] = Seq(
+    "q_rsi_seg" -> "q_rsi",
+    "q_atr_seg" -> "q_atr",
+    "q_stochastic_seg" -> "q_stochastic",
+    "q_williams_r_seg" -> "q_williams_r",
+    "q_donchian_seg" -> "q_donchian",
+    "q_mfi_seg" -> "q_mfi",
+    "q_momentum_seg" -> "q_momentum")
+    .map { case (seg, base) => seg -> merged(base) }.toMap
+
+  val all: Map[String, String] = merged ++ segAliases
 }

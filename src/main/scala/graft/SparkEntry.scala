@@ -42,6 +42,13 @@ object SparkEntry {
     // output contract, oracle-gated against the identical SQL)
     "q_sma_seg" -> ((s, d) => SegmentedWindows.smaSegmented(bars(s, d))),
     "q_bollinger_seg" -> ((s, d) => SegmentedWindows.bollingerSegmented(bars(s, d))),
+    "q_rsi_seg" -> ((s, d) => SegmentedWindows.rsiSegmented(bars(s, d))),
+    "q_atr_seg" -> ((s, d) => SegmentedWindows.atrSegmented(bars(s, d))),
+    "q_stochastic_seg" -> ((s, d) => SegmentedWindows.stochasticSegmented(bars(s, d))),
+    "q_williams_r_seg" -> ((s, d) => SegmentedWindows.williamsRSegmented(bars(s, d))),
+    "q_donchian_seg" -> ((s, d) => SegmentedWindows.donchianSegmented(bars(s, d))),
+    "q_mfi_seg" -> ((s, d) => SegmentedWindows.mfiSegmented(bars(s, d))),
+    "q_momentum_seg" -> ((s, d) => SegmentedWindows.momentumSegmented(bars(s, d))),
     "q_bollinger" -> ((s, d) => Indicators.bollinger(bars(s, d))),
     "q_rsi" -> ((s, d) => Indicators.rsi(bars(s, d))),
     "q_macd" -> ((s, d) => Ema.macd(bars(s, d))),

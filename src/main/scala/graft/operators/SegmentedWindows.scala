@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Segmented finite-window rolling aggregates — the 100 TB shape for the
@@ -114,6 +114,75 @@ object SegmentedWindows {
         gated(200)(round(davg(200) + lit(5e-9), 4)).as("sma200")))
       .orderBy(col("symbol"), col("bar_ts"))
   }
+
+  /** Generic driver for the device: range-index the series, chunk with
+    * a `lookback`-row carry, run an indicator core (an
+    * `Indicators.*Core` expression body) against the bounded
+    * (symbol, _chunk) window and the exact global row number, then
+    * drop the carry rows.
+    *
+    * `lookback` must cover the core's FULL dependency depth — the
+    * number of preceding rows any non-carry output value reads through
+    * its frames and lags combined (e.g. RSI(14) = 14: a 14-row gain
+    * frame whose oldest gain lags one more close). Values computed ON
+    * carry rows whose own dependencies reach deeper than the carry are
+    * wrong by construction, but they are never consumed: a non-carry
+    * row's frames reach back at most `lookback` rows, all of which are
+    * physically present, and carry rows are dropped before output. */
+  def rollingSegmented(bars: DataFrame, inputs: Seq[String], lookback: Int,
+      chunkRows: Int = 4096)(
+      core: (DataFrame, WindowSpec, Column, Seq[Column]) => DataFrame): DataFrame = {
+    val idxd = withSeriesIndex(bars.select(inputs.map(col): _*))
+    val helpers = Seq(col("_carry"), col("_chunk"), col("_idx"))
+    dropCarry(
+      core(chunked(idxd, k = lookback + 1, chunkRows), frameWindow,
+        (col("_idx") + 1L).as("rn"), helpers)
+        .drop("_chunk", "_idx"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** RSI(14) with bounded window tasks — same output contract as
+    * [[Indicators.rsi]] (oracle-gated against the identical SQL). */
+  def rsiSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame =
+    rollingSegmented(bars, Seq("symbol", "bar_ts", "close"), lookback = 14,
+      chunkRows)(Indicators.rsiCore)
+
+  /** ATR(14) with bounded window tasks — contract of [[Indicators.atr]]. */
+  def atrSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame =
+    rollingSegmented(bars, Seq("symbol", "bar_ts", "high", "low", "close"),
+      lookback = 14, chunkRows)(Indicators.atrCore)
+
+  /** Stochastic %K/%D with bounded window tasks — contract of
+    * [[Indicators.stochastic]]. Lookback 15: %D averages the 3 latest
+    * %K, the oldest of which reads a 14-row extrema frame. */
+  def stochasticSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame =
+    rollingSegmented(bars, Seq("symbol", "bar_ts", "high", "low", "close"),
+      lookback = 15, chunkRows)(Indicators.stochasticCore)
+
+  /** Williams %R(14) with bounded window tasks — contract of
+    * [[Indicators.williamsR]]. */
+  def williamsRSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame =
+    rollingSegmented(bars, Seq("symbol", "bar_ts", "high", "low", "close"),
+      lookback = 13, chunkRows)(Indicators.williamsRCore)
+
+  /** Donchian(20) with bounded window tasks — contract of
+    * [[Indicators.donchian]]. */
+  def donchianSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame =
+    rollingSegmented(bars, Seq("symbol", "bar_ts", "high", "low", "close"),
+      lookback = 19, chunkRows)(Indicators.donchianCore(20))
+
+  /** MFI(14) with bounded window tasks — contract of
+    * [[Indicators.mfi]]. */
+  def mfiSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame =
+    rollingSegmented(bars,
+      Seq("symbol", "bar_ts", "high", "low", "close", "volume"),
+      lookback = 14, chunkRows)(Indicators.mfiCore(14))
+
+  /** ROC/Momentum(10) with bounded window tasks — contract of
+    * [[Indicators.momentum]]. */
+  def momentumSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame =
+    rollingSegmented(bars, Seq("symbol", "bar_ts", "close"), lookback = 10,
+      chunkRows)(Indicators.momentumCore)
 
   /** Bollinger bands with bounded window tasks — same output contract as
     * [[Indicators.bollinger]] (oracle-gated against the identical SQL).

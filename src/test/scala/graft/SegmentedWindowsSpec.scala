@@ -54,6 +54,54 @@ class SegmentedWindowsSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  /** OHLCV variant of the gappy planted series for cores that read
+    * high/low/volume too. */
+  private def plantedOhlcv(n: Int, symbols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      s <- symbols
+      i <- 0 until n
+      if (i * 7 + s.length) % 11 != 0
+    } yield {
+      val c = 100.0 + ((i * 31 + s.hashCode.abs) % 997) / 100.0
+      val h = c + ((i * 13) % 47) / 100.0
+      val l = c - ((i * 17) % 53) / 100.0
+      (s, new Timestamp(1704100000000L + i.toLong * 300000L),
+        c - 0.05, h, l, c, 1000L + (i * 37) % 500)
+    }
+    rows.toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume")
+  }
+
+  // Every rolling core, segmented vs the per-symbol-window base, on a
+  // gappy series spanning many chunks (chunkRows=64 → ~10 chunks), so
+  // every frame shape crosses chunk boundaries repeatedly.
+  private val rollingPairs: Seq[(String, DataFrame => DataFrame, DataFrame => DataFrame)] = Seq(
+    ("rsi", (b: DataFrame) => SegmentedWindows.rsiSegmented(b, chunkRows = 64),
+      (b: DataFrame) => Indicators.rsi(b)),
+    ("atr", (b: DataFrame) => SegmentedWindows.atrSegmented(b, chunkRows = 64),
+      (b: DataFrame) => Indicators.atr(b)),
+    ("stochastic", (b: DataFrame) => SegmentedWindows.stochasticSegmented(b, chunkRows = 64),
+      (b: DataFrame) => Indicators.stochastic(b)),
+    ("williams_r", (b: DataFrame) => SegmentedWindows.williamsRSegmented(b, chunkRows = 64),
+      (b: DataFrame) => Indicators.williamsR(b)),
+    ("donchian", (b: DataFrame) => SegmentedWindows.donchianSegmented(b, chunkRows = 64),
+      (b: DataFrame) => Indicators.donchian(b)),
+    ("mfi", (b: DataFrame) => SegmentedWindows.mfiSegmented(b, chunkRows = 64),
+      (b: DataFrame) => Indicators.mfi(b)),
+    ("momentum", (b: DataFrame) => SegmentedWindows.momentumSegmented(b, chunkRows = 64),
+      (b: DataFrame) => Indicators.momentum(b)))
+
+  for ((name, segF, refF) <- rollingPairs)
+    test(s"segmented $name equals the per-symbol-window $name across chunk boundaries") {
+      val bars = plantedOhlcv(700, Seq("AA", "BB"))
+      try {
+        val seg = segF(bars).collect().map(_.toString).toSeq
+        val ref = refF(bars).collect().map(_.toString).toSeq
+        assert(seg.length === ref.length)
+        assert(seg === ref)
+      } finally cleanup()
+    }
+
   test("segmented Bollinger equals the window Bollinger (variance frame) on a gappy series") {
     val bars = plantedBars(700, Seq("AA", "BB"))
     try {
