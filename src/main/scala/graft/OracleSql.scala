@@ -2105,7 +2105,10 @@ object OracleSql {
     "q_williams_r_seg" -> "q_williams_r",
     "q_donchian_seg" -> "q_donchian",
     "q_mfi_seg" -> "q_mfi",
-    "q_momentum_seg" -> "q_momentum")
+    "q_momentum_seg" -> "q_momentum",
+    "q_obv_seg" -> "q_obv",
+    "q_vwap_seg" -> "q_vwap",
+    "q_drawdown_seg" -> "q_drawdown")
     .map { case (seg, base) => seg -> merged(base) }.toMap
 
   val all: Map[String, String] = merged ++ segAliases

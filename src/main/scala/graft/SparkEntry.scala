@@ -49,6 +49,9 @@ object SparkEntry {
     "q_donchian_seg" -> ((s, d) => SegmentedWindows.donchianSegmented(bars(s, d))),
     "q_mfi_seg" -> ((s, d) => SegmentedWindows.mfiSegmented(bars(s, d))),
     "q_momentum_seg" -> ((s, d) => SegmentedWindows.momentumSegmented(bars(s, d))),
+    "q_obv_seg" -> ((s, d) => SegmentedWindows.obvSegmented(bars(s, d))),
+    "q_vwap_seg" -> ((s, d) => SegmentedWindows.vwapSegmented(bars(s, d))),
+    "q_drawdown_seg" -> ((s, d) => SegmentedWindows.drawdownSegmented(bars(s, d))),
     "q_bollinger" -> ((s, d) => Indicators.bollinger(bars(s, d))),
     "q_rsi" -> ((s, d) => Indicators.rsi(bars(s, d))),
     "q_macd" -> ((s, d) => Ema.macd(bars(s, d))),

@@ -36,32 +36,53 @@ import org.apache.spark.sql.functions._
   */
 object SegmentedWindows {
 
+  /** bars + `_pid`: range-partitioned on (symbol, bar_ts) and PERSISTED
+    * (spark_partition_id is nondeterministic, so every consumer pass
+    * must read one materialization — released via Ema.unpersistAll).
+    * The shared scaffold for the row-index device and the
+    * running-aggregate offset device. */
+  private def withPid(bars: DataFrame): DataFrame = {
+    val nParts = bars.sparkSession.sessionState.conf.numShufflePartitions
+    Ema.persistTracked(
+      bars.repartitionByRange(nParts, col("symbol").asc, col("bar_ts").asc)
+        .withColumn("_pid", spark_partition_id().cast("long")))
+  }
+
+  private val wLocal =
+    Window.partitionBy(col("_pid"), col("symbol")).orderBy(col("bar_ts"))
+  private val wLocalRun = wLocal.rowsBetween(Window.unboundedPreceding, 0)
+
+  /** Exclusive per-(partition, symbol) prefix combine of per-partition
+    * aggregates: for each (_pid, symbol), fold each named column's
+    * combiner over all STRICTLY-EARLIER partitions' rows of the same
+    * symbol (null when there are none). Metadata scale — the input is
+    * (partitions × symbols) rows and travels by broadcast, which is
+    * what makes the running devices one-data-shuffle exact at any
+    * series length. */
+  private def exclusivePrefix(meta: DataFrame,
+      combos: Seq[(String, Column => Column)]): DataFrame = {
+    val qcols = Seq(col("_pid").as("_qid"), col("symbol").as("_qsym")) ++
+      combos.map { case (c, _) => col(c).as(s"_q$c") }
+    val aggs = combos.map { case (c, f) => f(col(s"_q$c")).as(s"${c}_off") }
+    meta.join(broadcast(meta.select(qcols: _*)),
+        col("_qsym") === col("symbol") && col("_qid") < col("_pid"), "left")
+      .groupBy(col("_pid"), col("symbol"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** bars + `_idx`: exact 0-based per-symbol row index in bar_ts order.
     * No window spans more than one physical partition; prefix offsets
     * travel via a broadcast (partitions × symbols)-sized meta join. */
   private[graft] def withSeriesIndex(bars: DataFrame): DataFrame = {
-    val nParts = bars.sparkSession.sessionState.conf.numShufflePartitions
-    // persisted for the same reason as ntileByRank: spark_partition_id is
-    // nondeterministic, so the local-rank pass and the counts pass must
-    // read ONE materialization (released via Ema.unpersistAll).
-    val ranged = Ema.persistTracked(
-      bars.repartitionByRange(nParts, col("symbol").asc, col("bar_ts").asc)
-        .withColumn("_pid", spark_partition_id().cast("long")))
-    val wLocal = Window.partitionBy(col("_pid"), col("symbol"))
-      .orderBy(col("bar_ts"))
+    val ranged = withPid(bars)
     val counts = ranged.groupBy(col("_pid"), col("symbol"))
       .agg(count(lit(1)).as("_pn"))
-    val offsets = counts
-      .join(broadcast(counts.select(col("_pid").as("_qid"),
-        col("symbol").as("_qsym"), col("_pn").as("_qn"))),
-        col("_qsym") === col("symbol") && col("_qid") < col("_pid"), "left")
-      .groupBy(col("_pid"), col("symbol"))
-      .agg(coalesce(sum(col("_qn")), lit(0L)).as("_off"))
+    val offsets = exclusivePrefix(counts, Seq("_pn" -> (sum(_))))
     ranged
       .withColumn("_lrk", row_number().over(wLocal).cast("long") - 1L)
       .join(broadcast(offsets), Seq("_pid", "symbol"), "left")
-      .withColumn("_idx", col("_lrk") + coalesce(col("_off"), lit(0L)))
-      .drop("_pid", "_lrk", "_off")
+      .withColumn("_idx", col("_lrk") + coalesce(col("_pn_off"), lit(0L)))
+      .drop("_pid", "_lrk", "_pn_off")
   }
 
   /** The chunked frame: every row duplicated with `_chunk`/`_carry`
@@ -199,6 +220,92 @@ object SegmentedWindows {
         gated(20)(round(sma20 + lit(5e-9), 4)).as("sma20"),
         gated(20)(round(sma20 + sd * 2 + lit(5e-9), 4)).as("bb_upper"),
         gated(20)(round(sma20 - sd * 2 + lit(5e-9), 4)).as("bb_lower")))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  // ── Running (unbounded-preceding) aggregates with bounded tasks ────
+  //
+  // The chunk-carry device can't serve ROWS UNBOUNDED PRECEDING frames
+  // (the "carry" would be the whole history), but every running
+  // indicator here folds an ASSOCIATIVE combine (integer/decimal sum,
+  // max), so the split is algebraic instead of physical: compute the
+  // running aggregate LOCALLY per range partition (task size bounded
+  // by rows/numShufflePartitions), then add/merge each partition's
+  // exclusive prefix of per-partition totals — a (partitions × symbols)
+  // metadata broadcast. One data shuffle (the range exchange), exact
+  // results (integer/decimal arithmetic reassociates losslessly; max
+  // is order-free), no per-symbol single-task stage at any length.
+  // Cross-boundary lags (OBV's Δclose) come from the same metadata
+  // table: the previous partition's tail close.
+
+  /** OBV with bounded tasks — output contract of [[Indicators.obv]]
+    * (oracle-gated against the identical SQL). */
+  def obvSegmented(bars: DataFrame): DataFrame = {
+    val ranged = withPid(
+      bars.select(col("symbol"), col("bar_ts"), col("close"), col("volume")))
+    val tails = ranged.groupBy(col("_pid"), col("symbol"))
+      .agg(max_by(col("close"), col("bar_ts")).as("_tail"))
+    val prevTail = exclusivePrefix(tails, Seq("_tail" -> (c => max_by(c, col("_qid")))))
+    val signed = ranged
+      .join(broadcast(prevTail), Seq("_pid", "symbol"), "left")
+      .withColumn("_prev",
+        when(row_number().over(wLocal) === 1, col("_tail_off"))
+          .otherwise(lag(col("close"), 1).over(wLocal)))
+      .withColumn("_signed",
+        when(col("close") - col("_prev") > 0, col("volume"))
+          .when(col("close") - col("_prev") < 0, -col("volume"))
+          .otherwise(lit(0L)))
+    val totals = signed.groupBy(col("_pid"), col("symbol"))
+      .agg(sum(col("_signed")).as("_tot"))
+    val offsets = exclusivePrefix(totals, Seq("_tot" -> (sum(_))))
+    signed
+      .join(broadcast(offsets), Seq("_pid", "symbol"), "left")
+      .select(col("symbol"), col("bar_ts"), col("close"), col("volume"),
+        (sum(col("_signed")).over(wLocalRun) + coalesce(col("_tot_off"), lit(0L)))
+          .cast("long").as("obv"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Cumulative VWAP with bounded tasks — output contract of
+    * [[Indicators.vwap]]. The DECIMAL price·volume sums split exactly
+    * (decimal addition reassociates losslessly up to the same overflow
+    * bound as the single-window form). */
+  def vwapSegmented(bars: DataFrame): DataFrame = {
+    val ranged = withPid(
+      bars.select(col("symbol"), col("bar_ts"), col("close"), col("volume")))
+      .withColumn("_pv", col("close").cast("decimal(18,6)") * col("volume"))
+    val totals = ranged.groupBy(col("_pid"), col("symbol"))
+      .agg(sum(col("_pv")).as("_pvt"), sum(col("volume")).as("_vt"))
+    val offsets = exclusivePrefix(totals,
+      Seq("_pvt" -> (sum(_)), "_vt" -> (sum(_))))
+    ranged
+      .join(broadcast(offsets), Seq("_pid", "symbol"), "left")
+      .select(col("symbol"), col("bar_ts"), col("close"), col("volume"),
+        round(
+          (sum(col("_pv")).over(wLocalRun) +
+            coalesce(col("_pvt_off"), lit(0).cast("decimal(38,6)"))).cast("double") /
+          (sum(col("volume")).over(wLocalRun) + coalesce(col("_vt_off"), lit(0L)))
+          + lit(5e-9), 4).as("vwap"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Drawdown with bounded tasks — output contract of
+    * [[Indicators.drawdown]]. The running peak merges as a max
+    * (order-free over identical doubles). */
+  def drawdownSegmented(bars: DataFrame): DataFrame = {
+    val ranged = withPid(
+      bars.select(col("symbol"), col("bar_ts"), col("close")))
+    val maxes = ranged.groupBy(col("_pid"), col("symbol"))
+      .agg(max(col("close")).as("_pmax"))
+    val offsets = exclusivePrefix(maxes, Seq("_pmax" -> (max(_))))
+    // greatest skips nulls: a symbol's first partition has no prefix max
+    val peak = greatest(max(col("close")).over(wLocalRun), col("_pmax_off"))
+    ranged
+      .join(broadcast(offsets), Seq("_pid", "symbol"), "left")
+      .select(col("symbol"), col("bar_ts"), col("close"), peak.as("peak"))
+      .select(col("symbol"), col("bar_ts"), col("close"), col("peak"),
+        round((col("peak") - col("close")) / col("peak") * lit(100.0)
+          + lit(5e-9), 4).as("drawdown_pct"))
       .orderBy(col("symbol"), col("bar_ts"))
   }
 }

@@ -102,6 +102,29 @@ class SegmentedWindowsSpec extends SparkSpec {
       } finally cleanup()
     }
 
+  // Running (unbounded-preceding) devices: the 4-shuffle-partition test
+  // session splits the 2-symbol series across several range partitions,
+  // so local-run + prefix-offset recombination is exercised at every
+  // partition boundary (including the cross-boundary OBV lag).
+  private val runningPairs: Seq[(String, DataFrame => DataFrame, DataFrame => DataFrame)] = Seq(
+    ("obv", (b: DataFrame) => SegmentedWindows.obvSegmented(b),
+      (b: DataFrame) => Indicators.obv(b)),
+    ("vwap", (b: DataFrame) => SegmentedWindows.vwapSegmented(b),
+      (b: DataFrame) => Indicators.vwap(b)),
+    ("drawdown", (b: DataFrame) => SegmentedWindows.drawdownSegmented(b),
+      (b: DataFrame) => Indicators.drawdown(b)))
+
+  for ((name, segF, refF) <- runningPairs)
+    test(s"running-segmented $name equals the per-symbol-window $name across partition boundaries") {
+      val bars = plantedOhlcv(700, Seq("AA", "BB"))
+      try {
+        val seg = segF(bars).collect().map(_.toString).toSeq
+        val ref = refF(bars).collect().map(_.toString).toSeq
+        assert(seg.length === ref.length)
+        assert(seg === ref)
+      } finally cleanup()
+    }
+
   test("segmented Bollinger equals the window Bollinger (variance frame) on a gappy series") {
     val bars = plantedBars(700, Seq("AA", "BB"))
     try {
