@@ -101,14 +101,41 @@ object Similarity {
     e.select(col("vec_id"), col("v"),
       posexplode(expr("lsh_buckets(v)")).as(Seq("t", "bucket")))
 
+  /** The by-construction-bounded default query table: the first
+    * QueryCount vec_ids of the corpus itself, already (q_id, qv). */
+  private def defaultQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+  /** Normalize an ARBITRARY query table to (q_id, qv): accepts
+    * (q_id, qv: Array[Double]) as-is, or raw (vec_id,
+    * embedding: Array[Float]) rows in the corpus schema. Query ids
+    * share the corpus id namespace for self-pair exclusion; external
+    * ids simply never collide. */
+  private def normalizeQueries(queries: DataFrame): DataFrame = {
+    val cols = queries.columns.toSet
+    if (cols.contains("q_id") && cols.contains("qv"))
+      queries.select(col("q_id"), col("qv"))
+    else queries.select(col("vec_id").as("q_id"), vecd(col("embedding")).as("qv"))
+  }
+
+  /** Auto-broadcast size gate: broadcast the query side only when it
+    * actually is bounded. One cheap limit-count action on the QUERY
+    * table (by definition metadata-scale relative to the corpus). */
+  private def fitsBroadcast(q0: DataFrame, max: Int): Boolean =
+    q0.limit(max + 1).count() <= max
+
+  /** Default query-broadcast ceiling. LSH probes multiply this by
+    * tables × probes (≤ 156) and PQ distance tables by M·Ks = 128 —
+    * both still well under executor broadcast budgets at this count. */
+  val DefaultMaxBroadcastQueries = 65536
+
   /** Query side: one (qt, probe) row per query per table per probe.
     * `probed = false` → the query's own bucket only; `probed = true` →
     * query-directed multiprobe (lowest-margin single and pair bit
     * flips, margins ranked by (|proj|, bit) for determinism). */
-  private def queryProbes(e: DataFrame, probed: Boolean): DataFrame = {
-    var q = e.filter(col("vec_id") < QueryCount)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .withColumn("bks", expr("lsh_buckets(qv)"))
+  private def queryProbes(q0: DataFrame, probed: Boolean): DataFrame = {
+    var q = q0.withColumn("bks", expr("lsh_buckets(qv)"))
     if (probed) q = q.withColumn("pjs", expr("lsh_proj(qv)"))
     val probeArrays = (0 until LshTables).map { t =>
       val qb = s"element_at(bks, ${t + 1})"
@@ -137,8 +164,20 @@ object Similarity {
     * spec. Broadcasts only the bounded probe rows (|Q|·L·13 max). */
   def lshCandidatePairs(embeddings: DataFrame, probed: Boolean): DataFrame = {
     val e = withVec(embeddings)
+    lshCandidatePairsFor(e, defaultQueries(e), probed, broadcastQ = true)
+  }
+
+  /** Candidate pairs for an arbitrary normalized (q_id, qv) query
+    * frame. `broadcastQ = false` is the over-threshold fallback: the
+    * probe rows flow through the SAME (t, bucket) equi-join as a
+    * shuffle join — both sides hash-partition on the bucket keys, so
+    * a query table of any size co-locates with its candidate corpus
+    * buckets instead of replicating to every task. */
+  private def lshCandidatePairsFor(e: DataFrame, q0: DataFrame,
+      probed: Boolean, broadcastQ: Boolean): DataFrame = {
+    val probes = queryProbes(q0, probed)
     corpusBuckets(e)
-      .join(broadcast(queryProbes(e, probed)),
+      .join(if (broadcastQ) broadcast(probes) else probes,
         col("t") === col("qt") && col("bucket") === col("probe") &&
           col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nn_id"),
@@ -156,18 +195,33 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  private def bruteCandidates(e: DataFrame, q: DataFrame): DataFrame =
+    e.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        expr("cosine_sim(v, qv)").as("cos"))
+      .filter(col("cos").isNotNull)
+
   /** Brute-force cosine top-k per query vector — the recall ceiling.
     * Deterministic tie-break on neighbor id; self-pairs excluded. */
   def annBruteforce(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val e = withVec(embeddings)
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .filter(col("q_id") < QueryCount)
-    rankTopK(
-      e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("nn_id"),
-          expr("cosine_sim(v, qv)").as("cos"))
-        .filter(col("cos").isNotNull), k)
+    rankTopK(bruteCandidates(e, broadcast(defaultQueries(e))), k)
+  }
+
+  /** Brute force over an ARBITRARY query table (see
+    * [[normalizeQueries]] for accepted shapes). Queries at or under
+    * the gate broadcast (one corpus scan, no shuffle); beyond it the
+    * cross join runs partition-blocked — still exact, and still the
+    * stated O(Q·N) cost brute force is only ever the baseline for.
+    * The scale answer to a big query side is [[annLshFor]]/[[annPqFor]],
+    * not a bigger broadcast. */
+  def annBruteforceFor(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
+    val e = withVec(embeddings)
+    val q0 = normalizeQueries(queries)
+    val q = if (fitsBroadcast(q0, maxBroadcastQueries)) broadcast(q0) else q0
+    rankTopK(bruteCandidates(e, q), k)
   }
 
   /** Multi-table LSH top-k: candidates share any per-table bucket. */
@@ -177,6 +231,21 @@ object Similarity {
   /** Multi-table LSH with query-directed multiprobe — see object doc. */
   def annLshMultiprobe(embeddings: DataFrame, k: Int = 3): DataFrame =
     rankTopK(lshCandidatePairs(embeddings, probed = true), k)
+
+  /** LSH top-k over an ARBITRARY query table with the auto-broadcast
+    * gate: a bounded query set broadcasts its probe rows (map-side
+    * join, zero query shuffle); an over-threshold set falls back to
+    * the shuffle equi-join on the (table, bucket) keys — the bucket
+    * co-location path that scales to a query side as big as the
+    * corpus. Same candidate semantics either way. */
+  def annLshFor(embeddings: DataFrame, queries: DataFrame, k: Int = 3,
+      probed: Boolean = false,
+      maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
+    val e = withVec(embeddings)
+    val q0 = normalizeQueries(queries)
+    rankTopK(lshCandidatePairsFor(e, q0, probed,
+      broadcastQ = fitsBroadcast(q0, maxBroadcastQueries)), k)
+  }
 
   /** Squared L2 distance — the native fused loop
     * ([[graft.functions.Dist2]]); same left-to-right fold from 0.0 as
@@ -443,20 +512,38 @@ object Similarity {
     * array for a fixed summation order. */
   def annPq(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val e = withVec(embeddings)
+    annPqImpl(e, defaultQueries(e), k, broadcastD = true)
+  }
+
+  /** PQ/ADC top-k over an ARBITRARY query table with the
+    * auto-broadcast gate: the O(|Q|·M·Ks) distance table broadcasts
+    * when the query side is bounded; beyond the gate the ADC join
+    * becomes a shuffle equi-join on the (subspace, code) keys — the
+    * corpus still participates only through its nibble codes, so the
+    * fallback shuffles codes, never raw vectors. */
+  def annPqFor(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
+    val e = withVec(embeddings)
+    val q0 = normalizeQueries(queries)
+    annPqImpl(e, q0, k, broadcastD = fitsBroadcast(q0, maxBroadcastQueries))
+  }
+
+  private def annPqImpl(e: DataFrame, q0: DataFrame, k: Int,
+      broadcastD: Boolean): DataFrame = {
     // ONE codebook evaluation feeds both the corpus assignment and the
     // query distance table (its 16-row sample is checkpointed, so the
     // TakeOrdered corpus pass happens once per query, not per join)
     val cb = pqCodebook(e)
     val codes = pqAssign(e, cb).select(col("vec_id"), col("m"), col("code"))
-    val dtable = e.filter(col("vec_id") < QueryCount)
+    val dtable = q0
       .withColumn("qm", explode(sequence(lit(0), lit(PqM - 1))))
-      .select(col("vec_id").as("q_id"), col("qm"),
-        slice(col("v"), col("qm") * PqSubDim + 1, lit(PqSubDim)).as("qsv"))
+      .select(col("q_id"), col("qm"),
+        slice(col("qv"), col("qm") * PqSubDim + 1, lit(PqSubDim)).as("qsv"))
       .join(broadcast(cb), col("qm") === col("m"))
       .select(col("q_id"), col("qm"), col("code_id"),
         dist2(col("qsv"), col("csub")).as("qd2"))
     val adc = codes
-      .join(broadcast(dtable),
+      .join(if (broadcastD) broadcast(dtable) else dtable,
         col("m") === col("qm") && col("code") === col("code_id") &&
           col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))

@@ -334,4 +334,58 @@ class DedupSimilaritySpec extends SparkSpec {
     info(f"PQ ADC recall@5 vs exact L2: $recall%.2f")
     assert(recall >= 0.05, f"ADC recall $recall%.2f below 0.05")
   }
+
+  // ── Arbitrary-query-table ANN APIs + the auto-broadcast gate ───────
+  // A 16-row query table with the gate forced BELOW it must take the
+  // shuffle fallback and still return exactly the broadcast path's
+  // rows — both for LSH (bucket equi-join) and PQ (code equi-join) and
+  // the brute-force baseline (partition-blocked cross join).
+
+  private def queriesFromCorpus(n: Long) =
+    Tables.embeddings(spark, sf()).filter(col("vec_id") < n)
+
+  test("annLshFor: over-threshold query table falls back to the bucket shuffle join, same results") {
+    val e = Tables.embeddings(spark, sf())
+    val q = queriesFromCorpus(16L)
+    val bcDf = Similarity.annLshFor(e, q, k = 3)
+    val bc = bcDf.collect().map(_.toString).toSeq
+    val sh = Similarity.annLshFor(e, q, k = 3, maxBroadcastQueries = 2)
+    // The gate controls the HINT (what we declare); at toy scale AQE may
+    // still broadcast from runtime stats, which is exactly the point of
+    // leaving the over-threshold join declarative.
+    assert(bcDf.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "under-threshold query side must carry the broadcast hint")
+    assert(!sh.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "over-threshold query side must NOT carry a broadcast hint")
+    assert(sh.collect().map(_.toString).toSeq === bc)
+    // the broadcast form must match the historical bounded entry too
+    assert(bc === Similarity.annLsh(e, k = 3).collect().map(_.toString).toSeq)
+  }
+
+  test("annBruteforceFor: gate removes the broadcast, results unchanged") {
+    val e = Tables.embeddings(spark, sf())
+    val q = queriesFromCorpus(8L)
+    val bc = Similarity.annBruteforceFor(e, q, k = 3).collect().map(_.toString).toSeq
+    val sh = Similarity.annBruteforceFor(e, q, k = 3, maxBroadcastQueries = 2)
+    assert(sh.collect().map(_.toString).toSeq === bc)
+  }
+
+  test("annPqFor: over-threshold query table shuffles codes, same results") {
+    val e = Tables.embeddings(spark, sf())
+    val q = queriesFromCorpus(16L)
+    val bc = Similarity.annPqFor(e, q, k = 5).collect().map(_.toString).toSeq
+    val sh = Similarity.annPqFor(e, q, k = 5, maxBroadcastQueries = 2)
+    assert(sh.collect().map(_.toString).toSeq === bc)
+    assert(bc === Similarity.annPq(e, k = 5).collect().map(_.toString).toSeq)
+  }
+
+  test("annLshFor accepts a pre-normalized (q_id, qv) frame") {
+    val e = Tables.embeddings(spark, sf())
+    val q = Tables.embeddings(spark, sf()).filter(col("vec_id") < 16L)
+      .select(col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("qv"))
+    val out = Similarity.annLshFor(e, q, k = 3).collect().map(_.toString).toSeq
+    assert(out === Similarity.annLsh(e, k = 3).collect().map(_.toString).toSeq)
+  }
 }
