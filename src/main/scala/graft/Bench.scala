@@ -151,8 +151,25 @@ object Bench {
           .mapToLong(java.nio.file.Files.size(_)).sum()
         finally s.close()
       }
+      // Reliable-checkpoint delta: the same fixpoint with
+      // spark.graft.checkpointDir set (per-round eager checkpoint() to
+      // the local FS here; HDFS/object store on a cluster) — the
+      // durability-vs-latency trade as a measured number.
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      spark.conf.set(graft.operators.Checkpoints.DirConf, ckptDir)
+      val (rowsR, secsR) =
+        try timed(Dedup.dedupClusters(docs).count())
+        finally spark.conf.unset(graft.operators.Checkpoints.DirConf)
+      val reliableB = {
+        val p = java.nio.file.Paths.get(ckptDir)
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      require(rowsR == rows, s"reliable-checkpoint run diverged: $rowsR vs $rows")
       val json =
-        s"""{"metric":"ckpt_probe","query":"q_dedup_clusters","rows":$rows,"sec":${num(secs)},"ckpt_blocks":${cached.length},"ckpt_mem_bytes":$memB,"ckpt_disk_bytes":$diskB,"input_bytes":$inputB,"sf":"$sfDir"}"""
+        s"""{"metric":"ckpt_probe","query":"q_dedup_clusters","rows":$rows,"sec":${num(secs)},"ckpt_blocks":${cached.length},"ckpt_mem_bytes":$memB,"ckpt_disk_bytes":$diskB,"reliable_sec":${num(secsR)},"reliable_bytes":$reliableB,"input_bytes":$inputB,"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_CKPT.json"), json + "\n")
       catch { case _: Throwable => () }

@@ -210,8 +210,8 @@ object Dedup {
     // leaves an exponentially growing lineage; truncation is the
     // standard iterative-graph pattern (reliable checkpoint at cluster
     // scale).
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+    var labels = Checkpoints.truncate(
+      docs.select(col("doc_id"), col("doc_id").as("label")))
     // order-independent (count, XOR-of-hashes) signature — a label SUM
     // would overflow Long under ANSI mode at exactly the id scales the
     // operator targets, and xor detects any label flip just as well
@@ -228,9 +228,9 @@ object Dedup {
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val s = sig(next)
-      labels = next
+      val nextT = Checkpoints.truncate(next)
+      val s = sig(nextT)
+      labels = nextT
       converged = s == prev // labels only decrease ⇒ any change flips the signature
       prev = s
       it += 1
@@ -298,9 +298,9 @@ object Dedup {
     // scale, a reliable checkpoint dir plays this role). Blocks are
     // reclaimed by the ContextCleaner once the round's frame is
     // unreferenced.
-    var edges = edges0
+    var edges = Checkpoints.truncate(edges0
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      .filter(col("a") =!= col("b")).distinct())
     def sig(df: DataFrame): (Long, Long) = {
       // order-independent set signature: count + XOR of per-edge hashes
       // (xor, unlike sum, cannot overflow under ANSI mode)
@@ -311,7 +311,7 @@ object Dedup {
     var it = 0
     var converged = prev._1 == 0L
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = Checkpoints.truncate(smallStar(largeStar(edges)))
       val s = sig(next)
       edges = next
       converged = s == prev

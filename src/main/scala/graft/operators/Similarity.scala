@@ -340,10 +340,9 @@ object Similarity {
       // centroid update: ONE native vector-mean aggregate (6dp-rounded,
       // ≡ the per-dim round(avg(x), 6) the oracle mirrors) instead of a
       // dim× posexplode + two groupBy shuffles per iteration
-      cents = assign
+      cents = Checkpoints.truncate(assign
         .groupBy(col("cent_id"))
-        .agg(expr("vec_mean6(v)").as("cv"))
-        .localCheckpoint(true)
+        .agg(expr("vec_mean6(v)").as("cv")))
     }
     cents
   }

@@ -379,6 +379,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bc === Similarity.annPq(e, k = 5).collect().map(_.toString).toSeq)
   }
 
+  test("reliable-checkpoint policy: dedup fixpoints produce identical labels with spark.graft.checkpointDir set") {
+    import graft.operators.{Checkpoints, Dedup}
+    val docs = Tables.documents(spark, sf())
+    val local = Dedup.dedupClusters(docs).collect().map(_.toString).toSeq
+    val lssLocal = Dedup.dedupClustersLSS(docs).collect().map(_.toString).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-spec-ckpt")
+    spark.conf.set(Checkpoints.DirConf, dir.toString)
+    try {
+      val reliable = Dedup.dedupClusters(docs).collect().map(_.toString).toSeq
+      val lssReliable = Dedup.dedupClustersLSS(docs).collect().map(_.toString).toSeq
+      assert(reliable === local)
+      assert(lssReliable === lssLocal)
+      // the reliable rounds actually wrote through the configured dir
+      val s = java.nio.file.Files.walk(dir)
+      val files = try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      assert(files > 0, "reliable checkpoint dir must contain round files")
+    } finally {
+      spark.conf.unset(Checkpoints.DirConf)
+    }
+  }
+
   test("annLshFor accepts a pre-normalized (q_id, qv) frame") {
     val e = Tables.embeddings(spark, sf())
     val q = Tables.embeddings(spark, sf()).filter(col("vec_id") < 16L)
