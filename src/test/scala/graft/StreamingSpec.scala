@@ -219,6 +219,91 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  // ── RocksDB state store ────────────────────────────────────────────
+  // At 100 TB the keyed state (per-symbol EMA registers, per-user open
+  // sessions) must spill: the default HDFSBackedStateStoreProvider
+  // holds every key's state on-heap per executor, RocksDB keeps it
+  // off-heap/on-disk with incremental checkpointing. Both stateful
+  // pipelines must produce byte-identical output on either provider —
+  // the provider is an operational knob, not a semantics change.
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("sessionizeStream on RocksDBStateStoreProvider: same sessions, rocksdb metrics live") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[Ev]
+      val q = StreamPipelines.sessionizeStream(mem.toDS())
+        .writeStream.outputMode("append").format("memory").queryName("sess_rocks")
+        .start()
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1.0),
+        Ev(1, ts("2024-01-01 10:10:00"), 2.0),
+        Ev(1, ts("2024-01-01 11:30:00"), 4.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, ts("2024-01-01 20:00:00"), 0.0))
+      q.processAllAvailable()
+      // the state operator must actually be running on RocksDB
+      val metrics = q.lastProgress.stateOperators.head.customMetrics.keySet()
+      import scala.jdk.CollectionConverters._
+      assert(metrics.asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected rocksdb state metrics, got $metrics")
+      q.stop()
+      val sessions = spark.table("sess_rocks").filter(col("user_id") === 1)
+        .orderBy("session_start").collect()
+      assert(sessions.length === 2)
+      assert(sessions(0).getAs[Long]("n_events") === 2L)
+      assert(sessions(0).getAs[Double]("total_value") === 3.0)
+      assert(sessions(1).getAs[Long]("n_events") === 1L)
+    }
+  }
+
+  test("macdStream on RocksDBStateStoreProvider equals the batch recursion") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    withRocksDb {
+      val events = Tables.events(spark, sf())
+      val bars = graft.operators.Bars.ohlcv(events)
+        .select(col("symbol"), col("bar_ts"), col("close"))
+        .as[StreamPipelines.BarIn]
+        .collect().sortBy(b => (b.symbol, b.bar_ts.getTime))
+      val cut = bars.map(_.bar_ts.getTime).sorted.apply(bars.length / 2)
+      val (b1, b2) = bars.partition(_.bar_ts.getTime < cut)
+      val mem = MemoryStream[StreamPipelines.BarIn]
+      val q = StreamPipelines.macdStream(mem.toDS())
+        .writeStream.outputMode("append").format("memory").queryName("macd_rocks")
+        .start()
+      try {
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("macd_rocks").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      val exp = graft.operators.Ema.macdSequential(
+        graft.operators.Bars.ohlcv(events)).collect()
+      assert(exp.length === got.size && exp.length > 500)
+      def r4(x: Double) = math.round((x + 5e-9) * 1e4) / 1e4
+      exp.foreach { r =>
+        val (m, s, h) = got((r.getString(0), r.getTimestamp(1)))
+        assert(r4(m) === r.getDouble(2) && r4(s) === r.getDouble(3) &&
+          r4(h) === r.getDouble(4), s"${r.getString(0)} ${r.getTimestamp(1)}")
+      }
+    }
+  }
+
   test("stream-stream join attributes purchases to preceding clicks") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
