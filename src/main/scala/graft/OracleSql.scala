@@ -1085,15 +1085,36 @@ object OracleSql {
           '[0-9]{3,}', '<NUM>', 'g')) AS redacted_md5
       FROM documents ORDER BY doc_id""",
 
+    // Frame extraction: Spark recovers payload bounds + stride by
+    // PARSING the container header; the oracle predicts the same frames
+    // from the construction formulas (WAV stride = 32 sample blocks =
+    // 64·channels bytes with channels = 1+(doc_id/2)%2; BMP stride =
+    // one pixel row = 3·(16+doc_id%32) bytes). Text is ASCII (spec- and
+    // strlen=length-verified), so substr bytes == payload bytes and the
+    // per-frame md5/peak match bit-for-bit.
     "q_multimodal_frames" -> """
-      WITH t AS (SELECT doc_id, strlen(text)::BIGINT AS byte_len,
-        CASE WHEN strlen(text) % 3 = 2
-             THEN 1 + (ascii(substr(text, 1, 1)) % 8) ELSE 1 END::BIGINT AS n_frames
-       FROM documents)
-      SELECT doc_id, byte_len,
-        unnest(generate_series(1::BIGINT, n_frames)) AS frame_idx,
-        (byte_len * 31 + unnest(generate_series(1::BIGINT, n_frames)) * 7) % 1000 AS frame_feature
-      FROM t ORDER BY doc_id, frame_idx""",
+      WITH t AS (SELECT doc_id, text, strlen(text)::BIGINT AS len,
+        CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS fmt,
+        (CASE WHEN doc_id % 2 = 0 THEN 64 * (1 + (doc_id // 2) % 2)
+              ELSE 3 * (16 + doc_id % 32) END)::BIGINT AS stride
+       FROM documents),
+      f AS (SELECT doc_id, fmt, stride, len, text,
+        unnest(generate_series(1::BIGINT,
+          greatest(1, (len + stride - 1) // stride))) AS frame_idx
+       FROM t),
+      g AS (SELECT doc_id, fmt, frame_idx,
+        (frame_idx - 1) * stride AS frame_off,
+        least(stride, len - (frame_idx - 1) * stride) AS frame_len,
+        substr(text, ((frame_idx - 1) * stride + 1)::INT,
+          least(stride, len - (frame_idx - 1) * stride)::INT) AS ftxt
+       FROM f)
+      SELECT doc_id, fmt, frame_idx, frame_off, frame_len,
+        md5(ftxt) AS frame_md5,
+        (CASE WHEN frame_len > 0
+          THEN list_max(list_transform(generate_series(1, frame_len::INT),
+            p -> ascii(substr(ftxt, p, 1))))
+          ELSE 0 END)::BIGINT AS frame_peak
+      FROM g ORDER BY doc_id, frame_idx""",
 
     "q_stream_window" -> """
       SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start, event_type,

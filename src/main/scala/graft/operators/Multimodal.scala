@@ -120,21 +120,90 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: one row per decoded frame with a deterministic
-    * per-frame feature (a real decoder slots into the same shape — the
-    * explode keeps frames columnar and partition-local, no shuffle).
-    * Frame feature stub: first-byte rolling mix with the frame index. */
+  case class FrameOut(doc_id: Long, fmt: String, frame_idx: Long,
+      frame_off: Long, frame_len: Long, frame_md5: String, frame_peak: Long)
+
+  /** Frame extraction from container bytes alone — the per-frame
+    * analogue of [[parseMedia]]. The payload location AND the frame
+    * stride come exclusively from parsing the header:
+    *  - WAV: walk the RIFF chunk list to the `data` chunk (payload
+    *    bounds) and `fmt ` (block align); one frame = 32 sample blocks
+    *    = 32 · blockAlign payload bytes.
+    *  - BMP: pixel data starts at the parsed offset field (bytes
+    *    10-13); one frame = one pixel row = 3 · parsed-width bytes
+    *    (24 bpp, unpadded).
+    * Per frame: byte offset within the payload, byte length (the tail
+    * frame may be short), the md5 of exactly those payload bytes, and
+    * the peak unsigned byte — real per-frame content features a codec
+    * stage would consume, each independently recomputable by the
+    * oracle from the construction formulas while Spark recovers them
+    * ONLY from the bytes. Unknown magic → one whole-payload "unknown"
+    * frame (corrupt blobs must not kill the stage). */
+  private[graft] def parseFrames(id: Long, b: Array[Byte]): Seq[FrameOut] = {
+    def u16(off: Int): Long = ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toLong
+    def u32(off: Int): Long =
+      ((b(off) & 0xff).toLong | ((b(off + 1) & 0xff).toLong << 8) |
+        ((b(off + 2) & 0xff).toLong << 16) | ((b(off + 3) & 0xff).toLong << 24))
+    def tag(off: Int): String =
+      if (off + 4 <= b.length)
+        new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    // (fmt, payloadOff, payloadLen, stride) from the header walk
+    val (fmt, pOff, pLen, stride): (String, Long, Long, Long) =
+      if (tag(0) == "RIFF" && tag(8) == "WAVE") {
+        var off = 12L
+        var blockAlign = 0L; var dOff = 0L; var dLen = 0L
+        while (off + 8 <= b.length) {
+          val o = off.toInt
+          val sz = u32(o + 4)
+          tag(o) match {
+            case "fmt " if off + 24 <= b.length => blockAlign = u16(o + 20)
+            case "data" => dOff = off + 8; dLen = math.min(sz, b.length - dOff)
+            case _ =>
+          }
+          off += 8 + sz + (sz & 1)
+        }
+        ("wav", dOff, math.max(dLen, 0L),
+          32L * (if (blockAlign > 0) blockAlign else 2L))
+      } else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+        val off = u32(10) // parsed pixel-data offset
+        val width = u32(18)
+        ("bmp", off, math.max(b.length - off, 0L),
+          3L * (if (width > 0) width else 1L))
+      } else ("unknown", 0L, b.length.toLong, math.max(b.length.toLong, 1L))
+    val nFrames = math.max(1L, (pLen + stride - 1) / stride)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1L to nFrames).map { i =>
+      val fOff = (i - 1) * stride
+      val fLen = math.max(0L, math.min(stride, pLen - fOff))
+      val start = (pOff + fOff).toInt
+      md.reset()
+      md.update(b, start, fLen.toInt)
+      val hex = md.digest().map(x => f"$x%02x").mkString
+      var peak = 0L
+      var j = 0
+      while (j < fLen) { // peak unsigned byte in the frame
+        val v = (b(start + j) & 0xff).toLong
+        if (v > peak) peak = v
+        j += 1
+      }
+      FrameOut(id, fmt, i, fOff, fLen, hex, peak)
+    }
+  }
+
+  /** Frame sampling over the media corpus: wrap each document's bytes
+    * in its container (the storage stand-in), then recover one row per
+    * frame by PARSING — see [[parseFrames]]. mapPartitions streams
+    * rows and frames stay partition-local (no shuffle before the
+    * output sort); a real codec's frame loop slots in unchanged. */
   def sampleFrames(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val len = octet_length(col("text")).cast("long")
-    val frames = when(len % 3 === 2,
-      lit(1L) + pmod(ascii(substring(col("text"), 1, 1)).cast("long"), lit(8L)))
-      .otherwise(lit(1L))
-    docs.select(col("doc_id"), len.as("byte_len"), frames.as("n_frames"))
-      .select(col("doc_id"), col("byte_len"),
-        explode(sequence(lit(1L), col("n_frames"))).as("frame_idx"))
-      .withColumn("frame_feature",
-        pmod(col("byte_len") * 31 + col("frame_idx") * 7, lit(1000L)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val in: Dataset[MediaIn] = docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaIn]
+    in.mapPartitions(_.flatMap(r => parseFrames(r.doc_id, encodeMedia(r.doc_id, r.blob))))
+      .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 

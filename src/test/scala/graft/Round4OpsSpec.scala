@@ -339,6 +339,40 @@ class Round4OpsSpec extends SparkSpec {
     assert(Multimodal.parseMedia(1L, evil).duration_ms === 0L)
   }
 
+  test("parseFrames derives frames from PARSED payload bounds and header stride") {
+    import graft.operators.Multimodal
+    def md5hex(bs: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(bs)
+        .map(x => f"$x%02x").mkString
+    // doc_id 2 → WAV, channels = 2 (blockAlign 4) → stride 128; 300
+    // payload bytes → 3 frames, tail frame 44 bytes
+    val payload = Array.tabulate[Byte](300)(i => ((i * 7) % 251).toByte)
+    val frames = Multimodal.parseFrames(2L, Multimodal.encodeMedia(2L, payload))
+    assert(frames.map(_.fmt).distinct === Seq("wav"))
+    assert(frames.length === 3)
+    assert(frames.map(_.frame_len) === Seq(128L, 128L, 44L))
+    assert(frames(1).frame_md5 === md5hex(payload.slice(128, 256)))
+    assert(frames(2).frame_md5 === md5hex(payload.slice(256, 300)))
+    assert(frames(2).frame_peak === payload.slice(256, 300).map(_ & 0xff).max.toLong)
+    // stride must come from the WALKED fmt chunk, not a fixed offset:
+    // an extra LIST chunk between fmt and data must not shift anything
+    val wav = Multimodal.encodeMedia(2L, payload)
+    val (head, tail) = wav.splitAt(36)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    assert(Multimodal.parseFrames(2L, head ++ listChunk ++ tail) === frames)
+    // doc_id 33 → BMP width 17 → row stride 51; 300 bytes → 6 rows
+    val bmpFrames = Multimodal.parseFrames(33L, Multimodal.encodeMedia(33L, payload))
+    assert(bmpFrames.map(_.fmt).distinct === Seq("bmp"))
+    assert(bmpFrames.length === 6)
+    assert(bmpFrames.head.frame_len === 51L)
+    assert(bmpFrames.head.frame_md5 === md5hex(payload.slice(0, 51)))
+    assert(bmpFrames.last.frame_len === 300L - 5 * 51L)
+    // corrupt magic → one whole-payload unknown frame, never a throw
+    val u = Multimodal.parseFrames(9L, Array[Byte](1, 2, 3))
+    assert(u.length === 1 && u.head.fmt === "unknown" && u.head.frame_len === 3L)
+  }
+
   test("rfmSegments: quartile scores follow the planted metric order") {
     // 4 users with strictly increasing recency/frequency/monetary ->
     // each lands alone in its quartile, segment digits all equal
