@@ -2114,7 +2114,194 @@ object OracleSql {
     }
   )
 
-  private val merged: Map[String, String] = core ++ textOps ++ vectorOps
+  /** Second-wave indicators (IndicatorsExt) + temporal warehouse ops
+    * (Temporal). Devices mirrored from the Scala side: Aroon's BIGINT
+    * position encoding, CCI's seeded frame-list fold, the exact EMA
+    * recursion folds for Keltner/Heikin-Ashi, TWAP's integer cents×µs
+    * sums, and the incremental-merge recompute oracle. */
+  private val extOps: Map[String, String] = Map(
+    // rolling argmax/argmin positions via one windowed BIGINT max:
+    // cents*10^10 + rn (latest bar wins ties) — exact integer math
+    "q_aroon" -> s"""
+      WITH $barsCte, $rnCte,
+      k AS (SELECT symbol, bar_ts, "close", rn,
+              (max(CAST(floor(high * 100 + 0.5) AS BIGINT) * 10000000000 + rn)
+                ${wf("ROWS BETWEEN 24 PRECEDING AND CURRENT ROW")}) % 10000000000 AS hi_pos,
+              (max((100000000 - CAST(floor(low * 100 + 0.5) AS BIGINT)) * 10000000000 + rn)
+                ${wf("ROWS BETWEEN 24 PRECEDING AND CURRENT ROW")}) % 10000000000 AS lo_pos
+            FROM b)
+      SELECT symbol, bar_ts, "close",
+        CASE WHEN rn >= 25 THEN round(100.0::DOUBLE * (25 - (rn - hi_pos)) / 25 + 5e-9, 4) END AS aroon_up,
+        CASE WHEN rn >= 25 THEN round(100.0::DOUBLE * (25 - (rn - lo_pos)) / 25 + 5e-9, 4) END AS aroon_down,
+        CASE WHEN rn >= 25 THEN round(100.0::DOUBLE * (hi_pos - lo_pos) / 25 + 5e-9, 4) + 0.0 END AS aroon_osc
+      FROM k ORDER BY symbol, bar_ts""",
+
+    // MAD depends on the CURRENT row's frame mean (window-of-window):
+    // both engines fold the same 20-element frame list with a 0.0 seed
+    "q_cci" -> s"""
+      WITH $barsCte, $rnCte,
+      t AS (SELECT symbol, bar_ts, "close", rn,
+              CAST(high + low + "close" AS DECIMAL(18,6)) AS tp3 FROM b),
+      m AS (SELECT symbol, bar_ts, "close", rn, tp3,
+              sum(tp3) ${wf("ROWS BETWEEN 19 PRECEDING AND CURRENT ROW")}::DOUBLE / 60::DOUBLE AS sma_tp,
+              list(tp3::DOUBLE) ${wf("ROWS BETWEEN 19 PRECEDING AND CURRENT ROW")} AS tp_lst
+            FROM t),
+      d AS (SELECT symbol, bar_ts, "close", rn, tp3, sma_tp,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), tp_lst),
+                (acc, x) -> acc + abs(x / 3::DOUBLE - sma_tp)) / 20 AS mad
+            FROM m)
+      SELECT symbol, bar_ts, "close",
+        CASE WHEN rn >= 20 AND mad <> 0 THEN
+          round((tp3::DOUBLE / 3::DOUBLE - sma_tp) / (0.015::DOUBLE * mad) + 5e-9, 4) + 0.0
+        END AS cci
+      FROM d ORDER BY symbol, bar_ts""",
+
+    "q_cmf" -> s"""
+      WITH $barsCte, $rnCte,
+      f AS (SELECT symbol, bar_ts, "close", rn, volume,
+              (CASE WHEN high > low
+                 THEN (("close" - low) - (high - "close")) / (high - low)
+                 ELSE 0.0::DOUBLE END) * volume::DOUBLE AS mfv
+            FROM b)
+      SELECT symbol, bar_ts, "close",
+        CASE WHEN rn >= 21 THEN
+          round(sum(mfv) ${wf("ROWS BETWEEN 20 PRECEDING AND CURRENT ROW")}
+            / (sum(volume) ${wf("ROWS BETWEEN 20 PRECEDING AND CURRENT ROW")})::DOUBLE + 5e-9, 4) + 0.0
+        END AS cmf
+      FROM f ORDER BY symbol, bar_ts""",
+
+    "q_ultimate_osc" -> s"""
+      WITH $barsCte, $rnCte,
+      t AS (SELECT symbol, bar_ts, "close", high, low, rn,
+              lag("close", 1) ${wf("")} AS pc FROM b),
+      f AS (SELECT symbol, bar_ts, "close", rn,
+              CASE WHEN pc IS NULL THEN NULL ELSE "close" - least(low, pc) END AS bp,
+              CASE WHEN pc IS NULL THEN NULL ELSE greatest(high, pc) - least(low, pc) END AS tr
+            FROM t),
+      s AS (SELECT symbol, bar_ts, "close", rn,
+              sum(bp) ${wf("ROWS BETWEEN 6 PRECEDING AND CURRENT ROW")} AS b7,
+              sum(tr) ${wf("ROWS BETWEEN 6 PRECEDING AND CURRENT ROW")} AS t7,
+              sum(bp) ${wf("ROWS BETWEEN 13 PRECEDING AND CURRENT ROW")} AS b14,
+              sum(tr) ${wf("ROWS BETWEEN 13 PRECEDING AND CURRENT ROW")} AS t14,
+              sum(bp) ${wf("ROWS BETWEEN 27 PRECEDING AND CURRENT ROW")} AS b28,
+              sum(tr) ${wf("ROWS BETWEEN 27 PRECEDING AND CURRENT ROW")} AS t28
+            FROM f),
+      a AS (SELECT symbol, bar_ts, "close", rn,
+              CASE WHEN t7 > 0 THEN b7 / t7 END AS a7,
+              CASE WHEN t14 > 0 THEN b14 / t14 END AS a14,
+              CASE WHEN t28 > 0 THEN b28 / t28 END AS a28
+            FROM s)
+      SELECT symbol, bar_ts, "close",
+        CASE WHEN rn >= 29 THEN
+          round(100.0::DOUBLE * (4.0::DOUBLE * a7 + 2.0::DOUBLE * a14 + a28) / 7.0::DOUBLE + 5e-9, 4)
+        END AS uo
+      FROM a ORDER BY symbol, bar_ts""",
+
+    // EMA20 midline = the exact recursion (list fold seeds on the first
+    // element, matching Ema.emaSegmented's e_1 = x_1)
+    "q_keltner" -> s"""
+      WITH $barsCte, $rnCte,
+      tp AS (SELECT symbol, bar_ts, "close", high, low, rn,
+               (high + low + "close") / 3::DOUBLE AS tp FROM b),
+      w1 AS (SELECT symbol, bar_ts, "close", high, low, rn,
+               list(tp) ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS lst FROM tp),
+      e AS (SELECT symbol, bar_ts, "close", high, low, rn,
+              list_reduce(lst, (acc, x) -> x * (2::DOUBLE / 21::DOUBLE) + acc * (19::DOUBLE / 21::DOUBLE)) AS mid,
+              lag("close", 1) ${wf("")} AS pc
+            FROM w1),
+      tr AS (SELECT symbol, bar_ts, "close", rn, mid,
+               CASE WHEN pc IS NULL THEN NULL
+                    ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
+             FROM e),
+      a AS (SELECT symbol, bar_ts, "close", rn, mid,
+              CASE WHEN rn >= 11 THEN avg(tr) ${wf("ROWS BETWEEN 9 PRECEDING AND CURRENT ROW")} END AS atr10
+            FROM tr)
+      SELECT symbol, bar_ts, "close",
+        round(mid + 5e-9, 4) AS kc_mid,
+        CASE WHEN rn >= 11 THEN round(mid + 2.0::DOUBLE * atr10 + 5e-9, 4) END AS kc_upper,
+        CASE WHEN rn >= 11 THEN round(mid - 2.0::DOUBLE * atr10 + 5e-9, 4) END AS kc_lower
+      FROM a ORDER BY symbol, bar_ts""",
+
+    // ha_open recursion = EMA(α=0.5) over the LAGGED ha_close series,
+    // seeded (o_1+c_1)/2 — the same fold device as q_macd
+    "q_heikin_ashi" -> s"""
+      WITH $barsCte, $rnCte,
+      h1 AS (SELECT symbol, bar_ts, "open", high, low, "close", rn,
+               ("open" + high + low + "close") / 4::DOUBLE AS hc FROM b),
+      h2 AS (SELECT symbol, bar_ts, high, low, hc,
+               CASE WHEN rn = 1 THEN ("open" + "close") / 2::DOUBLE
+                    ELSE lag(hc, 1) ${wf("")} END AS x
+             FROM h1),
+      h3 AS (SELECT symbol, bar_ts, high, low, hc,
+               list(x) ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS lst FROM h2),
+      h4 AS (SELECT symbol, bar_ts, high, low, hc,
+               list_reduce(lst, (acc, x) -> x * 0.5::DOUBLE + acc * 0.5::DOUBLE) AS ha_open FROM h3)
+      SELECT symbol, bar_ts,
+        round(ha_open + 5e-9, 4) AS ha_open,
+        round(greatest(high, ha_open, hc) + 5e-9, 4) AS ha_high,
+        round(least(low, ha_open, hc) + 5e-9, 4) AS ha_low,
+        round(hc + 5e-9, 4) AS ha_close
+      FROM h4 ORDER BY symbol, bar_ts""",
+
+    // exact integer cents × µs — the one int→double conversion before
+    // the edge division is IEEE-exact-rounded identically in both engines
+    "q_twap" -> s"""
+      WITH t AS (
+        SELECT event_type AS symbol, CAST(ts AS DATE) AS day, ts, event_id,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS pc
+        FROM events),
+      d AS (
+        SELECT symbol, day, pc,
+          epoch_us(lead(ts, 1) OVER (PARTITION BY symbol, day ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+        FROM t)
+      SELECT symbol, day,
+        count(*) AS n_ticks,
+        CAST(sum(dur_us) AS BIGINT) AS dur_total,
+        CASE WHEN sum(dur_us) > 0 THEN
+          round(sum(pc * dur_us)::DOUBLE / sum(dur_us)::DOUBLE / 100::DOUBLE + 5e-9, 4)
+        END AS twap
+      FROM d GROUP BY symbol, day ORDER BY symbol, day""",
+
+    "q_scd2" -> s"""
+      WITH c AS (
+        SELECT user_id, ts, event_id, event_type,
+          lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      ch AS (SELECT user_id, ts, event_id, event_type FROM c
+             WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        event_type,
+        ts AS valid_from,
+        lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      FROM ch ORDER BY user_id, version""",
+
+    // sliding exact COUNT DISTINCT: the Spark side fans distinct
+    // (user, day) rows out to their ≤7 report days; the oracle states
+    // the same set directly as a range predicate
+    "q_active_users" -> s"""
+      WITH au AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      days AS (SELECT DISTINCT day FROM au)
+      SELECT d.day,
+        (SELECT count(DISTINCT a.user_id) FROM au a WHERE a.day = d.day) AS dau,
+        (SELECT count(DISTINCT a.user_id) FROM au a
+          WHERE a.day BETWEEN d.day - 6 AND d.day) AS wau7
+      FROM days d ORDER BY d.day""",
+
+    // the oracle RECOMPUTES from raw rows what the Spark side assembles
+    // by merging base/delta partial aggregates — the hash match is the
+    // proof that merge(partial, partial) ≡ recompute(full)
+    "q_incremental_merge" -> s"""
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        count(*) AS n_rows,
+        sum(CAST(value AS DECIMAL(18,2))) AS total,
+        min(value) AS vmin, max(value) AS vmax,
+        round(sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*)::DOUBLE + 5e-9, 4) AS vavg
+      FROM events GROUP BY 1, 2 ORDER BY event_type, day"""
+  )
+
+  private val merged: Map[String, String] = core ++ textOps ++ vectorOps ++ extOps
 
   // Segmented-device variants share the base query's SQL VERBATIM: the
   // seg contract is bit-equality with the per-symbol-window form, so a
@@ -2129,7 +2316,11 @@ object OracleSql {
     "q_momentum_seg" -> "q_momentum",
     "q_obv_seg" -> "q_obv",
     "q_vwap_seg" -> "q_vwap",
-    "q_drawdown_seg" -> "q_drawdown")
+    "q_drawdown_seg" -> "q_drawdown",
+    "q_aroon_seg" -> "q_aroon",
+    "q_cci_seg" -> "q_cci",
+    "q_cmf_seg" -> "q_cmf",
+    "q_ultimate_osc_seg" -> "q_ultimate_osc")
     .map { case (seg, base) => seg -> merged(base) }.toMap
 
   val all: Map[String, String] = merged ++ segAliases

@@ -73,6 +73,22 @@ object SparkEntry {
     "q_pivot_points" -> ((s, d) => Indicators.pivotPoints(bars(s, d))),
     "q_swing_points" -> ((s, d) => Indicators.swingPoints(bars(s, d))),
     "q_up_streaks" -> ((s, d) => Indicators.upStreaks(bars(s, d))),
+    // B-ext. second-wave indicators
+    "q_aroon" -> ((s, d) => IndicatorsExt.aroon(bars(s, d))),
+    "q_cci" -> ((s, d) => IndicatorsExt.cci(bars(s, d))),
+    "q_cmf" -> ((s, d) => IndicatorsExt.cmf(bars(s, d))),
+    "q_ultimate_osc" -> ((s, d) => IndicatorsExt.ultimateOsc(bars(s, d))),
+    "q_keltner" -> ((s, d) => IndicatorsExt.keltner(bars(s, d))),
+    "q_heikin_ashi" -> ((s, d) => IndicatorsExt.heikinAshi(bars(s, d))),
+    "q_aroon_seg" -> ((s, d) => SegmentedWindows.aroonSegmented(bars(s, d))),
+    "q_cci_seg" -> ((s, d) => SegmentedWindows.cciSegmented(bars(s, d))),
+    "q_cmf_seg" -> ((s, d) => SegmentedWindows.cmfSegmented(bars(s, d))),
+    "q_ultimate_osc_seg" -> ((s, d) => SegmentedWindows.ultimateOscSegmented(bars(s, d))),
+    // T. temporal / warehouse ops over the tick stream
+    "q_twap" -> ((s, d) => Temporal.twap(Tables.events(s, d))),
+    "q_scd2" -> ((s, d) => Temporal.scd2(Tables.events(s, d))),
+    "q_active_users" -> ((s, d) => Temporal.activeUsers(Tables.events(s, d))),
+    "q_incremental_merge" -> ((s, d) => Temporal.incrementalMerge(Tables.events(s, d))),
     // C. relational core
     "q1_agg" -> ((s, d) => Relational.q1(Tables.lineitem(s, d))),
     "q_join_agg" -> ((s, d) => Relational.joinAgg(Tables.orders(s, d),

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-wave technical indicators, extending the reference dashboard's
+  * suite (reference app/dashboard.py:84-145) with the standard indicators
+  * a user of a market-analytics engine expects next: Aroon, CCI, Chaikin
+  * Money Flow, Ultimate Oscillator, Keltner channels, and Heikin-Ashi
+  * candles. Same contract as [[Indicators]]: per-symbol windows over 5-min
+  * bars, row-bounded frames, divisions guarded, doubles rounded 4dp at the
+  * output edge only.
+  *
+  * Cross-engine parity devices used here (SURVEY.md §5):
+  *  - Aroon's rolling argmax/argmin positions are encoded into ONE BIGINT
+  *    (`price_cents * 10^10 + rn`) so the extremum position is a plain
+  *    windowed `max` — exact integer math in both engines, no arg_max
+  *    tie-break semantics to reconcile. Bound: 10^10 rows per symbol, 10^8
+  *    price cents — documented, far above any real series.
+  *  - CCI's mean absolute deviation depends on the CURRENT row's frame
+  *    mean, a window-of-window shape neither engine can nest; both sides
+  *    fold the same 20-element frame list sequentially (Spark `aggregate`
+  *    with a 0.0 seed ≡ DuckDB `list_reduce` over a 0.0-prepended list).
+  *  - Keltner's EMA20 midline and Heikin-Ashi's open recursion
+  *    (`ha_open' = (ha_open + ha_close)/2` = a linear recurrence with
+  *    α = 0.5) both run on [[Ema.emaSegmented]] — the distributed
+  *    prefix-scan scale path, bit-equal to the sequential recursion.
+  */
+object IndicatorsExt {
+
+  private val w = Window.partitionBy(col("symbol")).orderBy(col("bar_ts"))
+  private def wr(n: Int) = w.rowsBetween(-(n - 1), 0)
+  private val rn = row_number().over(w)
+
+  /** `floor(x*100 + 0.5)` — exact cents for 2-decimal prices; identical
+    * primitive ops in both engines (no round-half tie semantics). */
+  private def cents(c: Column): Column =
+    floor(c * lit(100) + lit(0.5)).cast("long")
+
+  private val PosBase = 10000000000L // 10^10: rn slot in the encoded key
+  private val CentCap = 100000000L   // 10^8 cents = prices < $1M
+
+  /** Aroon(25): % of the 25-bar window since the rolling high/low.
+    * `aroon_up = 100·(25 − bars_since_high)/25`, most-recent bar wins
+    * extremum ties (the conventional definition). Values are exact
+    * multiples of 4 — no float drift. */
+  def aroon(bars: DataFrame, n: Int = 25): DataFrame =
+    aroonCore(n)(bars, w, rn, Nil).orderBy(col("symbol"), col("bar_ts"))
+
+  /** [[aroon]]'s expression body — parameterized by (window spec, row
+    * number, passthrough cols) per the [[Indicators.rsiCore]] contract so
+    * `SegmentedWindows.rollingSegmented` can run it against bounded
+    * (symbol, chunk) partitions. The row number MUST be the exact global
+    * per-symbol index (it is, in both modes) — it enters the encoded
+    * extremum key, so positions stay correct across chunk boundaries.
+    * Dependency depth: n−1 preceding rows. */
+  private[operators] def aroonCore(n: Int)(df: DataFrame,
+      spec: org.apache.spark.sql.expressions.WindowSpec,
+      rnc: Column, keep: Seq[Column]): DataFrame = {
+    val fr = spec.rowsBetween(-(n - 1), 0)
+    val hiKey = cents(col("high")) * PosBase + col("rn")
+    val loKey = (lit(CentCap) - cents(col("low"))) * PosBase + col("rn")
+    df.select(Seq(col("symbol"), col("bar_ts"), col("close"), rnc.as("rn"),
+        col("high"), col("low")) ++ keep: _*)
+      .select(Seq(col("symbol"), col("bar_ts"), col("close"), col("rn"),
+        (max(hiKey).over(fr) % PosBase).as("hi_pos"),
+        (max(loKey).over(fr) % PosBase).as("lo_pos")) ++ keep: _*)
+      .select(Seq(col("symbol"), col("bar_ts"), col("close"),
+        when(col("rn") >= n,
+          round(lit(100.0) * (lit(n) - (col("rn") - col("hi_pos"))) / n + lit(5e-9), 4))
+          .as("aroon_up"),
+        when(col("rn") >= n,
+          round(lit(100.0) * (lit(n) - (col("rn") - col("lo_pos"))) / n + lit(5e-9), 4))
+          .as("aroon_down"),
+        when(col("rn") >= n,
+          round(lit(100.0) * (col("hi_pos") - col("lo_pos")) / n + lit(5e-9), 4) + lit(0.0))
+          .as("aroon_osc")) ++ keep: _*)
+  }
+
+  /** CCI(20) over the typical price: `(tp − SMA(tp)) / (0.015·MAD)`.
+    * tp is carried as the exact DECIMAL `tp3 = h+l+c` (the /3 folds into
+    * the divisors, the MFI device); the frame mean divides once at the
+    * edge and the mean-absolute-deviation folds the frame list in frame
+    * order on both engines. */
+  def cci(bars: DataFrame, n: Int = 20): DataFrame =
+    cciCore(n)(bars, w, rn, Nil).orderBy(col("symbol"), col("bar_ts"))
+
+  /** [[cci]]'s expression body — see [[aroonCore]] for the
+    * parameterization contract. Dependency depth: n−1 preceding rows. */
+  private[operators] def cciCore(n: Int)(df: DataFrame,
+      spec: org.apache.spark.sql.expressions.WindowSpec,
+      rnc: Column, keep: Seq[Column]): DataFrame = {
+    val fr = spec.rowsBetween(-(n - 1), 0)
+    val tp3 = (col("high") + col("low") + col("close")).cast("decimal(18,6)")
+    df.select(Seq(col("symbol"), col("bar_ts"), col("close"), rnc.as("rn"),
+        tp3.as("tp3")) ++ keep: _*)
+      .select(Seq(col("symbol"), col("bar_ts"), col("close"), col("rn"), col("tp3"),
+        (sum(col("tp3")).over(fr).cast("double") / lit(3.0 * n)).as("sma_tp"),
+        collect_list(col("tp3").cast("double")).over(fr).as("tp_lst")) ++ keep: _*)
+      .select(Seq(col("symbol"), col("bar_ts"), col("close"), col("rn"),
+        col("tp3"), col("sma_tp"),
+        (aggregate(col("tp_lst"), lit(0.0),
+          (acc, x) => acc + abs(x / lit(3.0) - col("sma_tp"))) / n).as("mad")) ++ keep: _*)
+      .select(Seq(col("symbol"), col("bar_ts"), col("close"),
+        when(col("rn") >= n && col("mad") =!= 0.0,
+          round((col("tp3").cast("double") / lit(3.0) - col("sma_tp"))
+            / (lit(0.015) * col("mad")) + lit(5e-9), 4) + lit(0.0))
+          .as("cci")) ++ keep: _*)
+  }
+
+  /** Chaikin Money Flow(21): Σ(money-flow volume)/Σ(volume) over 21 bars.
+    * The money-flow multiplier `((c−l)−(h−c))/(h−l)` is zero on flat bars
+    * (h = l), per the standard convention. */
+  def cmf(bars: DataFrame, n: Int = 21): DataFrame =
+    cmfCore(n)(bars, w, rn, Nil).orderBy(col("symbol"), col("bar_ts"))
+
+  /** [[cmf]]'s expression body — see [[aroonCore]] for the
+    * parameterization contract. Dependency depth: n−1 preceding rows. */
+  private[operators] def cmfCore(n: Int)(df: DataFrame,
+      spec: org.apache.spark.sql.expressions.WindowSpec,
+      rnc: Column, keep: Seq[Column]): DataFrame = {
+    val fr = spec.rowsBetween(-(n - 1), 0)
+    val mfm = when(col("high") > col("low"),
+      ((col("close") - col("low")) - (col("high") - col("close")))
+        / (col("high") - col("low"))).otherwise(lit(0.0))
+    df.select(Seq(col("symbol"), col("bar_ts"), col("close"), rnc.as("rn"),
+        (mfm * col("volume").cast("double")).as("mfv"), col("volume")) ++ keep: _*)
+      .select(Seq(col("symbol"), col("bar_ts"), col("close"),
+        when(col("rn") >= n,
+          round(sum(col("mfv")).over(fr)
+            / sum(col("volume")).over(fr).cast("double") + lit(5e-9), 4) + lit(0.0))
+          .as("cmf")) ++ keep: _*)
+  }
+
+  /** Ultimate Oscillator(7,14,28): weighted blend of buying-pressure /
+    * true-range ratios at three horizons. The first bar has no previous
+    * close, so BP/TR are null there and the gate opens once 28 non-null
+    * rows exist (rn ≥ 29), mirroring the ATR warmup convention. */
+  def ultimateOsc(bars: DataFrame): DataFrame =
+    uoCore(bars, w, rn, Nil).orderBy(col("symbol"), col("bar_ts"))
+
+  /** [[ultimateOsc]]'s expression body — see [[aroonCore]] for the
+    * parameterization contract. Dependency depth: 28 preceding rows
+    * (a 28-row TR frame whose oldest TR lags one more close). */
+  private[operators] def uoCore(df: DataFrame,
+      spec: org.apache.spark.sql.expressions.WindowSpec,
+      rnc: Column, keep: Seq[Column]): DataFrame = {
+    val prevClose = lag(col("close"), 1).over(spec)
+    val bp = when(prevClose.isNull, lit(null))
+      .otherwise(col("close") - least(col("low"), prevClose))
+    val tr = when(prevClose.isNull, lit(null))
+      .otherwise(greatest(col("high"), prevClose) - least(col("low"), prevClose))
+    def ratio(n: Int): Column = {
+      val fr = spec.rowsBetween(-(n - 1), 0)
+      val st = sum(col("tr")).over(fr)
+      when(st > 0, sum(col("bp")).over(fr) / st)
+    }
+    df.select(Seq(col("symbol"), col("bar_ts"), col("close"), rnc.as("rn"),
+        bp.as("bp"), tr.as("tr")) ++ keep: _*)
+      .select(Seq(col("symbol"), col("bar_ts"), col("close"), col("rn"),
+        ratio(7).as("a7"), ratio(14).as("a14"), ratio(28).as("a28")) ++ keep: _*)
+      .select(Seq(col("symbol"), col("bar_ts"), col("close"),
+        when(col("rn") >= 29,
+          round(lit(100.0) * (lit(4.0) * col("a7") + lit(2.0) * col("a14") + col("a28"))
+            / lit(7.0) + lit(5e-9), 4))
+          .as("uo")) ++ keep: _*)
+  }
+
+  /** Keltner channels: EMA20 of the typical price ± 2·ATR(10). The EMA
+    * midline runs on the segmented prefix-scan device ([[Ema.emaSegmented]]
+    * — no per-symbol single-task recursion), the ATR band is a bounded
+    * 10-row frame, and the two derivations meet in one (symbol, bar_ts)
+    * equi-join. */
+  def keltner(bars: DataFrame): DataFrame = {
+    // typical price series renamed to `close` for the EMA device's
+    // (symbol, bar_ts, close) input contract
+    val mid = Ema.emaSegmented(
+      bars.select(col("symbol"), col("bar_ts"),
+        ((col("high") + col("low") + col("close")) / lit(3.0)).as("close")), 20)
+      .select(col("symbol").as("m_symbol"), col("bar_ts").as("m_ts"),
+        col("ema"))
+    val prevClose = lag(col("close"), 1).over(w)
+    val trRaw = when(prevClose.isNull, lit(null)).otherwise(
+      greatest(col("high") - col("low"),
+        abs(col("high") - prevClose), abs(col("low") - prevClose)))
+    val atrSide = bars
+      .select(col("symbol"), col("bar_ts"), col("close"), rn.as("rn"), trRaw.as("tr"))
+      .select(col("symbol"), col("bar_ts"), col("close"), col("rn"),
+        when(col("rn") >= 11, avg(col("tr")).over(wr(10))).as("atr10"))
+    atrSide.join(mid,
+        atrSide("symbol") === mid("m_symbol") && atrSide("bar_ts") === mid("m_ts"))
+      .select(col("symbol"), col("bar_ts"), col("close"),
+        round(col("ema") + lit(5e-9), 4).as("kc_mid"),
+        when(col("rn") >= 11, round(col("ema") + lit(2.0) * col("atr10") + lit(5e-9), 4)).as("kc_upper"),
+        when(col("rn") >= 11, round(col("ema") - lit(2.0) * col("atr10") + lit(5e-9), 4)).as("kc_lower"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Heikin-Ashi candles. `ha_close = (o+h+l+c)/4` is per-row; the
+    * recursive `ha_open_t = (ha_open_{t-1} + ha_close_{t-1})/2` is a
+    * linear recurrence with α = 0.5 over the LAGGED ha_close series
+    * (seeded `(o_1+c_1)/2`), i.e. exactly [[Ema.emaSegmented]] with
+    * span 3 (α = 2/(3+1) = 0.5) over the shifted series — the recursion
+    * distributes across (symbol, chunk) tasks instead of one sequential
+    * pass per symbol. */
+  def heikinAshi(bars: DataFrame): DataFrame = {
+    val hc = (col("open") + col("high") + col("low") + col("close")) / lit(4.0)
+    val shifted = bars
+      .select(col("symbol"), col("bar_ts"), col("open"), col("close"),
+        hc.as("hc"), rn.as("rn"))
+      .select(col("symbol"), col("bar_ts"),
+        when(col("rn") === 1, (col("open") + col("close")) / lit(2.0))
+          .otherwise(lag(col("hc"), 1).over(w)).as("close"))
+    val haOpen = Ema.emaSegmented(shifted, 3)
+      .select(col("symbol").as("o_symbol"), col("bar_ts").as("o_ts"),
+        col("ema").as("ha_open_raw"))
+    val base = bars.select(col("symbol"), col("bar_ts"), col("high"),
+      col("low"), hc.as("ha_close_raw"))
+    base.join(haOpen,
+        base("symbol") === haOpen("o_symbol") && base("bar_ts") === haOpen("o_ts"))
+      .select(col("symbol"), col("bar_ts"),
+        round(col("ha_open_raw") + lit(5e-9), 4).as("ha_open"),
+        round(greatest(col("high"), col("ha_open_raw"), col("ha_close_raw")) + lit(5e-9), 4).as("ha_high"),
+        round(least(col("low"), col("ha_open_raw"), col("ha_close_raw")) + lit(5e-9), 4).as("ha_low"),
+        round(col("ha_close_raw") + lit(5e-9), 4).as("ha_close"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+}

@@ -205,6 +205,36 @@ object SegmentedWindows {
     rollingSegmented(bars, Seq("symbol", "bar_ts", "close"), lookback = 10,
       chunkRows)(Indicators.momentumCore)
 
+  /** Aroon(25) with bounded window tasks — contract of
+    * [[IndicatorsExt.aroon]]. The core keys its encoded extremum
+    * positions on the exact global row index, so positions survive
+    * chunk boundaries bit-exactly. */
+  def aroonSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame =
+    rollingSegmented(bars, Seq("symbol", "bar_ts", "high", "low", "close"),
+      lookback = 24, chunkRows)(IndicatorsExt.aroonCore(25))
+
+  /** CCI(20) with bounded window tasks — contract of
+    * [[IndicatorsExt.cci]]. Demonstrates the device on a LIST-FOLD frame
+    * (collect_list + aggregate): carry rows complete the frame lists of
+    * head-of-chunk rows just like plain aggregates. */
+  def cciSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame =
+    rollingSegmented(bars, Seq("symbol", "bar_ts", "high", "low", "close"),
+      lookback = 19, chunkRows)(IndicatorsExt.cciCore(20))
+
+  /** Chaikin Money Flow(21) with bounded window tasks — contract of
+    * [[IndicatorsExt.cmf]]. */
+  def cmfSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame =
+    rollingSegmented(bars,
+      Seq("symbol", "bar_ts", "high", "low", "close", "volume"),
+      lookback = 20, chunkRows)(IndicatorsExt.cmfCore(21))
+
+  /** Ultimate Oscillator(7,14,28) with bounded window tasks — contract
+    * of [[IndicatorsExt.ultimateOsc]]. Lookback 28: the 28-row TR frame's
+    * oldest element lags one more close. */
+  def ultimateOscSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame =
+    rollingSegmented(bars, Seq("symbol", "bar_ts", "high", "low", "close"),
+      lookback = 28, chunkRows)(IndicatorsExt.uoCore)
+
   /** Bollinger bands with bounded window tasks — same output contract as
     * [[Indicators.bollinger]] (oracle-gated against the identical SQL).
     * Demonstrates the device on a VARIANCE frame: stddev_samp is not a
