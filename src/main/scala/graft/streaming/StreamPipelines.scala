@@ -41,6 +41,34 @@ object StreamPipelines {
         lit("{}").as("props"))
   }
 
+  /** Tick→5-min OHLCV bars as ONE plan for batch and stream — the
+    * reference's actual ingestion shape (5-min bars per symbol,
+    * reference src/ingestion/stocks_pipeline.py:138-175) computed
+    * stream-natively. The 5-minute event-time window starts are
+    * epoch-aligned, exactly [[graft.operators.Bars.ohlcv]]'s integer
+    * bucket floor, so the streaming bars are cell-identical to the
+    * batch resample (spec-proven); open/close come from min_by/max_by
+    * on the tick timestamp, which are streaming-safe declarative
+    * aggregates (partial state = one (value, ts) pair per bar). */
+  def barsOhlcv(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes").as("win"),
+        col("event_type").as("symbol"))
+      .agg(min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("volume"),
+        sum(col("value")).as("vsum"))
+      .select(col("symbol"), col("win.start").as("bar_ts"), col("open"),
+        col("high"), col("low"), col("close"), col("volume"), col("vsum"))
+
+  /** Streaming variant of [[barsOhlcv]] with a watermark: bar state
+    * expires 30 minutes after its window closes — bounded keyed state
+    * at any stream length. */
+  def barsOhlcvStream(events: DataFrame): DataFrame =
+    barsOhlcv(events.withWatermark("ts", "30 minutes"))
+
   /** Tumbling 10-min window aggregate per symbol; identical semantics in
     * batch and streaming (the `queries` entry runs it in batch). */
   def windowedAgg(events: DataFrame): DataFrame =

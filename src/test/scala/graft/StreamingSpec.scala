@@ -498,4 +498,45 @@ class StreamingSpec extends SparkSpec {
     // only the on-time event counts; the late 99.0 never appears anywhere
     assert(aRows.toSeq === Seq(("2024-01-01 10:00:00.0", 1L, 10.0)))
   }
+
+  test("streaming tick->OHLCV bars equal the batch Bars.ohlcv resample") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // two 5-min bars for A (out-of-order ticks inside a bar), one for B
+    val rows = Seq(
+      RawEv(1, ts("2024-01-01 10:01:00"), 1, "A", 12.0),
+      RawEv(2, ts("2024-01-01 10:00:30"), 1, "A", 10.0), // earliest → open
+      RawEv(3, ts("2024-01-01 10:04:00"), 1, "A", 11.0), // latest → close
+      RawEv(4, ts("2024-01-01 10:07:00"), 1, "A", 20.0),
+      RawEv(5, ts("2024-01-01 10:02:00"), 2, "B", 5.0))
+    val mem = MemoryStream[RawEv]
+    val q = StreamPipelines.barsOhlcvStream(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("bars_out")
+      .start()
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*) // second micro-batch: state merges
+    q.processAllAvailable()
+    mem.addData(RawEv(99, ts("2024-01-01 12:00:00"), 9, "Z", 1.0))
+    q.processAllAvailable()
+    mem.addData(RawEv(100, ts("2024-01-01 13:00:00"), 9, "Z", 1.0))
+    q.processAllAvailable(); q.stop()
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("symbol").isin("A", "B"))
+      .orderBy("symbol", "bar_ts")
+      .collect().map(r => (r.getAs[String]("symbol"),
+        r.getAs[Timestamp]("bar_ts").toString, r.getAs[Double]("open"),
+        r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("volume")))
+    val streamed = shape(spark.table("bars_out"))
+    // the streaming window starts must equal the batch integer bucket
+    // floor — same rows through graft.operators.Bars.ohlcv
+    val batchRef = shape(graft.operators.Bars.ohlcv(rows.toDF())
+      .withColumnRenamed("bar_ts", "bar_ts"))
+    assert(streamed.toSeq === batchRef.toSeq)
+    assert(streamed.toSeq === Seq(
+      ("A", "2024-01-01 10:00:00.0", 10.0, 12.0, 10.0, 11.0, 3L),
+      ("A", "2024-01-01 10:05:00.0", 20.0, 20.0, 20.0, 20.0, 1L),
+      ("B", "2024-01-01 10:00:00.0", 5.0, 5.0, 5.0, 5.0, 1L)))
+  }
 }
