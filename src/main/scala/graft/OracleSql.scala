@@ -1812,6 +1812,91 @@ object OracleSql {
       JOIN customer ON o_custkey = c_custkey
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
 
+    // TPC-H Q17 shape: correlated avg-quantity subquery, decorrelated.
+    // The 0.5*avg threshold is cross-multiplied (2*qty*cnt < sum) so the
+    // boundary never touches decimal-division rounding.
+    "q_small_qty_orders" -> """
+      WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23'),
+      avgq AS (
+        SELECT l_partkey AS a_partkey,
+          sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty_sum,
+          count(*)::BIGINT AS cnt
+        FROM li GROUP BY 1)
+      SELECT l_partkey, count(*)::BIGINT AS n_small,
+        round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)::DOUBLE AS small_revenue,
+        round(any_value(qty_sum)::DOUBLE / any_value(cnt)::DOUBLE + 5e-9, 4) AS avg_qty
+      FROM li JOIN avgq ON l_partkey = a_partkey
+      WHERE CAST(l_quantity AS BIGINT) * 2 * cnt < qty_sum
+      GROUP BY l_partkey ORDER BY l_partkey""",
+
+    // TPC-H Q11 shape: global-total scalar subquery as a single-row
+    // cross join; exact-DECIMAL threshold (rev*10000 > tot*2 ⟺ 0.02%)
+    "q_revenue_share" -> """
+      WITH pr AS (
+        SELECT l_partkey,
+          sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,6))) AS rev_exact
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT sum(rev_exact) AS tot_exact FROM pr)
+      SELECT l_partkey, round(rev_exact, 2)::DOUBLE AS revenue,
+        round(rev_exact::DOUBLE / tot_exact::DOUBLE * 100 + 5e-9, 4) AS pct_of_total
+      FROM pr, t WHERE rev_exact::DOUBLE / tot_exact::DOUBLE > (2::DOUBLE / 10000::DOUBLE)
+      ORDER BY l_partkey""",
+
+    // TPC-H Q14 shape: conditional-aggregate promo share per ship month
+    "q_promo_share" -> """
+      SELECT date_trunc('month', l_shipdate) AS ship_month,
+        round(sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,6))
+            ELSE CAST(0 AS DECIMAL(18,6)) END), 2)::DOUBLE AS promo_revenue,
+        round(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS total_revenue,
+        round(sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,6))
+            ELSE CAST(0 AS DECIMAL(18,6)) END)::DOUBLE
+          / sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,6)))::DOUBLE
+          * 100 + 5e-9, 4) AS promo_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY 1""",
+
+    // TPC-H Q15 shape: per-supplier revenue view + scalar max; ties at
+    // the exact-DECIMAL maximum are real rows
+    "q_top_supplier" -> """
+      WITH ps AS (
+        SELECT l_suppkey,
+          sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,6))) AS rev_exact
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1),
+      m AS (SELECT max(rev_exact) AS max_exact FROM ps)
+      SELECT s_suppkey, s_name, round(rev_exact, 2)::DOUBLE AS total_revenue
+      FROM ps
+      JOIN supplier ON l_suppkey = s_suppkey
+      CROSS JOIN m
+      WHERE rev_exact = max_exact
+      ORDER BY s_suppkey""",
+
+    // TPC-H Q10 shape: top-20 customers by returned revenue in a quarter
+    "q_returned_losses" -> """
+      WITH r AS (
+        SELECT c_custkey, c_name, n_name,
+          sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,6))) AS rev_exact,
+          count(*)::BIGINT AS n_returns
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY rev_exact DESC, c_custkey LIMIT 20)
+      SELECT c_custkey, c_name, n_name,
+        round(rev_exact, 2)::DOUBLE AS returned_revenue, n_returns
+      FROM r ORDER BY returned_revenue DESC, c_custkey""",
+
     // integer-tf keyword search; top-k selected on (score DESC, doc_id)
     "q_keyword_search" -> """
       WITH t AS (SELECT doc_id,

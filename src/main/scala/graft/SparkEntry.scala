@@ -110,6 +110,17 @@ object SparkEntry {
       Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_large_orders" -> ((s, d) => Relational.largeOrderCustomers(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    // C-ext. correlated-subquery decorrelation shapes
+    "q_small_qty_orders" -> ((s, d) => Relational.smallQtyOrders(
+      Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_revenue_share" -> ((s, d) => Relational.revenueShareParts(Tables.lineitem(s, d))),
+    "q_promo_share" -> ((s, d) => Relational.promoShare(
+      Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_top_supplier" -> ((s, d) => Relational.topSupplier(
+      Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q_returned_losses" -> ((s, d) => Relational.returnedLosses(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.nation(s, d))),
     "q_skyline" -> ((s, d) => Relational.skylineParts(Tables.part(s, d))),
     "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(Tables.documents(s, d))),
     "q_incremental_ingest" -> ((s, d) => {

@@ -672,4 +672,146 @@ object Relational {
           + lit(5e-9), 4).as("retention_pct"))
       .orderBy(col("cohort_date"), col("day_offset"))
   }
+
+  // ---- correlated-subquery decorrelation shapes (TPC-H Q17/Q11/Q14/Q15/Q10)
+
+  /** TPC-H Q17 shape — small-quantity order revenue: per part of one
+    * brand, the lineitems whose quantity falls below half that part's
+    * average quantity. The classic correlated scalar subquery
+    * (`l_quantity < 0.5 * (SELECT avg(qty) WHERE same part)`) is
+    * DECORRELATED by hand the way Catalyst would: semi-reduce lineitem
+    * to the brand's parts FIRST (the filtered part side is
+    * dictionary-sized and broadcasts), compute each surviving part's
+    * average once (map-side partial agg), and rejoin — the per-part
+    * average is computed over exactly the rows that need it, never over
+    * the full table. Quantities are integral in TPC-H, so the DECIMAL
+    * average and the 0.5 threshold are order-independent and the
+    * boundary comparison is engine-deterministic. */
+  def smallQtyOrders(lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#23"): DataFrame = {
+    val bparts = part.filter(col("p_brand") === brand).select(col("p_partkey"))
+    val li = lineitem.join(broadcast(bparts), col("l_partkey") === col("p_partkey"))
+    // The threshold `qty < 0.5 * (sum/cnt)` is cross-multiplied to
+    // `2*qty*cnt < sum` — all-integer DECIMAL operands, so the boundary
+    // never depends on either engine's decimal-division rounding rules.
+    val avgq = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty_sum"),
+        count(lit(1)).as("cnt"))
+    li.join(broadcast(avgq), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity").cast("long") * lit(2L) * col("cnt") <
+        col("qty_sum"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("small_revenue"),
+        round(first(col("qty_sum")).cast("double") /
+          first(col("cnt")).cast("double") + lit(5e-9), 4).as("avg_qty"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** TPC-H Q11 shape — revenue-share screen: parts whose discounted
+    * revenue exceeds a fixed fraction of TOTAL revenue. The scalar
+    * subquery (`HAVING sum(rev) > f * (SELECT sum(rev) FROM ...)`)
+    * decorrelates into one global aggregate broadcast as a single-row
+    * cross join against the per-part aggregate — both sides partial-
+    * aggregate map-side, and the exact-DECIMAL threshold comparison is
+    * engine-deterministic (no double drift at the cut). */
+  def revenueShareParts(lineitem: DataFrame,
+      shareBp: Int = 2): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    val perPart = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(rev).as("rev_exact"))
+    val total = perPart.agg(sum(col("rev_exact")).as("tot_exact"))
+    // shareBp is basis points ×10⁻¹: 2 → 0.02% of total revenue. The
+    // threshold compares DOUBLE casts of the two exact decimals — both
+    // engines round the identical exact values to the identical doubles,
+    // so the cut is reproducible (decimal×decimal here would blow past
+    // precision 38 and fall into engine-specific widening instead).
+    perPart.crossJoin(broadcast(total))
+      .filter(col("rev_exact").cast("double") / col("tot_exact").cast("double")
+        > lit(shareBp.toDouble / 10000.0))
+      .select(col("l_partkey"),
+        round(col("rev_exact"), 2).cast("double").as("revenue"),
+        round((col("rev_exact").cast("double") / col("tot_exact").cast("double"))
+          * 100 + lit(5e-9), 4).as("pct_of_total"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** TPC-H Q14 shape — promo revenue share per ship month: a
+    * conditional aggregate ratio over the lineitem⋈part join, reported
+    * as a monthly time series instead of Q14's single month. Only
+    * (partkey, type) survives projection pruning on the part side; both
+    * sums are exact DECIMAL so the share divides two order-independent
+    * operands. */
+  def promoShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    lineitem
+      .join(part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,6)")))
+          .as("promo_exact"),
+        sum(rev).as("total_exact"))
+      .select(col("ship_month"),
+        round(col("promo_exact"), 2).cast("double").as("promo_revenue"),
+        round(col("total_exact"), 2).cast("double").as("total_revenue"),
+        round(col("promo_exact").cast("double") / col("total_exact").cast("double")
+          * 100 + lit(5e-9), 4).as("promo_pct"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** TPC-H Q15 shape — top supplier(s): revenue per supplier over one
+    * ship quarter, returning every supplier tied at the maximum. The
+    * view + scalar-max subquery decorrelates into a per-supplier
+    * aggregate, a single-row max broadcast back over it (exact DECIMAL
+    * equality — ties are real rows, not an ORDER BY razor), and a
+    * broadcast supplier-name join. */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+      from: String = "1996-01-01 00:00:00",
+      until: String = "1996-04-01 00:00:00"): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    val perSupp = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(rev).as("rev_exact"))
+    val best = perSupp.agg(max(col("rev_exact")).as("max_exact"))
+    perSupp.crossJoin(broadcast(best))
+      .filter(col("rev_exact") === col("max_exact"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_exact"), 2).cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q10 shape — returned-item losses: top-k customers by revenue
+    * of lineitems returned against one order quarter. Both date and
+    * returnflag filters reach their scans; nation broadcasts; the top-k
+    * is a TakeOrdered on (exact revenue DESC, custkey) — no global
+    * sort. */
+  def returnedLosses(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame,
+      from: String = "1996-10-01 00:00:00",
+      until: String = "1997-01-01 00:00:00", k: Int = 20): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(rev).as("rev_exact"), count(lit(1)).as("n_returns"))
+      .orderBy(col("rev_exact").desc, col("c_custkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("rev_exact"), 2).cast("double").as("returned_revenue"),
+        col("n_returns"))
+      .orderBy(col("returned_revenue").desc, col("c_custkey"))
+  }
 }
