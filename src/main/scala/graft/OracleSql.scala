@@ -2383,7 +2383,123 @@ object OracleSql {
         sum(CAST(value AS DECIMAL(18,2))) AS total,
         min(value) AS vmin, max(value) AS vmax,
         round(sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*)::DOUBLE + 5e-9, 4) AS vavg
-      FROM events GROUP BY 1, 2 ORDER BY event_type, day"""
+      FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // ADX(14): Wilder rma(α=1/14) = ewm(adjust=False) seeded at the
+    // first value — the same list_reduce fold device as q_macd, run over
+    // TR/+DM/−DM and then once more over DX. β is written literally as
+    // (1 - 1/14) to match the Spark side's `1.0 - alpha` double.
+    "q_adx" -> {
+      val A = "(1::DOUBLE / 14::DOUBLE)"
+      val B = "(1::DOUBLE - 1::DOUBLE / 14::DOUBLE)"
+      val run = wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+      s"""
+      WITH $barsCte,
+      l AS (SELECT symbol, bar_ts, high, low,
+              lag("close", 1) ${wf("")} AS p_close,
+              lag(high, 1) ${wf("")} AS p_high,
+              lag(low, 1) ${wf("")} AS p_low
+            FROM bars),
+      d AS (SELECT symbol, bar_ts,
+              CASE WHEN p_close IS NULL THEN high - low
+                   ELSE greatest(high - low, abs(high - p_close), abs(low - p_close)) END AS tr,
+              CASE WHEN p_high IS NULL THEN 0.0::DOUBLE
+                   WHEN (high - p_high) > (p_low - low) AND (high - p_high) > 0 THEN high - p_high
+                   ELSE 0.0::DOUBLE END AS pdm,
+              CASE WHEN p_low IS NULL THEN 0.0::DOUBLE
+                   WHEN (p_low - low) > (high - p_high) AND (p_low - low) > 0 THEN p_low - low
+                   ELSE 0.0::DOUBLE END AS mdm
+            FROM l),
+      sm AS (SELECT symbol, bar_ts,
+               list_reduce(list(tr) $run, (acc, x) -> x * $A + acc * $B) AS str,
+               list_reduce(list(pdm) $run, (acc, x) -> x * $A + acc * $B) AS spdm,
+               list_reduce(list(mdm) $run, (acc, x) -> x * $A + acc * $B) AS smdm
+             FROM d),
+      di AS (SELECT symbol, bar_ts,
+               CASE WHEN str > 0 THEN 100.0::DOUBLE * spdm / str ELSE 0.0::DOUBLE END AS di_plus,
+               CASE WHEN str > 0 THEN 100.0::DOUBLE * smdm / str ELSE 0.0::DOUBLE END AS di_minus
+             FROM sm),
+      x AS (SELECT symbol, bar_ts, di_plus, di_minus,
+              CASE WHEN di_plus + di_minus > 0
+                THEN 100.0::DOUBLE * abs(di_plus - di_minus) / (di_plus + di_minus)
+                ELSE 0.0::DOUBLE END AS dx
+            FROM di),
+      a AS (SELECT symbol, bar_ts, di_plus, di_minus, dx,
+              list_reduce(list(dx) $run, (acc, x) -> x * $A + acc * $B) AS adx
+            FROM x)
+      SELECT symbol, bar_ts,
+        round(di_plus + 5e-9, 4) + 0.0 AS di_plus,
+        round(di_minus + 5e-9, 4) + 0.0 AS di_minus,
+        round(dx + 5e-9, 4) + 0.0 AS dx,
+        round(adx + 5e-9, 4) + 0.0 AS adx
+      FROM a ORDER BY symbol, bar_ts"""
+    },
+
+    // TRIX(15): three chained EMA folds, then a 1-bar ROC
+    "q_trix" -> {
+      val A = "(2::DOUBLE / 16::DOUBLE)"
+      val B = "(1::DOUBLE - 2::DOUBLE / 16::DOUBLE)"
+      val run = wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+      s"""
+      WITH $barsCte,
+      w1 AS (SELECT symbol, bar_ts, list("close") $run AS l1 FROM bars),
+      e1 AS (SELECT symbol, bar_ts, list_reduce(l1, (acc, x) -> x * $A + acc * $B) AS v FROM w1),
+      w2 AS (SELECT symbol, bar_ts, list(v) $run AS l2 FROM e1),
+      e2 AS (SELECT symbol, bar_ts, list_reduce(l2, (acc, x) -> x * $A + acc * $B) AS v FROM w2),
+      w3 AS (SELECT symbol, bar_ts, list(v) $run AS l3 FROM e2),
+      e3 AS (SELECT symbol, bar_ts, list_reduce(l3, (acc, x) -> x * $A + acc * $B) AS v FROM w3),
+      r AS (SELECT symbol, bar_ts, v, lag(v, 1) ${wf("")} AS pv FROM e3)
+      SELECT symbol, bar_ts, round(v + 5e-9, 4) + 0.0 AS ema3,
+        round(100.0::DOUBLE * (v - pv) / pv + 5e-9, 4) + 0.0 AS trix
+      FROM r ORDER BY symbol, bar_ts"""
+    },
+
+    // Chaikin A/D line (6dp-DECIMAL running sum — order-independent in
+    // both engines) + oscillator (EMA3 − EMA10 folds over the line)
+    "q_ad_line" -> {
+      val run = wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+      s"""
+      WITH $barsCte,
+      f AS (SELECT symbol, bar_ts,
+              round((CASE WHEN high = low THEN 0.0::DOUBLE
+                     ELSE (("close" - low) - (high - "close")) / (high - low) END)
+                * volume::DOUBLE + 5e-9, 6)::DECIMAL(28,6) AS mfv6
+            FROM bars),
+      a AS (SELECT symbol, bar_ts, sum(mfv6) $run AS ad_exact FROM f),
+      w1 AS (SELECT symbol, bar_ts, ad_exact, list(ad_exact::DOUBLE) $run AS lst FROM a),
+      o AS (SELECT symbol, bar_ts, ad_exact,
+              list_reduce(lst, (acc, x) ->
+                x * (2::DOUBLE / 4::DOUBLE) + acc * (1::DOUBLE - 2::DOUBLE / 4::DOUBLE)) AS e3,
+              list_reduce(lst, (acc, x) ->
+                x * (2::DOUBLE / 11::DOUBLE) + acc * (1::DOUBLE - 2::DOUBLE / 11::DOUBLE)) AS e10
+            FROM w1)
+      SELECT symbol, bar_ts, round(ad_exact, 4)::DOUBLE AS ad,
+        round(e3 - e10 + 5e-9, 4) + 0.0 AS chaikin_osc
+      FROM o ORDER BY symbol, bar_ts"""
+    },
+
+    // Ichimoku: bounded-window midpoints + 26-bar shifts; nulls until
+    // each window fills, like the SMA family
+    "q_ichimoku" -> {
+      def mid(n: Int) = {
+        val fr = wf(s"ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW")
+        s"CASE WHEN rn >= $n THEN (max(high) $fr + min(low) $fr) / (2::DOUBLE) END"
+      }
+      s"""
+      WITH $barsCte, $rnCte,
+      k AS (SELECT symbol, bar_ts, "close", rn,
+              ${mid(9)} AS tenkan,
+              ${mid(26)} AS kijun,
+              ${mid(52)} AS sb_raw
+            FROM b)
+      SELECT symbol, bar_ts,
+        round(tenkan + 5e-9, 4) AS tenkan,
+        round(kijun + 5e-9, 4) AS kijun,
+        round(lag((tenkan + kijun) / (2::DOUBLE), 26) ${wf("")} + 5e-9, 4) AS senkou_a,
+        round(lag(sb_raw, 26) ${wf("")} + 5e-9, 4) AS senkou_b,
+        round(lead("close", 26) ${wf("")} + 5e-9, 4) AS chikou
+      FROM k ORDER BY symbol, bar_ts"""
+    }
   )
 
   private val merged: Map[String, String] = core ++ textOps ++ vectorOps ++ extOps

@@ -80,6 +80,10 @@ object SparkEntry {
     "q_ultimate_osc" -> ((s, d) => IndicatorsExt.ultimateOsc(bars(s, d))),
     "q_keltner" -> ((s, d) => IndicatorsExt.keltner(bars(s, d))),
     "q_heikin_ashi" -> ((s, d) => IndicatorsExt.heikinAshi(bars(s, d))),
+    "q_adx" -> ((s, d) => IndicatorsExt.adx(bars(s, d))),
+    "q_trix" -> ((s, d) => IndicatorsExt.trix(bars(s, d))),
+    "q_ad_line" -> ((s, d) => IndicatorsExt.adLine(bars(s, d))),
+    "q_ichimoku" -> ((s, d) => IndicatorsExt.ichimoku(bars(s, d))),
     "q_aroon_seg" -> ((s, d) => SegmentedWindows.aroonSegmented(bars(s, d))),
     "q_cci_seg" -> ((s, d) => SegmentedWindows.cciSegmented(bars(s, d))),
     "q_cmf_seg" -> ((s, d) => SegmentedWindows.cmfSegmented(bars(s, d))),

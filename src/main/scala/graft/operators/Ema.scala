@@ -221,6 +221,90 @@ object Ema extends Serializable {
       .orderBy(col("symbol"), col("bar_ts"))
   }
 
+  /** Multi-column input row for [[emaMulti]]: `xs(j)` is recursion j's
+    * input value at this bar. Values must be non-null (coalesce before
+    * calling). */
+  case class MBar(symbol: String, bar_ts: java.sql.Timestamp,
+      xs: Array[Double], chunk: Long)
+
+  /** K independent `ewm(adjust=False)` recursions over K input columns
+    * in ONE segmented scan — the [[emaSegmented]] machinery with the
+    * per-chunk summaries carrying K (decay, partial, firstExit) entries
+    * (the [[ChunkSum]] arrays were built for exactly this; [[macd]] is
+    * the K=2 instance over a single input). Used by the EMA-chain
+    * indicators (ADX smooths TR/+DM/−DM jointly; the Chaikin oscillator
+    * runs EMA3 and EMA10 of the A/D line together): one pass over the
+    * data per chain STAGE instead of one per recursion.
+    *
+    * `alphas(j)` is recursion j's α; β = 1−α is computed here once so
+    * callers (and their oracle SQL, written as `1 - a/b` literals) agree
+    * bit-for-bit. Seeding is `e_0 = x_0` per series, matching every
+    * other EMA in the repo. */
+  def emaMulti(df: DataFrame, valueCols: Seq[String], alphas: Seq[Double],
+      outCols: Seq[String], chunkBars: Int = 1024,
+      fanout: Int = 1024): DataFrame = {
+    require(valueCols.length == alphas.length && alphas.length == outCols.length,
+      "valueCols, alphas and outCols must align")
+    val k = alphas.length
+    val as = alphas.toArray
+    val bs = alphas.map(1.0 - _).toArray
+    val spark = df.sparkSession
+    import spark.implicits._
+    val span = Bars.BucketMicros * chunkBars
+    val ch = persistTracked(
+      df.select(col("symbol"), col("bar_ts"),
+          array(valueCols.map(col): _*).as("xs"),
+          expr(s"unix_micros(bar_ts) div $span").as("chunk"))
+        .as[MBar])
+    def sortedM(it: Iterator[MBar]): Array[MBar] = {
+      val arr = it.toArray
+      scala.util.Sorting.stableSort(arr,
+        (a: MBar, b: MBar) => a.bar_ts.getTime < b.bar_ts.getTime)
+      arr
+    }
+    val sums = ch.groupByKey(b => (b.symbol, b.chunk)).mapGroups {
+      (key: (String, Long), it: Iterator[MBar]) =>
+      val arr = sortedM(it)
+      val d = Array.fill(k)(1.0)
+      val p = new Array[Double](k)
+      val fx = new Array[Double](k)
+      var i = 0
+      while (i < arr.length) {
+        var j = 0
+        while (j < k) {
+          val x = arr(i).xs(j)
+          d(j) *= bs(j); p(j) = x * as(j) + p(j) * bs(j)
+          fx(j) = if (i == 0) x else x * as(j) + fx(j) * bs(j)
+          j += 1
+        }
+        i += 1
+      }
+      ChunkSum(key._1, key._2, d, p, fx)
+    }
+    val seeds = linearSeeds(sums, fanout)
+    ch.groupByKey(b => (b.symbol, b.chunk))
+      .cogroup(seeds.groupByKey(s => (s.symbol, s.chunk))) {
+        (_: (String, Long), it: Iterator[MBar], seedIt: Iterator[ChunkSeed]) =>
+        val sd = seedIt.next()
+        val arr = sortedM(it)
+        val e = new Array[Double](k)
+        if (!sd.isFirst) Array.copy(sd.seed, 0, e, 0, k)
+        var i = 0
+        arr.iterator.map { b =>
+          var j = 0
+          while (j < k) {
+            e(j) = if (sd.isFirst && i == 0) b.xs(j)
+              else b.xs(j) * as(j) + e(j) * bs(j)
+            j += 1
+          }
+          i += 1
+          (b.symbol, b.bar_ts, e.clone())
+        }
+      }.toDF("symbol", "bar_ts", "es")
+      .select(col("symbol") +: col("bar_ts") +:
+        outCols.zipWithIndex.map { case (n, j) => col("es")(j).as(n) }: _*)
+  }
+
   /** One chunk's regenerated macd series: sorted bar timestamps (epoch
     * micros — bar_ts is micros-exact by construction, Bars.scala:27) and
     * the macd value per bar. Persisted so the EMA9 summary pass and the

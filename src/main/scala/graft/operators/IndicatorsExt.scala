@@ -226,4 +226,141 @@ object IndicatorsExt {
         round(col("ha_close_raw") + lit(5e-9), 4).as("ha_close"))
       .orderBy(col("symbol"), col("bar_ts"))
   }
+
+  /** ADX(14) — Wilder's directional movement system as a two-stage EMA
+    * chain on [[Ema.emaMulti]]: TR / +DM / −DM derive from one-bar lags,
+    * are smoothed JOINTLY in a single segmented scan (K=3 recursions,
+    * one pass over bars — Wilder's `rma(α=1/n)` IS `ewm(adjust=False)`
+    * with that α, seeded at the first value like every EMA here), the
+    * directional indexes divide pointwise, and DX runs through a second
+    * single-recursion scan for ADX. No per-symbol sequential stage
+    * anywhere: both smoothing passes distribute across (symbol, chunk).
+    * Zero-denominator rule: DI is 0 when smoothed TR is 0; DX is 0 when
+    * DI⁺+DI⁻ is 0. */
+  def adx(bars: DataFrame, n: Int = 14): DataFrame = {
+    val alpha = 1.0 / n
+    val prevClose = lag(col("close"), 1).over(w)
+    val prevHigh = lag(col("high"), 1).over(w)
+    val prevLow = lag(col("low"), 1).over(w)
+    val up = col("high") - col("p_high")
+    val down = col("p_low") - col("low")
+    val derived = bars
+      .select(col("symbol"), col("bar_ts"), col("high"), col("low"),
+        col("close"), prevClose.as("p_close"), prevHigh.as("p_high"),
+        prevLow.as("p_low"))
+      .select(col("symbol"), col("bar_ts"),
+        when(col("p_close").isNull, col("high") - col("low"))
+          .otherwise(greatest(col("high") - col("low"),
+            abs(col("high") - col("p_close")),
+            abs(col("low") - col("p_close")))).as("tr"),
+        when(col("p_high").isNull, lit(0.0))
+          .otherwise(when(up > down && up > lit(0.0), up).otherwise(lit(0.0)))
+          .as("pdm"),
+        when(col("p_low").isNull, lit(0.0))
+          .otherwise(when(down > up && down > lit(0.0), down).otherwise(lit(0.0)))
+          .as("mdm"))
+    val sm = Ema.emaMulti(derived, Seq("tr", "pdm", "mdm"),
+      Seq(alpha, alpha, alpha), Seq("str", "spdm", "smdm"))
+    val diPlus = when(col("str") > lit(0.0),
+      lit(100.0) * col("spdm") / col("str")).otherwise(lit(0.0))
+    val diMinus = when(col("str") > lit(0.0),
+      lit(100.0) * col("smdm") / col("str")).otherwise(lit(0.0))
+    val withDx = sm
+      .select(col("symbol"), col("bar_ts"), diPlus.as("di_plus"),
+        diMinus.as("di_minus"))
+      .select(col("symbol"), col("bar_ts"), col("di_plus"), col("di_minus"),
+        when(col("di_plus") + col("di_minus") > lit(0.0),
+          lit(100.0) * abs(col("di_plus") - col("di_minus"))
+            / (col("di_plus") + col("di_minus"))).otherwise(lit(0.0)).as("dx"))
+    val adxSide = Ema.emaMulti(withDx, Seq("dx"), Seq(alpha), Seq("adx"))
+      .select(col("symbol").as("a_symbol"), col("bar_ts").as("a_ts"),
+        col("adx"))
+    withDx.join(adxSide,
+        withDx("symbol") === adxSide("a_symbol") &&
+          withDx("bar_ts") === adxSide("a_ts"))
+      .select(col("symbol"), col("bar_ts"),
+        round(col("di_plus") + lit(5e-9), 4).as("di_plus"),
+        round(col("di_minus") + lit(5e-9), 4).as("di_minus"),
+        round(col("dx") + lit(5e-9), 4).as("dx"),
+        round(col("adx") + lit(5e-9), 4).as("adx"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** TRIX(15) — 1-bar rate of change of a TRIPLE-smoothed EMA: three
+    * chained [[Ema.emaSegmented]] passes (each stage's output is the
+    * next stage's input, so the chain is three O(n) segmented scans,
+    * never one sequential task per symbol), then a single lag for the
+    * ROC. First row is null (no previous triple EMA). */
+  def trix(bars: DataFrame, span: Int = 15): DataFrame = {
+    val e1 = Ema.emaSegmented(
+      bars.select(col("symbol"), col("bar_ts"), col("close")), span)
+      .select(col("symbol"), col("bar_ts"), col("ema").as("close"))
+    val e2 = Ema.emaSegmented(e1, span)
+      .select(col("symbol"), col("bar_ts"), col("ema").as("close"))
+    val e3 = Ema.emaSegmented(e2, span)
+    val prev = lag(col("ema"), 1).over(w)
+    e3.select(col("symbol"), col("bar_ts"), col("ema"), prev.as("p_ema"))
+      .select(col("symbol"), col("bar_ts"),
+        round(col("ema") + lit(5e-9), 4).as("ema3"),
+        round(lit(100.0) * (col("ema") - col("p_ema")) / col("p_ema")
+          + lit(5e-9), 4).as("trix"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Chaikin Accumulation/Distribution line + Chaikin oscillator. The
+    * A/D line is a RUNNING sum of the money-flow volume — summed as
+    * 6dp-rounded DECIMAL so the accumulation is order-independent and
+    * bit-equal across engines (a running double sum would expose each
+    * engine's window-aggregation association; DuckDB's segment trees
+    * re-associate). The oscillator is EMA3 − EMA10 of the line, both
+    * recursions in ONE [[Ema.emaMulti]] segmented scan. Flat bars
+    * (high = low) contribute zero flow. */
+  def adLine(bars: DataFrame): DataFrame = {
+    val mfm = when(col("high") === col("low"), lit(0.0))
+      .otherwise(((col("close") - col("low")) - (col("high") - col("close")))
+        / (col("high") - col("low")))
+    val adSide = bars
+      .select(col("symbol"), col("bar_ts"),
+        round(mfm * col("volume") + lit(5e-9), 6).cast("decimal(28,6)")
+          .as("mfv6"))
+      .select(col("symbol"), col("bar_ts"),
+        sum(col("mfv6")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("ad_exact"))
+    val osc = Ema.emaMulti(
+      adSide.select(col("symbol"), col("bar_ts"),
+        col("ad_exact").cast("double").as("ad")),
+      Seq("ad", "ad"), Seq(2.0 / 4.0, 2.0 / 11.0), Seq("e3", "e10"))
+      .select(col("symbol").as("o_symbol"), col("bar_ts").as("o_ts"),
+        col("e3"), col("e10"))
+    adSide.join(osc,
+        adSide("symbol") === osc("o_symbol") && adSide("bar_ts") === osc("o_ts"))
+      .select(col("symbol"), col("bar_ts"),
+        round(col("ad_exact"), 4).cast("double").as("ad"),
+        round(col("e3") - col("e10") + lit(5e-9), 4).as("chaikin_osc"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
+  /** Ichimoku cloud — five series of bounded-window midpoints and
+    * shifts: tenkan (9-bar midpoint), kijun (26), senkou A ((tenkan +
+    * kijun)/2 plotted 26 bars ahead ⇒ a 26-lag of the midpoint), senkou
+    * B (52-bar midpoint, same shift), chikou (close plotted 26 back ⇒ a
+    * 26-lead). Pure rolling max/min + lag/lead — exact doubles, no
+    * sums; leading rows are null until their window fills, exactly like
+    * the SMA family. */
+  def ichimoku(bars: DataFrame): DataFrame = {
+    def mid(n: Int): Column =
+      when(rn >= n, (max(col("high")).over(wr(n)) +
+        min(col("low")).over(wr(n))) / lit(2.0))
+    bars
+      .select(col("symbol"), col("bar_ts"), col("close"), rn.as("rn"),
+        mid(9).as("tenkan"), mid(26).as("kijun"), mid(52).as("sb_raw"))
+      .select(col("symbol"), col("bar_ts"),
+        round(col("tenkan") + lit(5e-9), 4).as("tenkan"),
+        round(col("kijun") + lit(5e-9), 4).as("kijun"),
+        round(lag((col("tenkan") + col("kijun")) / lit(2.0), 26).over(w)
+          + lit(5e-9), 4).as("senkou_a"),
+        round(lag(col("sb_raw"), 26).over(w) + lit(5e-9), 4).as("senkou_b"),
+        round(lead(col("close"), 26).over(w) + lit(5e-9), 4).as("chikou"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
 }
