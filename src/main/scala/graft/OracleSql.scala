@@ -2385,6 +2385,51 @@ object OracleSql {
         round(sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*)::DOUBLE + 5e-9, 4) AS vavg
       FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
 
+    // daily per-user dimension snapshot: collapse to (user, day) first,
+    // dense day grid, forward-fill — the oracle states the same set via
+    // rank-1 latest-event rows and IGNORE NULLS last_value
+    "q_dim_snapshot" -> """
+      WITH pd AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+          ORDER BY ts DESC, event_id DESC) = 1),
+      b AS (SELECT user_id, min(day) AS d0 FROM pd GROUP BY 1),
+      mx AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+      grid AS (SELECT user_id,
+                 unnest(generate_series(d0::TIMESTAMP, dmax::TIMESTAMP,
+                   INTERVAL 1 DAY))::DATE AS snap_date
+               FROM b, mx)
+      SELECT g.user_id, g.snap_date,
+        last_value(pd.event_type IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.snap_date
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+      FROM grid g LEFT JOIN pd ON pd.user_id = g.user_id AND pd.day = g.snap_date
+      ORDER BY g.user_id, g.snap_date""",
+
+    // embedding-cluster × metadata rollup: the q_ann_ivf assignment CTE
+    // joined to documents on the shared id space
+    "q_cluster_sources" -> {
+      import graft.operators.Similarity.IvfK
+      s"""
+      WITH $vecCtes,
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM nv
+                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfK),
+      a AS (SELECT nv.vec_id, c.cent_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(nv.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+                (p, s) -> p + s) AS d2
+            FROM nv, cents c),
+      cell AS (SELECT vec_id, cent_id AS cell FROM a
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1)
+      SELECT cell.cell, d.source, count(*)::BIGINT AS n_docs,
+        sum(d.n_chars)::BIGINT AS total_chars,
+        round(sum(d.n_chars)::DOUBLE / count(*)::DOUBLE + 5e-9, 4) AS avg_chars,
+        count(DISTINCT d.lang)::BIGINT AS n_langs
+      FROM cell JOIN documents d ON cell.vec_id = d.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
     // ADX(14): Wilder rma(α=1/14) = ewm(adjust=False) seeded at the
     // first value — the same list_reduce fold device as q_macd, run over
     // TR/+DM/−DM and then once more over DX. β is written literally as

@@ -93,6 +93,9 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => Temporal.scd2(Tables.events(s, d))),
     "q_active_users" -> ((s, d) => Temporal.activeUsers(Tables.events(s, d))),
     "q_incremental_merge" -> ((s, d) => Temporal.incrementalMerge(Tables.events(s, d))),
+    "q_dim_snapshot" -> ((s, d) => Temporal.dimSnapshot(Tables.events(s, d))),
+    "q_cluster_sources" -> ((s, d) => Similarity.clusterSourceProfile(
+      Tables.embeddings(s, d), Tables.documents(s, d))),
     // C. relational core
     "q1_agg" -> ((s, d) => Relational.q1(Tables.lineitem(s, d))),
     "q_join_agg" -> ((s, d) => Relational.joinAgg(Tables.orders(s, d),

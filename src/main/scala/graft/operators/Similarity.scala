@@ -272,6 +272,39 @@ object Similarity {
     ivfProbe(e, cents, k)
   }
 
+  /** Embedding-cluster × metadata profile — the curation view a
+    * training-data pipeline builds over a clustered corpus: every vector
+    * assigned to its nearest sampled IVF centroid (the [[annIvf]]
+    * assignment, verbatim: O(K) broadcast centroids, map-side
+    * combinable `min_by`, no full-corpus window), then joined to the
+    * documents table on the shared id space and rolled up per
+    * (cell, source) with exact integer char sums. The join ships only
+    * (vec_id, cell) against projection-pruned metadata columns — the
+    * embedding vectors and the document text never meet the shuffle. */
+  def clusterSourceProfile(embeddings: DataFrame,
+      documents: DataFrame): DataFrame = {
+    val e = withVec(embeddings)
+    val cents = e
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("cent_id")).limit(IvfK)
+      .select(col("cent_id"), col("cv"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
+    assign.join(documents.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars")),
+        col("vec_id") === col("doc_id"))
+      .groupBy(col("cell"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")
+          + lit(5e-9), 4).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("cell"), col("source"))
+  }
+
   /** Shared IVF probe: nearest-centroid assignment as a map-side
     * combinable `min_by` over the (d2, cent_id) struct — no full-corpus
     * window shuffle+sort; only the bounded query side uses a window for

@@ -145,4 +145,38 @@ object Temporal {
         round(col("total").cast("double") / col("n_rows") + lit(5e-9), 4).as("vavg"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** Daily dimension snapshot — the warehouse "as-of end of day D" view
+    * of per-user state: for every user and every day from the user's
+    * first active day through the global max day, the latest event_type
+    * at or before that day's end. The per-pair formulation (every
+    * snapshot day probing every earlier event) is O(days × events);
+    * this plan is O(events + users·days): the stream collapses to ONE
+    * row per (user, day) first (map-side `max_by` on the deterministic
+    * (ts, event_id) order), the dense day grid explodes from per-user
+    * bounds (global max day is a one-row broadcast), and state rolls
+    * forward with a running `last(ignoreNulls)` — per-user partitions
+    * bounded by the calendar length, never by event volume. */
+  def dimSnapshot(events: DataFrame): DataFrame = {
+    val perDay = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max_by(col("event_type"),
+        struct(col("ts"), col("event_id"))).as("last_type"))
+    val maxDay = events.agg(max(to_date(col("ts"))).as("dmax"))
+    val grid = perDay.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("dmax"))).as("snap_date"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("snap_date"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid.join(perDay,
+        grid("user_id") === perDay("user_id") &&
+          grid("snap_date") === perDay("day"), "left")
+      .select(grid("user_id"), col("snap_date"), col("last_type"))
+      .select(col("user_id"), col("snap_date"),
+        last(col("last_type"), ignoreNulls = true).over(w).as("state"))
+      .orderBy(col("user_id"), col("snap_date"))
+  }
 }
