@@ -188,7 +188,7 @@ object Ema extends Serializable {
   /** Distributed segmented-scan EMA over `close` for one span — the same
     * machinery as [[macd]] with a single recurrence. */
   def emaSegmented(bars: DataFrame, span: Int, chunkBars: Int = 1024,
-      fanout: Int = 1024): DataFrame = {
+      fanout: Int = 1024, sorted: Boolean = true): DataFrame = {
     val alpha = 2.0 / (span + 1); val beta = 1.0 - alpha
     val spark = bars.sparkSession
     import spark.implicits._
@@ -217,8 +217,12 @@ object Ema extends Serializable {
           i += 1
           (b.symbol, b.bar_ts, e)
         }
-      }.toDF("symbol", "bar_ts", "ema")
-      .orderBy(col("symbol"), col("bar_ts"))
+      }.toDF("symbol", "bar_ts", "ema") match {
+      // intermediate stages of an EMA chain (TRIX, Keltner's join side)
+      // don't need the output-contract sort — skip the range exchange
+      case df if sorted => df.orderBy(col("symbol"), col("bar_ts"))
+      case df => df
+    }
   }
 
   /** Multi-column input row for [[emaMulti]]: `xs(j)` is recursion j's

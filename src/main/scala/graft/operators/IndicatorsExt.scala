@@ -177,7 +177,8 @@ object IndicatorsExt {
     // (symbol, bar_ts, close) input contract
     val mid = Ema.emaSegmented(
       bars.select(col("symbol"), col("bar_ts"),
-        ((col("high") + col("low") + col("close")) / lit(3.0)).as("close")), 20)
+        ((col("high") + col("low") + col("close")) / lit(3.0)).as("close")), 20,
+      sorted = false)
       .select(col("symbol").as("m_symbol"), col("bar_ts").as("m_ts"),
         col("ema"))
     val prevClose = lag(col("close"), 1).over(w)
@@ -212,7 +213,7 @@ object IndicatorsExt {
       .select(col("symbol"), col("bar_ts"),
         when(col("rn") === 1, (col("open") + col("close")) / lit(2.0))
           .otherwise(lag(col("hc"), 1).over(w)).as("close"))
-    val haOpen = Ema.emaSegmented(shifted, 3)
+    val haOpen = Ema.emaSegmented(shifted, 3, sorted = false)
       .select(col("symbol").as("o_symbol"), col("bar_ts").as("o_ts"),
         col("ema").as("ha_open_raw"))
     val base = bars.select(col("symbol"), col("bar_ts"), col("high"),
@@ -293,11 +294,12 @@ object IndicatorsExt {
     * ROC. First row is null (no previous triple EMA). */
   def trix(bars: DataFrame, span: Int = 15): DataFrame = {
     val e1 = Ema.emaSegmented(
-      bars.select(col("symbol"), col("bar_ts"), col("close")), span)
+      bars.select(col("symbol"), col("bar_ts"), col("close")), span,
+      sorted = false)
       .select(col("symbol"), col("bar_ts"), col("ema").as("close"))
-    val e2 = Ema.emaSegmented(e1, span)
+    val e2 = Ema.emaSegmented(e1, span, sorted = false)
       .select(col("symbol"), col("bar_ts"), col("ema").as("close"))
-    val e3 = Ema.emaSegmented(e2, span)
+    val e3 = Ema.emaSegmented(e2, span, sorted = false)
     val prev = lag(col("ema"), 1).over(w)
     e3.select(col("symbol"), col("bar_ts"), col("ema"), prev.as("p_ema"))
       .select(col("symbol"), col("bar_ts"),
