@@ -309,6 +309,191 @@ object Ema extends Serializable {
         outCols.zipWithIndex.map { case (n, j) => col("es")(j).as(n) }: _*)
   }
 
+  /** Distributed prefix scan for CHAINED recursions: like [[linearSeeds]]
+    * but each chunk's effect on the entering state is a full affine map
+    * `v' = A·v + U` with `A` a dim×dim matrix (row-major in
+    * `ChunkSum.decay`) instead of dim independent scalars — the summary
+    * shape for a chain e₁→e₂→…→e_k where later stages consume earlier
+    * stages' CURRENT values (TRIX's triple EMA). Affine maps compose
+    * associatively ((A₂,U₂)∘(A₁,U₁) = (A₂A₁, A₂U₁+U₂)), so the same
+    * two-level compose/unfold tree applies; per-task work is
+    * O(fanout·dim³) — dim is 3 for TRIX, invisible next to the shuffle. */
+  def affineSeeds(sums: Dataset[ChunkSum], dim: Int,
+      fanout: Int = 1024): Dataset[ChunkSeed] = {
+    val spark = sums.sparkSession
+    import spark.implicits._
+
+    def mm(a2: Array[Double], a1: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim * dim)
+      var r = 0
+      while (r < dim) {
+        var c = 0
+        while (c < dim) {
+          var s = 0.0; var i = 0
+          while (i < dim) { s += a2(r * dim + i) * a1(i * dim + c); i += 1 }
+          out(r * dim + c) = s; c += 1
+        }
+        r += 1
+      }
+      out
+    }
+    def av(a: Array[Double], v: Array[Double], u: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var r = 0
+      while (r < dim) {
+        var s = 0.0; var c = 0
+        while (c < dim) { s += a(r * dim + c) * v(c); c += 1 }
+        out(r) = s + u(r); r += 1
+      }
+      out
+    }
+
+    def foldGroup(arr: Array[ChunkSum], entry: ChunkSeed): Iterator[ChunkSeed] = {
+      var carry: Array[Double] = if (entry.isFirst) null else entry.seed.clone()
+      var first = entry.isFirst
+      arr.iterator.map { s =>
+        val out =
+          if (first) ChunkSeed(s.symbol, s.chunk, new Array[Double](dim), isFirst = true)
+          else ChunkSeed(s.symbol, s.chunk, carry.clone(), isFirst = false)
+        carry =
+          if (first) s.firstExit.clone()
+          else av(s.decay, carry, s.partial)
+        first = false
+        out
+      }
+    }
+
+    def compose(ds: Dataset[ChunkSum]): Dataset[ChunkSum] =
+      ds.groupByKey(s => (s.symbol, s.chunk / fanout))
+        .mapGroups { (key: (String, Long), it: Iterator[ChunkSum]) =>
+          val arr = it.toArray.sortBy(_.chunk)
+          var a: Array[Double] = null
+          var u: Array[Double] = null
+          var fx = arr.head.firstExit.clone()
+          var j = 0
+          arr.foreach { s =>
+            if (j == 0) { a = s.decay.clone(); u = s.partial.clone() }
+            else {
+              a = mm(s.decay, a)
+              u = av(s.decay, u, s.partial)
+              fx = av(s.decay, fx, s.partial)
+            }
+            j += 1
+          }
+          ChunkSum(key._1, key._2, a, u, fx)
+        }
+
+    def unfold(ds: Dataset[ChunkSum], superSeeds: Dataset[ChunkSeed]): Dataset[ChunkSeed] =
+      ds.groupByKey(s => (s.symbol, s.chunk / fanout))
+        .cogroup(superSeeds.groupByKey(s => (s.symbol, s.chunk))) {
+          (_: (String, Long), it: Iterator[ChunkSum], seedIt: Iterator[ChunkSeed]) =>
+          foldGroup(it.toArray.sortBy(_.chunk), seedIt.next())
+        }
+
+    val cached = persistTracked(sums)
+    val l1 = persistTracked(compose(cached))
+    val l2 = compose(l1)
+    val baseSeeds = l2.groupByKey(_.symbol).flatMapGroups { (_, it) =>
+      val arr = it.toArray.sortBy(_.chunk)
+      foldGroup(arr, ChunkSeed(arr.head.symbol, arr.head.chunk, Array.empty, isFirst = true))
+    }
+    unfold(cached, unfold(l1, baseSeeds))
+  }
+
+  /** A CHAIN of k EMA recursions over one input column in ONE segmented
+    * scan: stage j smooths stage j−1's current output (stage 0 smooths
+    * the input), i.e. `e_j' = α_j·e_{j-1}' + (1−α_j)·e_j`. Equivalent to
+    * k chained [[emaSegmented]] passes but pays ONE chunk pass + ONE
+    * regeneration pass + metadata-scale [[affineSeeds]] instead of k of
+    * each: the one-step update is a constant lower-triangular affine map
+    * `v' = M·v + c·x`, so a chunk's effect is `A = M^len` (repeated
+    * multiply) and a folded `U` — 27 flops/row for TRIX, amortized
+    * against k full shuffles saved. Seeding: every stage starts at the
+    * input's first value (each stage's input series begins at x₀),
+    * matching the chained-emaSegmented semantics exactly in sequential
+    * mode. */
+  def emaChain(bars: DataFrame, alphas: Seq[Double], outCols: Seq[String],
+      chunkBars: Int = 1024, fanout: Int = 1024): DataFrame = {
+    require(alphas.length == outCols.length && alphas.nonEmpty)
+    val k = alphas.length
+    val as = alphas.toArray
+    val bs = alphas.map(1.0 - _).toArray
+    // constant one-step map: row_j = α_j·row_{j-1} (+ β_j at the
+    // diagonal), c_j = α_j·c_{j-1} — the expansion of the chain in
+    // terms of (entering state, current input)
+    val m = new Array[Double](k * k)
+    val cv = new Array[Double](k)
+    var prevRow = new Array[Double](k)
+    var prevC = 1.0
+    for (j <- 0 until k) {
+      val row = prevRow.map(_ * as(j))
+      row(j) += bs(j)
+      val c = as(j) * prevC
+      Array.copy(row, 0, m, j * k, k); cv(j) = c
+      prevRow = row; prevC = c
+    }
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val ch = chunked(bars, chunkBars)
+    def chainStep(e: Array[Double], x: Double): Unit = {
+      var p = x; var j = 0
+      while (j < k) { e(j) = p * as(j) + e(j) * bs(j); p = e(j); j += 1 }
+    }
+    val sums = ch.groupByKey(b => (b.symbol, b.chunk)).mapGroups {
+      (key: (String, Long), it: Iterator[Bar]) =>
+      val arr = sortedBars(it)
+      val a = new Array[Double](k * k)
+      var j = 0
+      while (j < k) { a(j * k + j) = 1.0; j += 1 }
+      val u = new Array[Double](k)
+      val fx = new Array[Double](k)
+      var i = 0
+      while (i < arr.length) {
+        val x = arr(i).close
+        // U ← M·U + c·x ; A ← M·A (row-major, reading the old values)
+        val nu = new Array[Double](k)
+        val na = new Array[Double](k * k)
+        var r = 0
+        while (r < k) {
+          var s = 0.0; var cc = 0
+          while (cc < k) { s += m(r * k + cc) * u(cc); cc += 1 }
+          nu(r) = s + cv(r) * x
+          cc = 0
+          while (cc < k) {
+            var t = 0.0; var z = 0
+            while (z < k) { t += m(r * k + z) * a(z * k + cc); z += 1 }
+            na(r * k + cc) = t; cc += 1
+          }
+          r += 1
+        }
+        Array.copy(nu, 0, u, 0, k); Array.copy(na, 0, a, 0, k * k)
+        if (i == 0) { var q = 0; while (q < k) { fx(q) = x; q += 1 } }
+        else chainStep(fx, x)
+        i += 1
+      }
+      ChunkSum(key._1, key._2, a, u, fx)
+    }
+    val seeds = affineSeeds(sums, k, fanout)
+    ch.groupByKey(b => (b.symbol, b.chunk))
+      .cogroup(seeds.groupByKey(s => (s.symbol, s.chunk))) {
+        (_: (String, Long), it: Iterator[Bar], seedIt: Iterator[ChunkSeed]) =>
+        val sd = seedIt.next()
+        val arr = sortedBars(it)
+        val e = new Array[Double](k)
+        if (!sd.isFirst) Array.copy(sd.seed, 0, e, 0, k)
+        var i = 0
+        arr.iterator.map { b =>
+          if (sd.isFirst && i == 0) {
+            var q = 0; while (q < k) { e(q) = b.close; q += 1 }
+          } else chainStep(e, b.close)
+          i += 1
+          (b.symbol, b.bar_ts, e.clone())
+        }
+      }.toDF("symbol", "bar_ts", "es")
+      .select(col("symbol") +: col("bar_ts") +:
+        outCols.zipWithIndex.map { case (n, j) => col("es")(j).as(n) }: _*)
+  }
+
   /** One chunk's regenerated macd series: sorted bar timestamps (epoch
     * micros — bar_ts is micros-exact by construction, Bars.scala:27) and
     * the macd value per bar. Persisted so the EMA9 summary pass and the

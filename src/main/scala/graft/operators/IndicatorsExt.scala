@@ -287,19 +287,18 @@ object IndicatorsExt {
       .orderBy(col("symbol"), col("bar_ts"))
   }
 
-  /** TRIX(15) — 1-bar rate of change of a TRIPLE-smoothed EMA: three
-    * chained [[Ema.emaSegmented]] passes (each stage's output is the
-    * next stage's input, so the chain is three O(n) segmented scans,
-    * never one sequential task per symbol), then a single lag for the
-    * ROC. First row is null (no previous triple EMA). */
+  /** TRIX(15) — 1-bar rate of change of a TRIPLE-smoothed EMA. The
+    * three chained recursions run as ONE [[Ema.emaChain]] segmented
+    * scan (a lower-triangular affine map per chunk instead of three
+    * full passes — one chunk pass + one regeneration pass total, never
+    * a sequential task per symbol), then a single lag for the ROC.
+    * First row is null (no previous triple EMA). */
   def trix(bars: DataFrame, span: Int = 15): DataFrame = {
-    val e1 = Ema.emaSegmented(
-      bars.select(col("symbol"), col("bar_ts"), col("close")), span,
-      sorted = false)
-      .select(col("symbol"), col("bar_ts"), col("ema").as("close"))
-    val e2 = Ema.emaSegmented(e1, span, sorted = false)
-      .select(col("symbol"), col("bar_ts"), col("ema").as("close"))
-    val e3 = Ema.emaSegmented(e2, span, sorted = false)
+    val a = 2.0 / (span + 1)
+    val e3 = Ema.emaChain(
+      bars.select(col("symbol"), col("bar_ts"), col("close")),
+      Seq(a, a, a), Seq("e1", "e2", "ema"))
+      .select(col("symbol"), col("bar_ts"), col("ema"))
     val prev = lag(col("ema"), 1).over(w)
     e3.select(col("symbol"), col("bar_ts"), col("ema"), prev.as("p_ema"))
       .select(col("symbol"), col("bar_ts"),

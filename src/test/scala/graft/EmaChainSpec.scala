@@ -51,6 +51,27 @@ class EmaChainSpec extends SparkSpec {
     }
   }
 
+  test("emaChain matches three chained emaSegmented passes across chunk seams") {
+    val bars = mkBars(Seq("AAA", "BBB"), 400).select(col("symbol"), col("bar_ts"), col("close"))
+    val a = 2.0 / 16.0
+    // chunkBars=16 → ~25 chunks/symbol: both the affine compose tree and
+    // the scalar seeds path are live
+    val chain = Ema.emaChain(bars, Seq(a, a, a), Seq("e1", "e2", "e3"), chunkBars = 16)
+      .collect().map(r => ((r.getString(0), r.getTimestamp(1).getTime), r.getDouble(4))).toMap
+    val s1 = Ema.emaSegmented(bars, 15, chunkBars = 16, sorted = false)
+      .select(col("symbol"), col("bar_ts"), col("ema").as("close"))
+    val s2 = Ema.emaSegmented(s1, 15, chunkBars = 16, sorted = false)
+      .select(col("symbol"), col("bar_ts"), col("ema").as("close"))
+    val s3 = Ema.emaSegmented(s2, 15, chunkBars = 16)
+      .collect().map(r => ((r.getString(0), r.getTimestamp(1).getTime), r.getDouble(2)))
+    assert(s3.length == 800)
+    s3.foreach { case (key, v) =>
+      val c = chain(key)
+      assert(math.abs(c - v) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"chain/$key: $c vs $v")
+    }
+  }
+
   test("adx equals the per-symbol sequential Wilder fold") {
     val bars = mkBars(Seq("AAA", "BBB", "CCC"), 200)
     val got = IndicatorsExt.adx(bars).collect()
