@@ -1897,6 +1897,34 @@ object OracleSql {
         round(rev_exact, 2)::DOUBLE AS returned_revenue, n_returns
       FROM r ORDER BY returned_revenue DESC, c_custkey""",
 
+    // TPC-H Q4 shape: EXISTS → semi join (stated as IN — DuckDB plans a
+    // semi join; the set comparison is what matters)
+    "q_priority_returns" -> """
+      SELECT o_orderpriority, count(*)::BIGINT AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+      GROUP BY 1 ORDER BY 1""",
+
+    // TPC-H Q22 shape: scalar-avg threshold + NOT EXISTS anti join
+    // against date-filtered orders (lapsed customers)
+    "q_idle_customers" -> """
+      WITH t AS (
+        SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS bal_sum,
+               count(*)::BIGINT AS bal_n
+        FROM customer WHERE c_acctbal > 0)
+      SELECT n_name, count(*)::BIGINT AS n_custs,
+        round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2)::DOUBLE AS total_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      CROSS JOIN t
+      WHERE CAST(c_acctbal AS DECIMAL(18,6))::DOUBLE > bal_sum::DOUBLE / bal_n::DOUBLE
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY 1 ORDER BY 1""",
+
     // integer-tf keyword search; top-k selected on (score DESC, doc_id)
     "q_keyword_search" -> """
       WITH t AS (SELECT doc_id,
@@ -2455,11 +2483,22 @@ object OracleSql {
                    WHEN (p_low - low) > (high - p_high) AND (p_low - low) > 0 THEN p_low - low
                    ELSE 0.0::DOUBLE END AS mdm
             FROM l),
-      sm AS (SELECT symbol, bar_ts,
-               list_reduce(list(tr) $run, (acc, x) -> x * $A + acc * $B) AS str,
-               list_reduce(list(pdm) $run, (acc, x) -> x * $A + acc * $B) AS spdm,
+      -- one window-list column per CTE: DuckDB materializes every row's
+      -- running list inside a window operator, so k list columns in one
+      -- CTE cost k× the peak memory — at 10× scale three at once OOMed
+      s1 AS (SELECT symbol, bar_ts,
+               list_reduce(list(tr) $run, (acc, x) -> x * $A + acc * $B) AS str
+             FROM d),
+      s2 AS (SELECT symbol, bar_ts,
+               list_reduce(list(pdm) $run, (acc, x) -> x * $A + acc * $B) AS spdm
+             FROM d),
+      s3 AS (SELECT symbol, bar_ts,
                list_reduce(list(mdm) $run, (acc, x) -> x * $A + acc * $B) AS smdm
              FROM d),
+      sm AS (SELECT s1.symbol, s1.bar_ts, s1.str, s2.spdm, s3.smdm
+             FROM s1
+             JOIN s2 ON s1.symbol = s2.symbol AND s1.bar_ts = s2.bar_ts
+             JOIN s3 ON s1.symbol = s3.symbol AND s1.bar_ts = s3.bar_ts),
       di AS (SELECT symbol, bar_ts,
                CASE WHEN str > 0 THEN 100.0::DOUBLE * spdm / str ELSE 0.0::DOUBLE END AS di_plus,
                CASE WHEN str > 0 THEN 100.0::DOUBLE * smdm / str ELSE 0.0::DOUBLE END AS di_minus

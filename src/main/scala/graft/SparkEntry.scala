@@ -128,6 +128,10 @@ object SparkEntry {
     "q_returned_losses" -> ((s, d) => Relational.returnedLosses(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
       Tables.nation(s, d))),
+    "q_priority_returns" -> ((s, d) => Relational.priorityReturns(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_idle_customers" -> ((s, d) => Relational.idleCustomers(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.nation(s, d))),
     "q_skyline" -> ((s, d) => Relational.skylineParts(Tables.part(s, d))),
     "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(Tables.documents(s, d))),
     "q_incremental_ingest" -> ((s, d) => {

@@ -788,6 +788,52 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q4 shape — order-priority check: orders in one quarter with
+    * at least ONE returned lineitem, counted per priority. The EXISTS
+    * correlated subquery decorrelates to a LEFT SEMI join: lineitem is
+    * pre-filtered and projected to bare orderkeys, the semi join
+    * deduplicates matches by construction (no distinct needed), and the
+    * priority rollup is dictionary-sized. */
+  def priorityReturns(orders: DataFrame, lineitem: DataFrame,
+      from: String = "1996-07-01 00:00:00",
+      until: String = "1996-10-01 00:00:00"): DataFrame = {
+    val o = orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+      col("o_orderdate") < lit(until).cast("timestamp"))
+    val returned = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q22 shape — lapsed high-balance customers: customers whose
+    * balance exceeds the average positive balance AND who placed no
+    * order after a cutoff, rolled up per nation. Two decorrelations in
+    * one query: the scalar avg subquery becomes a one-row broadcast
+    * (threshold compares DOUBLE casts of exact DECIMAL aggregates —
+    * balances are 2dp, so sums are exact and the cut is reproducible),
+    * and NOT EXISTS becomes a LEFT ANTI join against date-filtered bare
+    * custkeys (the filter reaches the orders scan). */
+  def idleCustomers(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, since: String = "2000-01-01 00:00:00"): DataFrame = {
+    val bal = col("c_acctbal").cast("decimal(18,6)")
+    val avgBal = customer.filter(col("c_acctbal") > lit(0.0))
+      .agg(sum(bal).as("bal_sum"), count(lit(1)).as("bal_n"))
+    val rich = customer.crossJoin(broadcast(avgBal))
+      .filter(bal.cast("double") >
+        col("bal_sum").cast("double") / col("bal_n").cast("double"))
+    val recent = orders
+      .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+      .select(col("o_custkey"))
+    rich.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(bal), 2).cast("double").as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+
   /** TPC-H Q10 shape — returned-item losses: top-k customers by revenue
     * of lineitems returned against one order quarter. Both date and
     * returnflag filters reach their scans; nation broadcasts; the top-k

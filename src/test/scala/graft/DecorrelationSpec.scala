@@ -103,6 +103,42 @@ class DecorrelationSpec extends SparkSpec {
     assert(math.abs(total - direct) < 1e-6, s"$total vs $direct")
   }
 
+  test("priorityReturns equals the EXISTS correlated form") {
+    registerTables()
+    val ours = Relational.priorityReturns(
+      Tables.table(spark, sf(), "orders"), Tables.table(spark, sf(), "lineitem"))
+    val naive = spark.sql("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      GROUP BY o_orderpriority""")
+    assertSameRows(ours, naive, "q_priority_returns")
+  }
+
+  test("idleCustomers equals the NOT EXISTS + scalar-avg correlated form") {
+    registerTables()
+    val ours = Relational.idleCustomers(
+      Tables.table(spark, sf(), "customer"), Tables.table(spark, sf(), "orders"),
+      Tables.table(spark, sf(), "nation"))
+    val naive = spark.sql("""
+      SELECT n_name, count(*) AS n_custs,
+        CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+      FROM customer c JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(CAST(c_acctbal AS DECIMAL(18,6)) AS DOUBLE) >
+          CAST((SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) FROM customer
+                WHERE c_acctbal > 0) AS DOUBLE) /
+          CAST((SELECT count(*) FROM customer WHERE c_acctbal > 0) AS DOUBLE)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY n_name""")
+    assertSameRows(ours, naive, "q_idle_customers")
+    assert(ours.count() > 0, "lapsed-customer screen must select rows")
+  }
+
   test("returnedLosses top-20 is the head of the full ranking") {
     registerTables()
     val li = Tables.table(spark, sf(), "lineitem")
