@@ -173,24 +173,29 @@ object IndicatorsExt {
     * 10-row frame, and the two derivations meet in one (symbol, bar_ts)
     * equi-join. */
   def keltner(bars: DataFrame): DataFrame = {
-    // typical price series renamed to `close` for the EMA device's
-    // (symbol, bar_ts, close) input contract
-    val mid = Ema.emaSegmented(
-      bars.select(col("symbol"), col("bar_ts"),
-        ((col("high") + col("low") + col("close")) / lit(3.0)).as("close")), 20,
-      sorted = false)
-      .select(col("symbol").as("m_symbol"), col("bar_ts").as("m_ts"),
-        col("ema"))
     val prevClose = lag(col("close"), 1).over(w)
     val trRaw = when(prevClose.isNull, lit(null)).otherwise(
       greatest(col("high") - col("low"),
         abs(col("high") - prevClose), abs(col("low") - prevClose)))
-    val atrSide = bars
-      .select(col("symbol"), col("bar_ts"), col("close"), rn.as("rn"), trRaw.as("tr"))
-      .select(col("symbol"), col("bar_ts"), col("close"), col("rn"),
+    // One segmented scan: typical price smoothed at α=2/21, with `close`
+    // and `tr` carried through as α=1.0 IDENTITY channels (e = x·1 + e·0
+    // = x bit-exactly for finite x; the rn=1 null tr rides as 0.0 and is
+    // re-nulled after — a NaN sentinel would poison the recursion) — the
+    // OHLCV derivation executes once, no two-sided self-join. The ATR10
+    // frame runs AFTER the scan on the carried tr.
+    val derived = bars.select(col("symbol"), col("bar_ts"),
+      ((col("high") + col("low") + col("close")) / lit(3.0)).as("tp"),
+      col("close"), coalesce(trRaw, lit(0.0)).as("tr"))
+    val scanned = Ema.emaMulti(derived, Seq("tp", "close", "tr"),
+      Seq(2.0 / 21.0, 1.0, 1.0), Seq("ema", "close", "tr0"))
+    val atrSide = scanned
+      .select(col("symbol"), col("bar_ts"), col("close"), col("ema"),
+        rn.as("rn"), col("tr0"))
+      .select(col("symbol"), col("bar_ts"), col("close"), col("ema"),
+        col("rn"), when(col("rn") >= 2, col("tr0")).as("tr"))
+      .select(col("symbol"), col("bar_ts"), col("close"), col("ema"), col("rn"),
         when(col("rn") >= 11, avg(col("tr")).over(wr(10))).as("atr10"))
-    atrSide.join(mid,
-        atrSide("symbol") === mid("m_symbol") && atrSide("bar_ts") === mid("m_ts"))
+    atrSide
       .select(col("symbol"), col("bar_ts"), col("close"),
         round(col("ema") + lit(5e-9), 4).as("kc_mid"),
         when(col("rn") >= 11, round(col("ema") + lit(2.0) * col("atr10") + lit(5e-9), 4)).as("kc_upper"),
@@ -273,12 +278,11 @@ object IndicatorsExt {
         when(col("di_plus") + col("di_minus") > lit(0.0),
           lit(100.0) * abs(col("di_plus") - col("di_minus"))
             / (col("di_plus") + col("di_minus"))).otherwise(lit(0.0)).as("dx"))
-    val adxSide = Ema.emaMulti(withDx, Seq("dx"), Seq(alpha), Seq("adx"))
-      .select(col("symbol").as("a_symbol"), col("bar_ts").as("a_ts"),
-        col("adx"))
-    withDx.join(adxSide,
-        withDx("symbol") === adxSide("a_symbol") &&
-          withDx("bar_ts") === adxSide("a_ts"))
+    // Second scan: dx smoothed at α=1/n, plus α=1.0 IDENTITY channels
+    // (e = x·1 + e·0 = x bit-exactly) carrying di±/dx through — no join
+    // back, so the first smoothing chain's lineage executes exactly once.
+    Ema.emaMulti(withDx, Seq("dx", "di_plus", "di_minus", "dx"),
+        Seq(alpha, 1.0, 1.0, 1.0), Seq("adx", "di_plus", "di_minus", "dx"))
       .select(col("symbol"), col("bar_ts"),
         round(col("di_plus") + lit(5e-9), 4).as("di_plus"),
         round(col("di_minus") + lit(5e-9), 4).as("di_minus"),
