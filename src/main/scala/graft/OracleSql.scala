@@ -1620,6 +1620,79 @@ object OracleSql {
              JOIN c cb ON cb.source = p.source_b
       ORDER BY source_a, source_b""",
 
+    // per-node triangles + local clustering coefficient over the LSH
+    // pair graph: forward algorithm on the id-oriented edge list (each
+    // a<b<c triangle closes exactly once); cc = 2T/(d(d-1)) — exact
+    // integers into one double division
+    "q_graph_cc" -> s"""
+      WITH $minhashPairsCtes,
+      deg AS (SELECT doc_id, count(*) AS degree FROM
+                (SELECT doc_a AS doc_id FROM p
+                 UNION ALL SELECT doc_b FROM p)
+              GROUP BY doc_id),
+      tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+              FROM p e1
+              JOIN p e2 ON e2.doc_a = e1.doc_b
+              JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      tcnt AS (SELECT doc_id, count(*) AS triangles FROM
+                 (SELECT a AS doc_id FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+               GROUP BY doc_id)
+      SELECT d.doc_id, d.degree,
+        coalesce(t.triangles, 0)::BIGINT AS triangles,
+        CASE WHEN d.degree >= 2 THEN
+          round(2.0 * coalesce(t.triangles, 0)
+            / (d.degree * (d.degree - 1.0)) + 5e-9, 4) END AS local_cc
+      FROM deg d LEFT JOIN tcnt t ON t.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+
+    // near-dup pairs straddling the hash train/eval split — the split
+    // is a pure function of doc_id, recomputed per endpoint (no join)
+    "q_split_leakage" -> s"""
+      WITH $minhashPairsCtes,
+      sp AS (SELECT doc_a, doc_b,
+               CASE WHEN CAST(concat('0x', substr(md5(doc_a::VARCHAR), 1, 4)) AS BIGINT) % 100 < 90
+                 THEN 'train' ELSE 'eval' END AS split_a,
+               CASE WHEN CAST(concat('0x', substr(md5(doc_b::VARCHAR), 1, 4)) AS BIGINT) % 100 < 90
+                 THEN 'train' ELSE 'eval' END AS split_b
+             FROM p)
+      SELECT doc_a, doc_b, split_a, split_b,
+        (split_a <> split_b) AS leaked
+      FROM sp ORDER BY doc_a, doc_b""",
+
+    // per-source quality quota: top ⌈2n/5⌉ per source by the
+    // q_text_quality score (DESC NULLS LAST, doc_id tiebreak); the
+    // quota is exact integer ceiling division — no float boundary
+    "q_domain_quota" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+          length(text)::BIGINT AS n_chars,
+          regexp_split_to_array(trim(text), '\s+') AS wsarr,
+          len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct
+        FROM documents),
+      u AS (
+        SELECT doc_id, source, n_chars, len(wsarr)::BIGINT AS n_tokens,
+          len(list_filter(wsarr, w -> w IN ('the','a','of','and','to','in','is')))::BIGINT AS n_stop,
+          n_punct
+        FROM t),
+      q AS (
+        SELECT doc_id, source,
+          CASE WHEN n_tokens > 0 AND n_chars > 0 THEN
+            round(0.4 * (n_stop::DOUBLE / n_tokens)
+              + 0.3 * least(n_tokens::DOUBLE / 100, 1.0)
+              + 0.3 * (1.0 - n_punct::DOUBLE / n_chars) + 5e-9, 4) END AS quality_score
+        FROM u),
+      r AS (
+        SELECT doc_id, source, quality_score,
+          row_number() OVER (PARTITION BY source
+            ORDER BY quality_score DESC NULLS LAST, doc_id)::BIGINT AS src_rank,
+          count(*) OVER (PARTITION BY source)::BIGINT AS src_docs
+        FROM q)
+      SELECT doc_id, source, quality_score, src_rank, src_docs,
+        (src_rank <= (2 * src_docs + 4) // 5) AS kept
+      FROM r ORDER BY doc_id""",
+
     // temperature-balanced mixing: sqrt weights (IEEE-exact in both
     // engines, unlike pow), weight total folded over the source-sorted
     // list, md5-bucket keep device shared with q_data_mix
@@ -2583,7 +2656,37 @@ object OracleSql {
         round(lag(sb_raw, 26) ${wf("")} + 5e-9, 4) AS senkou_b,
         round(lead("close", 26) ${wf("")} + 5e-9, 4) AS chikou
       FROM k ORDER BY symbol, bar_ts"""
-    }
+    },
+
+    // CUSUM via the prefix-sum closed form (S⁺ = P − min(0, runmin P);
+    // S⁻ = max(0, runmax P) − P): deviations carried as the exact
+    // integer n·cents − Σcents (HUGEINT here ≡ Spark DECIMAL(38,0)),
+    // one double division at the edge; alarm = all-integer 20·S > Σc
+    "q_cusum" -> s"""
+      WITH $barsCte,
+      st AS (SELECT symbol AS s_symbol, count(*) AS n,
+               sum(CAST(floor("close" * 100 + 0.5) AS BIGINT)) AS sc
+             FROM bars GROUP BY 1),
+      d AS (SELECT b.symbol, b.bar_ts, b."close", st.n, st.sc,
+              st.n::HUGEINT * CAST(floor(b."close" * 100 + 0.5) AS BIGINT)
+                - st.sc AS dev
+            FROM bars b JOIN st ON b.symbol = st.s_symbol),
+      p AS (SELECT symbol, bar_ts, "close", n, sc,
+              sum(dev) OVER wrun AS pref
+            FROM d
+            WINDOW wrun AS (PARTITION BY symbol ORDER BY bar_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      s AS (SELECT symbol, bar_ts, "close", n, sc, pref,
+              min(pref) OVER wrun AS mn, max(pref) OVER wrun AS mx
+            FROM p
+            WINDOW wrun AS (PARTITION BY symbol ORDER BY bar_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT symbol, bar_ts, "close",
+        round(CAST(pref - least(0::HUGEINT, mn) AS DOUBLE) / (n * 100.0) + 5e-9, 4) AS cusum_pos,
+        round(CAST(greatest(0::HUGEINT, mx) - pref AS DOUBLE) / (n * 100.0) + 5e-9, 4) AS cusum_neg,
+        (20::HUGEINT * (pref - least(0::HUGEINT, mn)) > sc) AS alarm_pos,
+        (20::HUGEINT * (greatest(0::HUGEINT, mx) - pref) > sc) AS alarm_neg
+      FROM s ORDER BY symbol, bar_ts"""
   )
 
   private val merged: Map[String, String] = core ++ textOps ++ vectorOps ++ extOps
@@ -2605,7 +2708,8 @@ object OracleSql {
     "q_aroon_seg" -> "q_aroon",
     "q_cci_seg" -> "q_cci",
     "q_cmf_seg" -> "q_cmf",
-    "q_ultimate_osc_seg" -> "q_ultimate_osc")
+    "q_ultimate_osc_seg" -> "q_ultimate_osc",
+    "q_cusum_seg" -> "q_cusum")
     .map { case (seg, base) => seg -> merged(base) }.toMap
 
   val all: Map[String, String] = merged ++ segAliases

@@ -84,6 +84,8 @@ object SparkEntry {
     "q_trix" -> ((s, d) => IndicatorsExt.trix(bars(s, d))),
     "q_ad_line" -> ((s, d) => IndicatorsExt.adLine(bars(s, d))),
     "q_ichimoku" -> ((s, d) => IndicatorsExt.ichimoku(bars(s, d))),
+    "q_cusum" -> ((s, d) => IndicatorsExt.cusum(bars(s, d))),
+    "q_cusum_seg" -> ((s, d) => SegmentedWindows.cusumSegmented(bars(s, d))),
     "q_aroon_seg" -> ((s, d) => SegmentedWindows.aroonSegmented(bars(s, d))),
     "q_cci_seg" -> ((s, d) => SegmentedWindows.cciSegmented(bars(s, d))),
     "q_cmf_seg" -> ((s, d) => SegmentedWindows.cmfSegmented(bars(s, d))),
@@ -205,6 +207,9 @@ object SparkEntry {
     "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(Tables.documents(s, d))),
     "q_dup_ratio" -> ((s, d) => Dedup.dupRatioBySource(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => Dedup.crossSourceOverlap(Tables.documents(s, d))),
+    "q_graph_cc" -> ((s, d) => Dedup.graphCc(Tables.documents(s, d))),
+    "q_split_leakage" -> ((s, d) => TrainingData.splitLeakage(Tables.documents(s, d))),
+    "q_domain_quota" -> ((s, d) => TrainingData.domainQuota(Tables.documents(s, d))),
     // G. multimodal
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),

@@ -601,4 +601,49 @@ object Dedup {
           + lit(5e-9), 4).as("overlap_frac"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Per-node triangle count + local clustering coefficient over the
+    * LSH near-dup pair graph — the graph-density diagnostic for a dedup
+    * run (a boilerplate template shows up as a near-clique: high degree
+    * AND local_cc ≈ 1; organic near-dups form sparse stars: high degree,
+    * low cc). Triangle enumeration is the standard FORWARD algorithm on
+    * the id-oriented edge list (every edge already has doc_a < doc_b, so
+    * each triangle a<b<c is produced exactly once by joining its two
+    * out-edges at b and closing on (a,c)): two equi-joins over id pairs,
+    * fan-out = Σ_b out-deg·in-deg, bounded here by the 64-member LSH
+    * bucket caps (at adversarial degree skew the classic refinement —
+    * re-orient edges by (degree, id) instead of raw id — drops in
+    * without changing this plan shape). The pair graph materializes ONCE
+    * (persistTracked) and feeds all three consumers (degrees, wedges,
+    * closing edges). `local_cc = 2·triangles / (deg·(deg−1))` — exact
+    * integers into one double division at the edge. */
+  def graphCc(docs: DataFrame): DataFrame =
+    graphCcFromPairs(Ema.persistTracked(minhashLshPairs(docs)))
+
+  /** [[graphCc]]'s core over an already-built pair list (doc_a < doc_b,
+    * distinct) — the compute-once entry point for pipelines that share
+    * the pair graph across consumers (the [[dedupPairGraph]] pattern). */
+  def graphCcFromPairs(p: DataFrame): DataFrame = {
+    val deg = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val tri = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(p.select(col("doc_a").as("b2"), col("doc_b").as("c")),
+        col("b") === col("b2"))
+      .join(p.select(col("doc_a").as("a3"), col("doc_b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val tcnt = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("triangles"))
+    deg.join(tcnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .select(col("doc_id"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("triangles")
+            / (col("degree") * (col("degree") - lit(1.0))) + lit(5e-9), 4))
+          .as("local_cc"))
+      .orderBy(col("doc_id"))
+  }
 }

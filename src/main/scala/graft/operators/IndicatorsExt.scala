@@ -368,4 +368,50 @@ object IndicatorsExt {
         round(lead(col("close"), 26).over(w) + lit(5e-9), 4).as("chikou"))
       .orderBy(col("symbol"), col("bar_ts"))
   }
+
+  /** CUSUM drift detector (Page 1954) per symbol over close deviations
+    * from the per-symbol mean. The textbook recursion
+    * `S⁺_t = max(0, S⁺_{t-1} + d_t)` is NOT a window aggregate — but it
+    * has a closed form over prefix sums: with `P_t = Σ_{i≤t} d_i`,
+    *
+    *   S⁺_t = P_t − min(0, min_{j≤t} P_j)
+    *   S⁻_t = max(0, max_{j≤t} P_j) − P_t
+    *
+    * i.e. BOTH one-sided CUSUMs fall out of one running sum plus its
+    * running min/max — three running aggregates over one (symbol) window
+    * (and all three are order-free-mergeable, so the running-offset
+    * segmented device applies verbatim; see
+    * [[SegmentedWindows.cusumSegmented]]).
+    *
+    * Exactness: the deviation is carried as the INTEGER `n·cents − Σcents`
+    * (mean-centering cross-multiplied by n — no division, no float sum),
+    * so prefix sums, minima and the alarm comparisons are exact DECIMAL
+    * integer math in both engines; one double division at the output
+    * edge normalizes back to price units. Alarm fires when the CUSUM
+    * exceeds 5% of the mean price: `S±/(100n) > 0.05·Σc/(100n)` ⟺
+    * `20·S± > Σc` — all-integer, no boundary rounding. */
+  def cusum(bars: DataFrame): DataFrame = {
+    val c = cents(col("close"))
+    val st = bars.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n"),
+      sum(c.cast("decimal(38,0)")).as("sc"))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val zero = lit(0).cast("decimal(38,0)")
+    val joined = bars.join(broadcast(st), Seq("symbol"))
+      .select(col("symbol"), col("bar_ts"), col("close"), col("n"), col("sc"),
+        (col("n").cast("decimal(19,0)") * c.cast("decimal(18,0)") - col("sc"))
+          .cast("decimal(38,0)").as("dev"))
+    val p = joined.withColumn("pref", sum(col("dev")).over(wrun))
+    val s = p
+      .withColumn("sp", col("pref") - least(zero, min(col("pref")).over(wrun)))
+      .withColumn("sn", greatest(zero, max(col("pref")).over(wrun)) - col("pref"))
+    s.select(col("symbol"), col("bar_ts"), col("close"),
+        round(col("sp").cast("double") / (col("n") * lit(100.0)) + lit(5e-9), 4)
+          .as("cusum_pos"),
+        round(col("sn").cast("double") / (col("n") * lit(100.0)) + lit(5e-9), 4)
+          .as("cusum_neg"),
+        (lit(20).cast("decimal(2,0)") * col("sp") > col("sc")).as("alarm_pos"),
+        (lit(20).cast("decimal(2,0)") * col("sn") > col("sc")).as("alarm_neg"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
 }

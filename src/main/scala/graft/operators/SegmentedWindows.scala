@@ -338,4 +338,54 @@ object SegmentedWindows {
           + lit(5e-9), 4).as("drawdown_pct"))
       .orderBy(col("symbol"), col("bar_ts"))
   }
+
+  /** CUSUM with bounded tasks — output contract of
+    * [[IndicatorsExt.cusum]]. All three running aggregates the
+    * prefix-sum form needs (Σdev, min P, max P) merge order-free in
+    * exact integer DECIMAL, so each splits into a local running form
+    * plus a broadcast exclusive-prefix offset:
+    *   P_t           = localΣ + Σ(earlier partitions' totals)
+    *   runmin(P)_t   = least(local runmin of P, min over earlier
+    *                   partitions of their global-P minima)
+    * (and symmetrically for runmax). Two metadata aggregates — totals
+    * for the sum offset, per-partition global-P extrema for the min/max
+    * offsets — both (partitions × symbols)-sized broadcasts. */
+  def cusumSegmented(bars: DataFrame): DataFrame = {
+    val zero = lit(0).cast("decimal(38,0)")
+    val c = floor(col("close") * lit(100) + lit(0.5)).cast("long")
+    val ranged = withPid(
+      bars.select(col("symbol"), col("bar_ts"), col("close")))
+    val st = ranged.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n"), sum(c.cast("decimal(38,0)")).as("sc"))
+    val devd = ranged.join(broadcast(st), Seq("symbol"))
+      .withColumn("dev",
+        (col("n").cast("decimal(19,0)") * c.cast("decimal(18,0)") - col("sc"))
+          .cast("decimal(38,0)"))
+    val totals = devd.groupBy(col("_pid"), col("symbol"))
+      .agg(sum(col("dev")).as("_tot"))
+    val offsets = exclusivePrefix(totals, Seq("_tot" -> (sum(_))))
+    val withP = devd.join(broadcast(offsets), Seq("_pid", "symbol"), "left")
+      .withColumn("pref",
+        sum(col("dev")).over(wLocalRun) + coalesce(col("_tot_off"), zero))
+    val ext = withP.groupBy(col("_pid"), col("symbol"))
+      .agg(min(col("pref")).as("_pmin"), max(col("pref")).as("_pmax"))
+    val extOff = exclusivePrefix(ext,
+      Seq("_pmin" -> (min(_)), "_pmax" -> (max(_))))
+    // least/greatest skip nulls: a symbol's first partition has no prefix
+    val runMin = least(min(col("pref")).over(wLocalRun), col("_pmin_off"))
+    val runMax = greatest(max(col("pref")).over(wLocalRun), col("_pmax_off"))
+    withP.join(broadcast(extOff), Seq("_pid", "symbol"), "left")
+      .select(col("symbol"), col("bar_ts"), col("close"), col("n"), col("sc"),
+        col("pref"),
+        (col("pref") - least(zero, runMin)).as("sp"),
+        (greatest(zero, runMax) - col("pref")).as("sn"))
+      .select(col("symbol"), col("bar_ts"), col("close"),
+        round(col("sp").cast("double") / (col("n") * lit(100.0)) + lit(5e-9), 4)
+          .as("cusum_pos"),
+        round(col("sn").cast("double") / (col("n") * lit(100.0)) + lit(5e-9), 4)
+          .as("cusum_neg"),
+        (lit(20).cast("decimal(2,0)") * col("sp") > col("sc")).as("alarm_pos"),
+        (lit(20).cast("decimal(2,0)") * col("sn") > col("sc")).as("alarm_neg"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
 }

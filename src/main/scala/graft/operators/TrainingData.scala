@@ -278,4 +278,52 @@ object TrainingData {
           / col("n_ngrams").cast("double") + lit(5e-9), 4).as("overlap_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** Near-dup train/eval LEAKAGE audit: every LSH near-dup pair whose
+    * endpoints landed in different [[trainSplit]] splits — the
+    * contamination mode a hash split cannot prevent (near-duplicates
+    * hash independently, so ~2·p·(1−p) of near-dup pairs straddle the
+    * boundary and leak eval content into train). The split is a pure
+    * function of doc_id, so it is RECOMPUTED on the pair side — zero
+    * joins beyond the pair graph itself; at 100 TB the audit costs one
+    * projection over the already-built pair list. */
+  def splitLeakage(docs: DataFrame, trainPct: Int = 90): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val b = conv(substring(md5(c.cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      when(b < trainPct, "train").otherwise("eval")
+    }
+    Dedup.minhashLshPairs(docs)
+      .select(col("doc_a"), col("doc_b"),
+        splitOf(col("doc_a")).as("split_a"), splitOf(col("doc_b")).as("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("leaked"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Per-source quality quota (RefinedWeb-style curation cap): rank each
+    * source's docs by (quality_score DESC, doc_id) and keep the top 40%
+    * — the "no source dominates, keep each source's best" mixing rule.
+    * The quota is the exact integer ceiling `⌈2n/5⌉ = (2n+4) div 5` (no
+    * float boundary), source sizes broadcast; document text never
+    * shuffles — the rank runs on the (doc_id, source, score) projection.
+    * Per-source rank is a single-task-per-source window at this scale
+    * axis; a source with 10⁹ docs would lift onto the q_rfm
+    * range-partition device unchanged. */
+  def domainQuota(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val scored = docs.select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id"))
+    val n = Window.partitionBy(col("source"))
+    val wq = n.orderBy(col("quality_score").desc_nulls_last, col("doc_id"))
+    scored
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        row_number().over(wq).cast("long").as("src_rank"),
+        count(lit(1)).over(n).as("src_docs"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("src_rank"), col("src_docs"),
+        (col("src_rank") <= expr("(2 * src_docs + 4) div 5")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bars, Dedup, Ema, IndicatorsExt, SegmentedWindows, TrainingData}
+
+/** Round-8 specs: the CUSUM prefix-sum closed form vs the textbook
+  * max-recursion, the segmented CUSUM device, triangle counting on
+  * planted graphs, split-leakage consistency with trainSplit, and the
+  * domain-quota ceiling rule. */
+class Round8OpsSpec extends SparkSpec {
+
+  private def bars001 = Bars.ohlcv(Tables.events(spark, sf()))
+
+  test("cusum equals the sequential max-recursion fold per symbol") {
+    import spark.implicits._
+    val out = IndicatorsExt.cusum(bars001)
+      .select("symbol", "bar_ts", "close", "cusum_pos", "cusum_neg")
+      .as[(String, Timestamp, Double, Double, Double)]
+      .collect().groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      val cents = sorted.map(r => math.floor(r._3 * 100 + 0.5).toLong)
+      val n = cents.length.toLong
+      val sc = cents.sum
+      // textbook recursion over the exact integer deviations n·c − Σc
+      var sp = BigInt(0); var sn = BigInt(0)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val dev = BigInt(n) * cents(i) - sc
+        sp = (sp + dev).max(0)
+        sn = (sn - dev).max(0)
+        val expPos = math.floor((sp.toDouble / (n * 100.0) + 5e-9) * 1e4 + 0.5) / 1e4
+        val expNeg = math.floor((sn.toDouble / (n * 100.0) + 5e-9) * 1e4 + 0.5) / 1e4
+        assert(math.abs(r._4 - expPos) < 1e-9, s"pos at $i: ${r._4} vs $expPos")
+        assert(math.abs(r._5 - expNeg) < 1e-9, s"neg at $i: ${r._5} vs $expNeg")
+      }
+    }
+  }
+
+  test("cusumSegmented is bit-equal to cusum across partition seams") {
+    val base = IndicatorsExt.cusum(bars001)
+    val seg = SegmentedWindows.cusumSegmented(bars001)
+    assert(base.schema.map(f => (f.name, f.dataType)) ===
+      seg.schema.map(f => (f.name, f.dataType)))
+    assert(base.exceptAll(seg).isEmpty && seg.exceptAll(base).isEmpty)
+    Ema.unpersistAll()
+  }
+
+  test("graphCcFromPairs: K4 is all-triangles, a path has none") {
+    import spark.implicits._
+    // K4 on ids 1..4: every node deg 3, 3 triangles, cc = 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val r4 = Dedup.graphCcFromPairs(k4).collect()
+    assert(r4.length === 4)
+    r4.foreach { r =>
+      assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    }
+    // path 1-2-3-4: no triangles; middle nodes deg 2 with cc 0,
+    // end nodes deg 1 with null cc
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val rp = Dedup.graphCcFromPairs(path).collect()
+    assert(rp.map(_.getLong(2)).sum === 0L)
+    assert(rp.filter(_.getLong(1) === 2L).forall(r => r.getDouble(3) === 0.0))
+    assert(rp.filter(_.getLong(1) === 1L).forall(_.isNullAt(3)))
+  }
+
+  test("splitLeakage flags exactly the pairs straddling trainSplit") {
+    val docs = Tables.documents(spark, sf())
+    val leak = TrainingData.splitLeakage(docs)
+    val splits = TrainingData.trainSplit(docs).select(col("doc_id"), col("split"))
+    val joined = leak
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("ref_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("ref_b")), Seq("doc_b"))
+    assert(joined.filter(col("split_a") =!= col("ref_a")).count() === 0)
+    assert(joined.filter(col("split_b") =!= col("ref_b")).count() === 0)
+    assert(joined.filter(col("leaked") =!= (col("ref_a") =!= col("ref_b"))).count() === 0)
+  }
+
+  test("domainQuota keeps exactly the top ⌈2n/5⌉ per source") {
+    val docs = Tables.documents(spark, sf())
+    val out = TrainingData.domainQuota(docs)
+    val perSource = out.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      max(col("src_rank")).as("max_rank")).collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) === (2 * n + 4) / 5, s"source ${r.getString(0)}")
+      assert(r.getLong(3) === n)
+    }
+    // kept docs within a source never rank below a dropped doc
+    val viol = out.alias("a").join(out.alias("b"),
+      col("a.source") === col("b.source") &&
+        col("a.kept") && !col("b.kept") &&
+        col("a.src_rank") > col("b.src_rank"))
+    assert(viol.count() === 0)
+  }
+}
