@@ -2658,6 +2658,34 @@ object OracleSql {
       FROM k ORDER BY symbol, bar_ts"""
     },
 
+    // Holt level/trend smoothing: the coupled 2-state recursion folded
+    // as a list_reduce whose accumulator AND elements are [l, b] pairs
+    // (this DuckDB has no 3-arg init form — lifting each close to
+    // [x, 0.0] makes the types uniform and the first element IS the
+    // init state [x₀, 0]); the lambda writes the IDENTICAL float ops
+    // as IndicatorsExt.holt's step (l' recomputed verbatim in b's line
+    // — same expression, same double)
+    "q_holt" -> s"""
+      WITH $barsCte,
+      w1 AS (
+        SELECT symbol, bar_ts,
+          list("close"::DOUBLE) ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS lst
+        FROM bars),
+      h AS (
+        SELECT symbol, bar_ts,
+          list_reduce(
+            list_prepend([lst[1], 0.0::DOUBLE],
+                         list_transform(lst[2:], v -> [v, 0.0::DOUBLE])),
+            (acc, e) -> [0.3::DOUBLE * e[1] + 0.7::DOUBLE * (acc[1] + acc[2]),
+                         0.2::DOUBLE * (0.3::DOUBLE * e[1] + 0.7::DOUBLE * (acc[1] + acc[2]) - acc[1])
+                           + 0.8::DOUBLE * acc[2]]) AS st
+        FROM w1)
+      SELECT symbol, bar_ts,
+        round(st[1] + 5e-9, 4) + 0.0 AS level,
+        round(st[2] + 5e-9, 4) + 0.0 AS trend,
+        round(st[1] + st[2] + 5e-9, 4) + 0.0 AS forecast
+      FROM h ORDER BY symbol, bar_ts""",
+
     // CUSUM via the prefix-sum closed form (S⁺ = P − min(0, runmin P);
     // S⁻ = max(0, runmax P) − P): deviations carried as the exact
     // integer n·cents − Σcents (HUGEINT here ≡ Spark DECIMAL(38,0)),

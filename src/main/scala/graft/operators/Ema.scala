@@ -494,6 +494,81 @@ object Ema extends Serializable {
         outCols.zipWithIndex.map { case (n, j) => col("es")(j).as(n) }: _*)
   }
 
+  /** GENERAL k-dim affine recursion `v_t = M·v_{t-1} + c·x_t` as one
+    * segmented scan — the device [[emaChain]] instantiates for
+    * lower-triangular EMA chains, opened up for recursions whose state
+    * components are COUPLED (Holt's level/trend smoothing: each of l/b
+    * reads the other's previous value — no chain ordering exists).
+    *
+    * `m` is the k×k one-step matrix (row-major), `cv` the input
+    * coefficient vector; `init(x₀)` gives the state at the series head
+    * and `step(state, x)` must implement the EXACT float-op sequence the
+    * oracle folds (the matrix form is used only to compress chunks —
+    * per-row values inside a chunk always come from `step`, so the head
+    * of the series is bit-identical to the sequential fold and later
+    * chunks differ only by seed re-association, damped by the spectral
+    * radius of M). Both closures must be pure and serializable. */
+  def affineScan(bars: DataFrame, m: Array[Double], cv: Array[Double],
+      init: Double => Array[Double],
+      step: (Array[Double], Double) => Array[Double],
+      outCols: Seq[String], chunkBars: Int = 1024,
+      fanout: Int = 1024): DataFrame = {
+    val k = cv.length
+    require(m.length == k * k && outCols.length == k)
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val ch = chunked(bars, chunkBars)
+    val sums = ch.groupByKey(b => (b.symbol, b.chunk)).mapGroups {
+      (key: (String, Long), it: Iterator[Bar]) =>
+      val arr = sortedBars(it)
+      val a = new Array[Double](k * k)
+      var j = 0
+      while (j < k) { a(j * k + j) = 1.0; j += 1 }
+      val u = new Array[Double](k)
+      var fx: Array[Double] = null
+      var i = 0
+      while (i < arr.length) {
+        val x = arr(i).close
+        // U ← M·U + c·x ; A ← M·A (row-major, reading the old values)
+        val nu = new Array[Double](k)
+        val na = new Array[Double](k * k)
+        var r = 0
+        while (r < k) {
+          var s = 0.0; var cc = 0
+          while (cc < k) { s += m(r * k + cc) * u(cc); cc += 1 }
+          nu(r) = s + cv(r) * x
+          cc = 0
+          while (cc < k) {
+            var t = 0.0; var z = 0
+            while (z < k) { t += m(r * k + z) * a(z * k + cc); z += 1 }
+            na(r * k + cc) = t; cc += 1
+          }
+          r += 1
+        }
+        Array.copy(nu, 0, u, 0, k); Array.copy(na, 0, a, 0, k * k)
+        fx = if (i == 0) init(x) else step(fx, x)
+        i += 1
+      }
+      ChunkSum(key._1, key._2, a, u, fx)
+    }
+    val seeds = affineSeeds(sums, k, fanout)
+    ch.groupByKey(b => (b.symbol, b.chunk))
+      .cogroup(seeds.groupByKey(s => (s.symbol, s.chunk))) {
+        (_: (String, Long), it: Iterator[Bar], seedIt: Iterator[ChunkSeed]) =>
+        val sd = seedIt.next()
+        val arr = sortedBars(it)
+        var e: Array[Double] = if (sd.isFirst) null else sd.seed
+        var i = 0
+        arr.iterator.map { b =>
+          e = if (sd.isFirst && i == 0) init(b.close) else step(e, b.close)
+          i += 1
+          (b.symbol, b.bar_ts, e)
+        }
+      }.toDF("symbol", "bar_ts", "es")
+      .select(col("symbol") +: col("bar_ts") +:
+        outCols.zipWithIndex.map { case (n, j) => col("es")(j).as(n) }: _*)
+  }
+
   /** One chunk's regenerated macd series: sorted bar timestamps (epoch
     * micros — bar_ts is micros-exact by construction, Bars.scala:27) and
     * the macd value per bar. Persisted so the EMA9 summary pass and the

@@ -369,6 +369,43 @@ object IndicatorsExt {
       .orderBy(col("symbol"), col("bar_ts"))
   }
 
+  /** Holt double-exponential (level + trend) smoothing per symbol —
+    * the first FORECASTING surface, and the operator that exercises
+    * [[Ema.affineScan]]'s full coupled-state generality (level and
+    * trend each read the OTHER's previous value, so no EMA-chain
+    * ordering exists; the recursion is the 2×2 affine map
+    * `v' = M·v + c·x` with M = [[1−α, 1−α], [−αβ, β(1−α)+1−β]],
+    * c = [α, αβ]).
+    *
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},  l₀ = x₀, b₀ = 0
+    *
+    * `forecast` is the one-step-ahead prediction l + b. Distribution:
+    * chunk summaries compress to one (M-power, offset) affine map each,
+    * [[Ema.affineSeeds]] composes them in O(log) depth, and per-row
+    * values inside every chunk re-run the EXACT sequential float ops
+    * (the oracle folds the identical expressions; α=0.3, β=0.2 chosen
+    * with spectral radius √0.7 ≈ 0.84 so seed re-association is damped
+    * ~1e-13 within a chunk — same contract as the EMA family). */
+  def holt(bars: DataFrame, alpha: Double = 0.3, beta: Double = 0.2): DataFrame = {
+    val a = alpha; val bt = beta
+    val m = Array(1 - a, 1 - a, -(a * bt), bt * (1 - a) + (1 - bt))
+    val cv = Array(a, a * bt)
+    Ema.affineScan(bars, m, cv,
+        init = x => Array(x, 0.0),
+        step = (e, x) => {
+          val l1 = a * x + (1 - a) * (e(0) + e(1))
+          val b1 = bt * (l1 - e(0)) + (1 - bt) * e(1)
+          Array(l1, b1)
+        },
+        Seq("level", "trend"))
+      .select(col("symbol"), col("bar_ts"),
+        round(col("level") + lit(5e-9), 4).as("level"),
+        round(col("trend") + lit(5e-9), 4).as("trend"),
+        round(col("level") + col("trend") + lit(5e-9), 4).as("forecast"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
   /** CUSUM drift detector (Page 1954) per symbol over close deviations
     * from the per-symbol mean. The textbook recursion
     * `S⁺_t = max(0, S⁺_{t-1} + d_t)` is NOT a window aggregate — but it

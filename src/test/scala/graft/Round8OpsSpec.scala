@@ -41,6 +41,43 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("holt matches the sequential level/trend fold, incl. many-chunk seams") {
+    import spark.implicits._
+    val bars = bars001
+    // 64-bar chunks force ~3+ seam crossings per symbol at sf0.001, so
+    // the affine seed composition (not just firstExit) is on the path
+    val scanned = graft.operators.Ema.affineScan(bars,
+      Array(0.7, 0.7, -0.06, 0.2 * 0.7 + 0.8), Array(0.3, 0.06),
+      init = x => Array(x, 0.0),
+      step = (e, x) => {
+        val l1 = 0.3 * x + 0.7 * (e(0) + e(1))
+        Array(l1, 0.2 * (l1 - e(0)) + 0.8 * e(1))
+      },
+      Seq("level", "trend"), chunkBars = 64)
+    val got = scanned.select("symbol", "bar_ts", "level", "trend")
+      .as[(String, java.sql.Timestamp, Double, Double)]
+      .collect().groupBy(_._1)
+    assert(got.nonEmpty)
+    // sequential reference fold over the close series
+    val closes = bars.select("symbol", "bar_ts", "close")
+      .as[(String, java.sql.Timestamp, Double)].collect().groupBy(_._1)
+    closes.foreach { case (sym, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      val gotRows = got(sym).sortBy(_._2.getTime)
+      var l = 0.0; var b = 0.0
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (i == 0) { l = r._3; b = 0.0 }
+        else {
+          val l1 = 0.3 * r._3 + 0.7 * (l + b)
+          b = 0.2 * (l1 - l) + 0.8 * b; l = l1
+        }
+        assert(math.abs(gotRows(i)._3 - l) < 1e-9, s"$sym level row $i")
+        assert(math.abs(gotRows(i)._4 - b) < 1e-9, s"$sym trend row $i")
+      }
+    }
+    graft.operators.Ema.unpersistAll()
+  }
+
   test("cusumSegmented is bit-equal to cusum across partition seams") {
     val base = IndicatorsExt.cusum(bars001)
     val seg = SegmentedWindows.cusumSegmented(bars001)
