@@ -2658,6 +2658,39 @@ object OracleSql {
       FROM k ORDER BY symbol, bar_ts"""
     },
 
+    // EWMA control chart: EMA(λ=0.2) vs steady-state μ ± 3σ√(λ/(2−λ))
+    // bands from the q_zscore_anomaly exact-moment device; flag
+    // compares identical raw doubles (no rounding at the boundary)
+    "q_ewma_chart" -> s"""
+      WITH $barsCte,
+      w1 AS (
+        SELECT symbol, bar_ts, "close",
+          list("close") ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS lst
+        FROM bars),
+      e AS (
+        SELECT symbol, bar_ts, "close",
+          list_reduce(lst, (acc, x) -> x * 0.2::DOUBLE + acc * 0.8::DOUBLE) AS ewma
+        FROM w1),
+      st AS (SELECT symbol AS s_symbol, count(*) AS n,
+               sum(CAST("close" AS DECIMAL(9,2))) AS sx,
+               sum(CAST("close" AS DECIMAL(9,2)) * CAST("close" AS DECIMAL(9,2))) AS sx2
+             FROM bars GROUP BY 1),
+      j AS (SELECT e.symbol, e.bar_ts, e."close", e.ewma,
+              sx::DOUBLE / n::DOUBLE AS mean,
+              3.0::DOUBLE * sqrt((n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                / (n::DOUBLE * (n::DOUBLE - 1.0::DOUBLE)))
+                * sqrt(0.2::DOUBLE / (2.0::DOUBLE - 0.2::DOUBLE)) AS width,
+              (n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                / (n::DOUBLE * (n::DOUBLE - 1.0::DOUBLE)) AS v
+            FROM e JOIN st ON e.symbol = st.s_symbol WHERE st.n >= 2)
+      SELECT symbol, bar_ts, "close"::DOUBLE AS "close",
+        round(ewma + 5e-9, 4) AS ewma,
+        round(mean + 5e-9, 4) AS center,
+        round(mean + width + 5e-9, 4) AS ucl,
+        round(mean - width + 5e-9, 4) AS lcl,
+        (ewma > mean + width OR ewma < mean - width) AS out_of_control
+      FROM j WHERE v > 0 ORDER BY symbol, bar_ts""",
+
     // Holt level/trend smoothing: the coupled 2-state recursion folded
     // as a list_reduce whose accumulator AND elements are [l, b] pairs
     // (this DuckDB has no 3-arg init form — lifting each close to

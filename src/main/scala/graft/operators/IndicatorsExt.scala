@@ -369,6 +369,42 @@ object IndicatorsExt {
       .orderBy(col("symbol"), col("bar_ts"))
   }
 
+  /** EWMA control chart (Roberts 1959, steady-state limits): the
+    * process-monitoring view of the EMA — smoothed close vs
+    * `μ ± L·σ·√(λ/(2−λ))` control bands from the per-symbol exact
+    * DECIMAL moments (the q_zscore_anomaly stats device, broadcast).
+    * The smoothing runs on [[Ema.emaMulti]] with close carried through
+    * as an α=1.0 identity channel, so the OHLCV lineage executes once
+    * and the stats aggregate reuses the scan's persisted chunk cache.
+    * Steady-state (large-t) limits keep the width constant — the
+    * time-varying `(1−λ)^{2t}` factor needs `pow`, whose last-ulp
+    * differs between engines (SURVEY §5); √ and / are IEEE-exact. */
+  def ewmaChart(bars: DataFrame, lambda: Double = 0.2,
+      sigmas: Double = 3.0): DataFrame = {
+    val scanned = Ema.emaMulti(
+      bars.select(col("symbol"), col("bar_ts"), col("close")),
+      Seq("close", "close"), Seq(lambda, 1.0), Seq("ewma", "close"))
+    val x = col("close").cast("decimal(9,2)")
+    val stats = scanned.groupBy(col("symbol").as("s_symbol"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sx2"))
+    val nD = col("n").cast("double")
+    val mean = col("sx").cast("double") / nD
+    val varr = (nD * col("sx2").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double")) / (nD * (nD - lit(1.0)))
+    val width = lit(sigmas) * sqrt(varr) *
+      sqrt(lit(lambda) / (lit(2.0) - lit(lambda)))
+    scanned.join(broadcast(stats), col("symbol") === col("s_symbol"))
+      .filter(col("n") >= 2 && varr > 0)
+      .select(col("symbol"), col("bar_ts"), col("close"),
+        round(col("ewma") + lit(5e-9), 4).as("ewma"),
+        round(mean + lit(5e-9), 4).as("center"),
+        round(mean + width + lit(5e-9), 4).as("ucl"),
+        round(mean - width + lit(5e-9), 4).as("lcl"),
+        (col("ewma") > mean + width || col("ewma") < mean - width)
+          .as("out_of_control"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
   /** Holt double-exponential (level + trend) smoothing per symbol —
     * the first FORECASTING surface, and the operator that exercises
     * [[Ema.affineScan]]'s full coupled-state generality (level and
