@@ -2658,6 +2658,36 @@ object OracleSql {
       FROM k ORDER BY symbol, bar_ts"""
     },
 
+    // winsorized stats over the bounded-domain cents histogram:
+    // nearest-rank p05/p95 (all-integer ranks), clamped sums folded on
+    // the histogram — one double division at the edge
+    "q_winsorize" -> s"""
+      WITH $barsCte,
+      hist AS (SELECT symbol, CAST(floor("close" * 100 + 0.5) AS BIGINT) AS cent,
+                 count(*) AS cnt
+               FROM bars GROUP BY 1, 2),
+      t AS (SELECT symbol, sum(cnt)::BIGINT AS n FROM hist GROUP BY 1),
+      c AS (SELECT h.symbol, h.cent, h.cnt, t.n,
+              sum(h.cnt) OVER (PARTITION BY h.symbol ORDER BY h.cent
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+            FROM hist h JOIN t ON h.symbol = t.symbol),
+      q AS (SELECT symbol, n,
+              min(CASE WHEN cum >= (n + 19) // 20 THEN cent END) AS lo,
+              min(CASE WHEN cum >= n - n // 20 THEN cent END) AS hi
+            FROM c GROUP BY 1, 2),
+      s AS (SELECT h.symbol, q.n, q.lo, q.hi,
+              sum(h.cnt * least(greatest(h.cent, q.lo), q.hi))::HUGEINT AS sum_cl,
+              sum(CASE WHEN h.cent < q.lo THEN h.cnt ELSE 0 END)::BIGINT AS n_low,
+              sum(CASE WHEN h.cent > q.hi THEN h.cnt ELSE 0 END)::BIGINT AS n_high
+            FROM hist h JOIN q ON h.symbol = q.symbol
+            GROUP BY 1, 2, 3, 4)
+      SELECT symbol, n,
+        lo::DOUBLE / 100.0 AS p05,
+        hi::DOUBLE / 100.0 AS p95,
+        n_low, n_high,
+        round(sum_cl::DOUBLE / (n * 100.0) + 5e-9, 4) AS winsor_mean
+      FROM s ORDER BY symbol""",
+
     // EWMA control chart: EMA(λ=0.2) vs steady-state μ ± 3σ√(λ/(2−λ))
     // bands from the q_zscore_anomaly exact-moment device; flag
     // compares identical raw doubles (no rounding at the boundary)

@@ -369,6 +369,46 @@ object IndicatorsExt {
       .orderBy(col("symbol"), col("bar_ts"))
   }
 
+  /** Winsorized per-symbol price stats via a BOUNDED-DOMAIN exact
+    * quantile histogram — a different exact-quantile device from
+    * q_quantiles' dyadic interpolation: prices are 2-decimal, so the
+    * per-(symbol, cent) count histogram is bounded by the PRICE DOMAIN
+    * (symbols × price range), not the row count — at 100 TB the
+    * histogram is still ~10⁵ rows of metadata after one map-side
+    * partial agg, and everything downstream (cumulative ranks,
+    * nearest-rank p05/p95, clamped sums) is histogram arithmetic; the
+    * raw rows are touched exactly once. Nearest-rank quantiles
+    * (`⌈n/20⌉` / `n − n div 20` — all-integer, no interpolation, no
+    * cross-engine float risk); the winsorized mean folds
+    * `Σ count·clamp(cent)` in exact integers with one double division
+    * at the edge. */
+  def winsorize(bars: DataFrame): DataFrame = {
+    val hist = bars.groupBy(col("symbol"), cents(col("close")).as("cent"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(col("symbol")).orderBy(col("cent"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = hist.groupBy(col("symbol")).agg(sum(col("cnt")).as("n"))
+    val cum = hist.join(broadcast(totals), Seq("symbol"))
+      .withColumn("cum", sum(col("cnt")).over(wc))
+    val q = cum.groupBy(col("symbol"), col("n")).agg(
+      min(when(col("cum") >= expr("(n + 19) div 20"), col("cent"))).as("lo"),
+      min(when(col("cum") >= expr("n - n div 20"), col("cent"))).as("hi"))
+    hist.join(broadcast(q), Seq("symbol"))
+      .withColumn("cl",
+        least(greatest(col("cent"), col("lo")), col("hi")).cast("decimal(18,0)"))
+      .groupBy(col("symbol"), col("n"), col("lo"), col("hi"))
+      .agg(sum(col("cnt").cast("decimal(18,0)") * col("cl")).as("sum_cl"),
+        sum(when(col("cent") < col("lo"), col("cnt")).otherwise(0L)).as("n_low"),
+        sum(when(col("cent") > col("hi"), col("cnt")).otherwise(0L)).as("n_high"))
+      .select(col("symbol"), col("n"),
+        (col("lo").cast("double") / lit(100.0)).as("p05"),
+        (col("hi").cast("double") / lit(100.0)).as("p95"),
+        col("n_low"), col("n_high"),
+        round(col("sum_cl").cast("double") / (col("n") * lit(100.0))
+          + lit(5e-9), 4).as("winsor_mean"))
+      .orderBy(col("symbol"))
+  }
+
   /** EWMA control chart (Roberts 1959, steady-state limits): the
     * process-monitoring view of the EMA — smoothed close vs
     * `μ ± L·σ·√(λ/(2−λ))` control bands from the per-symbol exact

@@ -107,6 +107,32 @@ class Round8OpsSpec extends SparkSpec {
     assert(rp.filter(_.getLong(1) === 1L).forall(_.isNullAt(3)))
   }
 
+  test("winsorize matches the naive sort-clamp-mean definition") {
+    import spark.implicits._
+    val out = IndicatorsExt.winsorize(bars001)
+      .select("symbol", "n", "p05", "p95", "n_low", "n_high", "winsor_mean")
+      .as[(String, Long, Double, Double, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val closes = bars001.select("symbol", "close")
+      .as[(String, Double)].collect().groupBy(_._1)
+    assert(out.keySet === closes.keySet)
+    closes.foreach { case (sym, rows) =>
+      val cents = rows.map(r => math.floor(r._2 * 100 + 0.5).toLong).sorted
+      val n = cents.length
+      val lo = cents((n + 19) / 20 - 1)        // nearest-rank ⌈n/20⌉, 1-based
+      val hi = cents(n - n / 20 - 1)           // nearest-rank n − ⌊n/20⌋
+      val clamped = cents.map(c => math.min(math.max(c, lo), hi))
+      val r = out(sym)
+      assert(r._2 === n.toLong)
+      assert(r._3 === lo.toDouble / 100.0 && r._4 === hi.toDouble / 100.0)
+      assert(r._5 === cents.count(_ < lo).toLong)
+      assert(r._6 === cents.count(_ > hi).toLong)
+      val exp = math.floor((clamped.map(BigInt(_)).sum.toDouble / (n * 100.0)
+        + 5e-9) * 1e4 + 0.5) / 1e4
+      assert(math.abs(r._7 - exp) < 1e-9, s"$sym mean")
+    }
+  }
+
   test("splitLeakage flags exactly the pairs straddling trainSplit") {
     val docs = Tables.documents(spark, sf())
     val leak = TrainingData.splitLeakage(docs)
