@@ -425,7 +425,9 @@ object IndicatorsExt {
       bars.select(col("symbol"), col("bar_ts"), col("close")),
       Seq("close", "close"), Seq(lambda, 1.0), Seq("ewma", "close"))
     val x = col("close").cast("decimal(9,2)")
-    val stats = scanned.groupBy(col("symbol").as("s_symbol"))
+    // moments from the cheap pre-scan bars projection (aggregating the
+    // scan output would replay its cogroup pass a second time)
+    val stats = bars.groupBy(col("symbol").as("s_symbol"))
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sx2"))
     val nD = col("n").cast("double")
     val mean = col("sx").cast("double") / nD
