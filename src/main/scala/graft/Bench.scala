@@ -180,7 +180,7 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_COMPOSITE").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
       import org.apache.spark.sql.functions.col
       import graft.operators.Dedup
-      def onePass(): (Double, Double, Double, Double) = {
+      def onePass(): (Double, Double, Double, Double, Double) = {
         val d = Tables.documents(spark, sfDir)
         val ids = d.select(col("doc_id"))
         val (pairs, tPairs) = timed(Dedup.dedupPairGraph(d).localCheckpoint(true))
@@ -188,9 +188,10 @@ object Bench {
           timed(Dedup.dedupClustersFromPairs(pairs, ids).localCheckpoint(true))
         val (_, tLss) = timed(Dedup.dedupClustersLSSFromPairs(pairs, ids).count())
         val (_, tStats) = timed(Dedup.clusterStatsFromLabels(labels).count())
+        val (_, tCc) = timed(Dedup.graphCcFromPairs(pairs).count())
         graft.operators.Ema.unpersistAll()
         spark.catalog.clearCache()
-        (tPairs, tLabels, tLss, tStats)
+        (tPairs, tLabels, tLss, tStats, tCc)
       }
       // min-of-2 by total, same methodology as the per-query bench. The
       // GC between passes drives the ContextCleaner so pass 1's
@@ -199,11 +200,11 @@ object Bench {
       val pass1 = onePass()
       System.gc()
       val pass2 = onePass()
-      val (tPairs, tLabels, tLss, tStats) = Seq(pass1, pass2)
-        .minBy(t => t._1 + t._2 + t._3 + t._4)
-      val total = tPairs + tLabels + tLss + tStats
+      val (tPairs, tLabels, tLss, tStats, tCc) = Seq(pass1, pass2)
+        .minBy(t => t._1 + t._2 + t._3 + t._4 + t._5)
+      val total = tPairs + tLabels + tLss + tStats + tCc
       val json =
-        s"""{"metric":"cluster_family_composite","value":${num(total)},"unit":"sec","stages":{"pair_graph":${num(tPairs)},"clusters":${num(tLabels)},"clusters_lss":${num(tLss)},"cluster_stats":${num(tStats)}},"sf":"$sfDir"}"""
+        s"""{"metric":"cluster_family_composite","value":${num(total)},"unit":"sec","stages":{"pair_graph":${num(tPairs)},"clusters":${num(tLabels)},"clusters_lss":${num(tLss)},"cluster_stats":${num(tStats)},"graph_cc":${num(tCc)}},"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_COMPOSITE.json"), json + "\n")
       catch { case _: Throwable => () }
