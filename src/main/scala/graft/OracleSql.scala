@@ -2658,6 +2658,70 @@ object OracleSql {
       FROM k ORDER BY symbol, bar_ts"""
     },
 
+    // integer fixed-point PageRank over the transition graph: floor
+    // division + integer sums make the iterative fixpoint hash-exact
+    // cross-engine (float PageRank never is — engine-dependent sum
+    // order); three unrolled iterations
+    "q_pagerank" -> """
+      WITH w1 AS (SELECT user_id, event_type,
+              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events),
+      edges AS (SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+                FROM w1 WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      wout AS (SELECT prev_type, sum(n)::BIGINT AS w FROM edges GROUP BY 1),
+      e AS (SELECT edges.prev_type, next_type, n, w
+            FROM edges JOIN wout USING (prev_type)),
+      nodes AS (SELECT DISTINCT event_type AS node FROM events),
+      r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+      c1 AS (SELECT next_type AS node, sum((r * n) // w)::BIGINT AS cin
+             FROM e JOIN r0 ON r0.node = e.prev_type GROUP BY 1),
+      r1 AS (SELECT nodes.node,
+               (150000 + (85 * coalesce(cin, 0)) // 100)::BIGINT AS r
+             FROM nodes LEFT JOIN c1 USING (node)),
+      c2 AS (SELECT next_type AS node, sum((r * n) // w)::BIGINT AS cin
+             FROM e JOIN r1 ON r1.node = e.prev_type GROUP BY 1),
+      r2 AS (SELECT nodes.node,
+               (150000 + (85 * coalesce(cin, 0)) // 100)::BIGINT AS r
+             FROM nodes LEFT JOIN c2 USING (node)),
+      c3 AS (SELECT next_type AS node, sum((r * n) // w)::BIGINT AS cin
+             FROM e JOIN r2 ON r2.node = e.prev_type GROUP BY 1),
+      r3 AS (SELECT nodes.node,
+               (150000 + (85 * coalesce(cin, 0)) // 100)::BIGINT AS r
+             FROM nodes LEFT JOIN c3 USING (node))
+      SELECT node AS event_type, r AS rank_micro,
+        round(r::DOUBLE / 1000000.0 + 5e-9, 4) AS pagerank
+      FROM r3 ORDER BY event_type""",
+
+    // Roll effective spread: exact integer cent deltas, exact HUGEINT
+    // moment sums (≡ Spark DECIMAL(38,0)), one double covariance + sqrt
+    // at the edge; cov >= 0 reports NULL spread + flag
+    "q_roll_spread" -> s"""
+      WITH $barsCte,
+      l AS (SELECT symbol, bar_ts,
+              CAST(floor("close" * 100 + 0.5) AS BIGINT) AS c
+            FROM bars),
+      d1 AS (SELECT symbol, bar_ts,
+               c - lag(c) OVER (PARTITION BY symbol ORDER BY bar_ts) AS d
+             FROM l),
+      d2 AS (SELECT symbol, d,
+               lag(d) OVER (PARTITION BY symbol ORDER BY bar_ts) AS dp
+             FROM d1),
+      p AS (SELECT symbol, d, dp FROM d2
+            WHERE d IS NOT NULL AND dp IS NOT NULL),
+      st AS (SELECT symbol, count(*)::BIGINT AS n,
+               sum(d) AS sd, sum(dp) AS sdp, sum(d * dp) AS sddp
+             FROM p GROUP BY 1),
+      cv AS (SELECT symbol, n,
+               (n::DOUBLE * sddp::DOUBLE - sd::DOUBLE * sdp::DOUBLE)
+                 / (n::DOUBLE * (n::DOUBLE - 1.0::DOUBLE)) AS cov
+             FROM st WHERE n >= 2)
+      SELECT symbol, n,
+        round(cov / 10000.0 + 5e-9, 4) + 0.0 AS autocov,
+        CASE WHEN cov < 0
+          THEN round(2.0::DOUBLE * sqrt(-cov) / 100.0 + 5e-9, 4) END AS roll_spread,
+        (cov >= 0) AS no_bounce
+      FROM cv ORDER BY symbol""",
+
     // winsorized stats over the bounded-domain cents histogram:
     // nearest-rank p05/p95 (all-integer ranks), clamped sums folded on
     // the histogram — one double division at the edge

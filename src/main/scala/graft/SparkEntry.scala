@@ -87,6 +87,8 @@ object SparkEntry {
     "q_holt" -> ((s, d) => IndicatorsExt.holt(bars(s, d))),
     "q_ewma_chart" -> ((s, d) => IndicatorsExt.ewmaChart(bars(s, d))),
     "q_winsorize" -> ((s, d) => IndicatorsExt.winsorize(bars(s, d))),
+    "q_roll_spread" -> ((s, d) => IndicatorsExt.rollSpread(bars(s, d))),
+    "q_pagerank" -> ((s, d) => Relational.pagerankTransitions(Tables.events(s, d))),
     "q_cusum" -> ((s, d) => IndicatorsExt.cusum(bars(s, d))),
     "q_cusum_seg" -> ((s, d) => SegmentedWindows.cusumSegmented(bars(s, d))),
     "q_aroon_seg" -> ((s, d) => SegmentedWindows.aroonSegmented(bars(s, d))),

@@ -369,6 +369,45 @@ object IndicatorsExt {
       .orderBy(col("symbol"), col("bar_ts"))
   }
 
+  /** Roll (1984) effective-spread estimator per symbol:
+    * `spread = 2·√(−cov(Δp_t, Δp_{t−1}))` — bid-ask bounce makes
+    * consecutive price changes negatively autocorrelated, and the
+    * negative first-order autocovariance recovers the spread. The
+    * covariance runs on the exact-DECIMAL moment device over INTEGER
+    * cent deltas (Δ cents and its lag are exact; Σd, Σd·d₋₁ are exact
+    * decimal sums — order-free across any partitioning), with the
+    * sample-covariance division and √ as the only double ops (both
+    * IEEE-exact given identical operands). `cov ≥ 0` (no detectable
+    * bounce) reports a NULL spread + flag, the standard convention.
+    * One map-side partial agg per symbol — no window wider than the
+    * 1-row lag. */
+  def rollSpread(bars: DataFrame): DataFrame = {
+    val d = (cents(col("close")) - cents(lag(col("close"), 1).over(w)))
+      .as("d")
+    val paired = bars
+      .select(col("symbol"), col("bar_ts"), d)
+      .select(col("symbol"), col("d"),
+        lag(col("d"), 1).over(w).as("dp"))
+      .filter(col("d").isNotNull && col("dp").isNotNull)
+    val st = paired.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n"),
+      sum(col("d").cast("decimal(38,0)")).as("sd"),
+      sum(col("dp").cast("decimal(38,0)")).as("sdp"),
+      sum((col("d") * col("dp")).cast("decimal(38,0)")).as("sddp"))
+    val nD = col("n").cast("double")
+    val cov = (nD * col("sddp").cast("double")
+      - col("sd").cast("double") * col("sdp").cast("double")) /
+      (nD * (nD - lit(1.0)))
+    st.filter(col("n") >= 2)
+      .select(col("symbol"), col("n"),
+        round(cov / lit(10000.0) + lit(5e-9), 4).as("autocov"),
+        when(cov < 0,
+          round(lit(2.0) * sqrt(-cov) / lit(100.0) + lit(5e-9), 4))
+          .as("roll_spread"),
+        (cov >= 0).as("no_bounce"))
+      .orderBy(col("symbol"))
+  }
+
   /** Winsorized per-symbol price stats via a BOUNDED-DOMAIN exact
     * quantile histogram — a different exact-quantile device from
     * q_quantiles' dyadic interpolation: prices are 2-decimal, so the

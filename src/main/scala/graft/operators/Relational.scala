@@ -650,6 +650,49 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** PageRank over the event-type transition graph — the centrality
+    * view completing the graph family (components D6/D7, triangles
+    * D14): which event types sit at the center of user flows. THREE
+    * unrolled iterations of INTEGER fixed-point PageRank (rank in
+    * micro-units, seed 10⁶; update `r' = 150000 + (85·Σ_u (r_u·n_uv
+    * div W_u)) div 100` — floor division and integer sums are exact
+    * and order-free in both engines, so an ITERATIVE fixpoint becomes
+    * hash-checkable cross-engine, which float PageRank never is:
+    * float contributions sum in engine-dependent order). The edge
+    * list is dictionary²-sized (one lag window over the user
+    * exchange, then map-side count collapse); each iteration is a
+    * broadcast join + tiny aggregate — at 100 TB the edge build
+    * dominates and the iterations stay metadata-scale. */
+  def pagerankTransitions(events: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = events
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(wU).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wout = edges.groupBy(col("prev_type")).agg(sum(col("n")).as("w"))
+    val e = edges.join(broadcast(wout), Seq("prev_type"))
+    val nodes = events.select(col("event_type").as("node")).distinct()
+    def iterate(r: DataFrame): DataFrame = {
+      val contrib = e
+        .join(broadcast(r.select(col("node").as("prev_type"), col("r"))),
+          Seq("prev_type"))
+        .select(col("next_type").as("node"),
+          expr("(r * n) div w").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cin"))
+      nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(cin, 0)) div 100")).as("r"))
+    }
+    val r3 = iterate(iterate(iterate(
+      nodes.select(col("node"), lit(1000000L).as("r")))))
+    r3.select(col("node").as("event_type"), col("r").as("rank_micro"),
+        round(col("r").cast("double") / lit(1000000.0) + lit(5e-9), 4)
+          .as("pagerank"))
+      .orderBy(col("event_type"))
+  }
+
   /** Cohort retention matrix: users grouped by their first active day,
     * distinct-user counts per (cohort, day offset), and the retention
     * fraction — the standard product-analytics view over the event

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bars, Dedup, Ema, IndicatorsExt, SegmentedWindows, TrainingData}
+import graft.operators.{Bars, Dedup, Ema, IndicatorsExt, Relational, SegmentedWindows, TrainingData}
 
 /** Round-8 specs: the CUSUM prefix-sum closed form vs the textbook
   * max-recursion, the segmented CUSUM device, triangle counting on
@@ -131,6 +131,60 @@ class Round8OpsSpec extends SparkSpec {
         + 5e-9) * 1e4 + 0.5) / 1e4
       assert(math.abs(r._7 - exp) < 1e-9, s"$sym mean")
     }
+  }
+
+  test("rollSpread matches the naive covariance of lagged cent deltas") {
+    import spark.implicits._
+    val out = IndicatorsExt.rollSpread(bars001)
+      .select("symbol", "n", "autocov", "roll_spread", "no_bounce")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val closes = bars001.select("symbol", "bar_ts", "close")
+      .as[(String, java.sql.Timestamp, Double)].collect().groupBy(_._1)
+    closes.foreach { case (sym, rows) =>
+      val c = rows.sortBy(_._2.getTime).map(r => math.floor(r._3 * 100 + 0.5).toLong)
+      val d = c.sliding(2).map(p => p(1) - p(0)).toArray
+      val pairs = d.sliding(2).map(p => (p(1), p(0))).toArray
+      val n = pairs.length
+      val sd = pairs.map(_._1).sum; val sdp = pairs.map(_._2).sum
+      val sddp = pairs.map(p => p._1 * p._2).sum
+      val cov = (n.toDouble * sddp - sd.toDouble * sdp.toDouble) /
+        (n.toDouble * (n.toDouble - 1.0))
+      val r = out(sym)
+      assert(r.getLong(1) === n.toLong)
+      val expAuto = math.floor((cov / 10000.0 + 5e-9) * 1e4 + 0.5) / 1e4
+      assert(math.abs(r.getDouble(2) - expAuto) < 1e-9, s"$sym autocov")
+      if (cov < 0) {
+        val expSpread =
+          math.floor((2.0 * math.sqrt(-cov) / 100.0 + 5e-9) * 1e4 + 0.5) / 1e4
+        assert(math.abs(r.getDouble(3) - expSpread) < 1e-9, s"$sym spread")
+        assert(!r.getBoolean(4))
+      } else assert(r.isNullAt(3) && r.getBoolean(4))
+    }
+  }
+
+  test("pagerankTransitions equals the in-memory integer recursion") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf())
+    val out = Relational.pagerankTransitions(events)
+      .select("event_type", "rank_micro")
+      .as[(String, Long)].collect().toMap
+    // rebuild edges naively: consecutive (prev, next) per user on (ts, event_id)
+    val evs = events.select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val edges = evs.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._2.getTime, r._3)).map(_._4).sliding(2)
+        .filter(_.length == 2).map(p => (p(0), p(1)))
+    }.toSeq.groupBy(identity).map { case ((u, v), g) => (u, v, g.size.toLong) }
+    val wOut = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val nodes = evs.map(_._4).distinct
+    var r = nodes.map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      val cin = edges.toSeq.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, n) => r(u) * n / wOut(u) }.sum
+      }
+      r = nodes.map(v => v -> (150000L + 85L * cin.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(out === r)
   }
 
   test("splitLeakage flags exactly the pairs straddling trainSplit") {
