@@ -1626,14 +1626,15 @@ object OracleSql {
     // integers into one double division
     "q_graph_cc" -> s"""
       WITH $minhashPairsCtes,
+      pm AS MATERIALIZED (SELECT doc_a, doc_b FROM p),
       deg AS (SELECT doc_id, count(*) AS degree FROM
-                (SELECT doc_a AS doc_id FROM p
-                 UNION ALL SELECT doc_b FROM p)
+                (SELECT doc_a AS doc_id FROM pm
+                 UNION ALL SELECT doc_b FROM pm)
               GROUP BY doc_id),
       tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
-              FROM p e1
-              JOIN p e2 ON e2.doc_a = e1.doc_b
-              JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+              FROM pm e1
+              JOIN pm e2 ON e2.doc_a = e1.doc_b
+              JOIN pm e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
       tcnt AS (SELECT doc_id, count(*) AS triangles FROM
                  (SELECT a AS doc_id FROM tri
                   UNION ALL SELECT b FROM tri
@@ -2389,8 +2390,11 @@ object OracleSql {
       WITH $barsCte, $rnCte,
       tp AS (SELECT symbol, bar_ts, "close", high, low, rn,
                (high + low + "close") / 3::DOUBLE AS tp FROM b),
+      -- trailing 1000-row truncation (SURVEY §5 EMA-oracle rule):
+      -- (19/21)^999 ~ 1e-44, invisible at 4dp; bounds DuckDB's per-row
+      -- list to 1000 cells (the unbounded form OOM'd at 127 GB at sf1.0)
       w1 AS (SELECT symbol, bar_ts, "close", high, low, rn,
-               list(tp) ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS lst FROM tp),
+               list(tp) ${wf("ROWS BETWEEN 999 PRECEDING AND CURRENT ROW")} AS lst FROM tp),
       e AS (SELECT symbol, bar_ts, "close", high, low, rn,
               list_reduce(lst, (acc, x) -> x * (2::DOUBLE / 21::DOUBLE) + acc * (19::DOUBLE / 21::DOUBLE)) AS mid,
               lag("close", 1) ${wf("")} AS pc
@@ -2794,9 +2798,13 @@ object OracleSql {
     // — same expression, same double)
     "q_holt" -> s"""
       WITH $barsCte,
+      -- trailing 1000-row truncation (SURVEY §5 EMA-oracle rule): Holt's
+      -- transition has spectral radius sqrt(0.7) ~ 0.837, 0.837^999 ~
+      -- 1e-77 — truncation invisible at 4dp; bounds the per-row list
+      -- (the unbounded list-of-lists form OOM'd at 130 GB at sf1.0)
       w1 AS (
         SELECT symbol, bar_ts,
-          list("close"::DOUBLE) ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS lst
+          list("close"::DOUBLE) ${wf("ROWS BETWEEN 999 PRECEDING AND CURRENT ROW")} AS lst
         FROM bars),
       h AS (
         SELECT symbol, bar_ts,
