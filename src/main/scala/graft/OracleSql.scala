@@ -2485,7 +2485,7 @@ object OracleSql {
     "q_incremental_merge" -> s"""
       SELECT event_type, CAST(ts AS DATE) AS day,
         count(*) AS n_rows,
-        sum(CAST(value AS DECIMAL(18,2))) AS total,
+        sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total,
         min(value) AS vmin, max(value) AS vmax,
         round(sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*)::DOUBLE + 5e-9, 4) AS vavg
       FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
@@ -2757,13 +2757,17 @@ object OracleSql {
       FROM s ORDER BY symbol""",
 
     // EWMA control chart: EMA(λ=0.2) vs steady-state μ ± 3σ√(λ/(2−λ))
-    // bands from the q_zscore_anomaly exact-moment device; flag
-    // compares identical raw doubles (no rounding at the boundary)
+    // bands from the q_zscore_anomaly exact-moment device; the fold
+    // window is truncated to 1000 rows (0.8^999 ≈ 1e-97, invisible at
+    // 4dp — the q_keltner/q_holt device) so the list cells stay O(rows)
+    // at every scale factor; the out_of_control flag compares the
+    // 4dp-rounded-with-nudge values on BOTH sides so a ~1e-13 cross-
+    // engine ewma re-association at the band edge cannot flip it
     "q_ewma_chart" -> s"""
       WITH $barsCte,
       w1 AS (
         SELECT symbol, bar_ts, "close",
-          list("close") ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS lst
+          list("close") ${wf("ROWS BETWEEN 999 PRECEDING AND CURRENT ROW")} AS lst
         FROM bars),
       e AS (
         SELECT symbol, bar_ts, "close",
@@ -2786,7 +2790,8 @@ object OracleSql {
         round(mean + 5e-9, 4) AS center,
         round(mean + width + 5e-9, 4) AS ucl,
         round(mean - width + 5e-9, 4) AS lcl,
-        (ewma > mean + width OR ewma < mean - width) AS out_of_control
+        (round(ewma + 5e-9, 4) > round(mean + width + 5e-9, 4)
+          OR round(ewma + 5e-9, 4) < round(mean - width + 5e-9, 4)) AS out_of_control
       FROM j WHERE v > 0 ORDER BY symbol, bar_ts""",
 
     // Holt level/trend smoothing: the coupled 2-state recursion folded

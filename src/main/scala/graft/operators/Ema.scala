@@ -562,7 +562,10 @@ object Ema extends Serializable {
         arr.iterator.map { b =>
           e = if (sd.isFirst && i == 0) init(b.close) else step(e, b.close)
           i += 1
-          (b.symbol, b.bar_ts, e)
+          // defensive copy (same reason emaMulti clones, line 305): a
+          // `step` that mutates its accumulator in place would otherwise
+          // make every row in the chunk carry the chunk's final state
+          (b.symbol, b.bar_ts, e.clone())
         }
       }.toDF("symbol", "bar_ts", "es")
       .select(col("symbol") +: col("bar_ts") +:

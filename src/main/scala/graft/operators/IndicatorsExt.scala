@@ -481,7 +481,12 @@ object IndicatorsExt {
         round(mean + lit(5e-9), 4).as("center"),
         round(mean + width + lit(5e-9), 4).as("ucl"),
         round(mean - width + lit(5e-9), 4).as("lcl"),
-        (col("ewma") > mean + width || col("ewma") < mean - width)
+        // flag on the 4dp-rounded-with-nudge values (the repo's standard
+        // boundary device): the segmented-scan ewma differs from the
+        // oracle's sequential fold by ~1e-13 seed re-association, so a
+        // raw-double compare could flip cross-engine at the band edge
+        (round(col("ewma") + lit(5e-9), 4) > round(mean + width + lit(5e-9), 4) ||
+          round(col("ewma") + lit(5e-9), 4) < round(mean - width + lit(5e-9), 4))
           .as("out_of_control"))
       .orderBy(col("symbol"), col("bar_ts"))
   }

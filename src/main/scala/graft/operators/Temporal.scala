@@ -140,7 +140,14 @@ object Temporal {
         sum(col("s")).as("total"),
         min(col("mn")).as("vmin"),
         max(col("mx")).as("vmax"))
-      .select(col("event_type"), col("day"), col("n_rows"), col("total"),
+      .select(col("event_type"), col("day"), col("n_rows"),
+        // output-edge decimal normalization: the merged sum is
+        // DECIMAL(38,2) (Spark widens 18,2→28,2→38,2 across the two
+        // aggregation stages) and wide decimals canonicalize
+        // asymmetrically downstream (Decimal("150.00") vs float "150.0");
+        // every numeric total in the tree leaves as double (the
+        // q_large_orders device). The cast is exact for |total| < 2^53/100.
+        col("total").cast("double").as("total"),
         col("vmin"), col("vmax"),
         round(col("total").cast("double") / col("n_rows") + lit(5e-9), 4).as("vavg"))
       .orderBy(col("event_type"), col("day"))

@@ -219,7 +219,7 @@ class IndicatorsExtSpec extends SparkSpec {
     val merged = Temporal.incrementalMerge(ev).collect()
     val direct = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
         min(col("value")).as("vmin"), max(col("value")).as("vmax"))
       .select(col("event_type"), col("day"), col("n_rows"), col("total"),
         col("vmin"), col("vmax"),
@@ -230,7 +230,7 @@ class IndicatorsExtSpec extends SparkSpec {
       assert(m.getString(0) === d.getString(0))
       assert(m.getDate(1) === d.getDate(1))
       assert(m.getLong(2) === d.getLong(2))
-      assert(m.getDecimal(3).compareTo(d.getDecimal(3)) === 0)
+      assert(m.getDouble(3) === d.getDouble(3))
       assert(m.getDouble(4) === d.getDouble(4))
       assert(m.getDouble(5) === d.getDouble(5))
       assert(m.getDouble(6) === d.getDouble(6))
