@@ -566,6 +566,22 @@ object OracleSql {
     e AS (SELECT vec_id, list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)) AS v FROM embeddings),
     nv AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)"""
 
+  /** Scale-adaptive IVF centroid CTEs, mirroring
+    * [[graft.operators.Similarity.ivfKFor]]: K = clamp(⌈√N⌉, 32, 4096)
+    * computed from the corpus itself, centroids = the first K vectors
+    * in (md5, vec_id) order. Emits CTEs `ivfkk`, `ivfcr`, and
+    * `$name(cent_id, cv)`. */
+  private def ivfCentCtes(name: String): String = {
+    import graft.operators.Similarity.{IvfKMin, IvfKMax}
+    s"""
+      ivfkk AS (SELECT least(greatest(CAST(ceil(sqrt(count(*))) AS BIGINT), $IvfKMin),
+                  $IvfKMax) AS k FROM nv),
+      ivfcr AS (SELECT vec_id AS cent_id, v AS cv,
+                  row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+                FROM nv),
+      $name AS (SELECT cent_id, cv FROM ivfcr, ivfkk WHERE rn <= ivfkk.k)"""
+  }
+
   /** CTE chain ending in `p(doc_a, doc_b)`: the MinHash/LSH banding
     * candidate pairs (16 bands × r=4, md5 band keys, 64-member bucket
     * cap) — shared by q_dedup_minhash_pairs and q_dedup_clusters. */
@@ -2080,11 +2096,9 @@ object OracleSql {
 
   private val vectorOps: Map[String, String] = Map(
     "q_ann_ivf" -> {
-      import graft.operators.Similarity.{IvfK, IvfProbes, QueryCount}
+      import graft.operators.Similarity.{IvfProbes, QueryCount}
       s"""
-      WITH $vecCtes,
-      cents AS (SELECT vec_id AS cent_id, v AS cv FROM nv
-                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfK),
+      WITH $vecCtes,${ivfCentCtes("cents")},
       a AS (SELECT nv.vec_id, nv.v, nv.nrm, c.cent_id,
               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                 list_transform(nv.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
@@ -2111,7 +2125,7 @@ object OracleSql {
     // the engines' avg() summation-order drift), then the same
     // nprobe/cosine probe as q_ann_ivf.
     "q_ann_ivf_lloyd" -> {
-      import graft.operators.Similarity.{IvfK, IvfProbes, QueryCount}
+      import graft.operators.Similarity.{IvfProbes, QueryCount}
       def d2Sql(a: String, b: String) =
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
           s"list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i]))), (p, s) -> p + s)"
@@ -2126,9 +2140,7 @@ object OracleSql {
       c$k AS (SELECT cent_id, list(m ORDER BY d) AS cv FROM m$k GROUP BY cent_id)"""
       }.mkString(",")
       s"""
-      WITH $vecCtes,
-      c0 AS (SELECT vec_id AS cent_id, v AS cv FROM nv
-             ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfK),$iters,
+      WITH $vecCtes,${ivfCentCtes("c0")},$iters,
       a AS (SELECT nv.vec_id, nv.v, nv.nrm, c.cent_id, ${d2Sql("nv.v", "c.cv")} AS d2
             FROM nv, c2 c),
       cell AS (SELECT vec_id, v, nrm, cent_id AS cell FROM a
@@ -2297,6 +2309,57 @@ object OracleSql {
       r AS (SELECT q_id, nn_id, adc,
               row_number() OVER (PARTITION BY q_id ORDER BY adc, nn_id) AS rk FROM a)
       SELECT q_id, nn_id, floor(adc * 1000000 + 0.5) / 1000000 AS adc, rk
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
+    },
+
+    // IVF+PQ composed: the adaptive-K coarse quantizer ROUTES queries to
+    // their nprobe cells (q_ann_ivf's assignment CTEs), PQ/ADC RANKS the
+    // candidates within the probed cells (q_ann_pq's code/dtable CTEs) —
+    // candidates join codes on id, never raw vectors. ADC folds over
+    // ORDER BY m for a fixed summation order.
+    "q_ann_ivfpq" -> {
+      import graft.operators.Similarity.{IvfProbes, PqKs, PqM, PqSubDim, QueryCount}
+      s"""
+      WITH $vecCtes,${ivfCentCtes("cents")},
+      av AS (SELECT nv.vec_id, c.cent_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(nv.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+                (p, s) -> p + s) AS d2
+            FROM nv, cents c),
+      cell AS (SELECT vec_id, cent_id AS cell FROM av
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      q AS (SELECT vec_id AS q_id, cent_id AS qcell FROM av WHERE vec_id < $QueryCount
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) <= $IvfProbes),
+      samp AS (SELECT v AS cv,
+                 row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code_id
+               FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqKs),
+      ms AS (SELECT unnest(range($PqM)) AS m),
+      pqc AS (SELECT m, code_id,
+                list_slice(cv, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS csub
+              FROM samp, ms),
+      sub AS (SELECT vec_id, m,
+                list_slice(v, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sv
+              FROM e, ms),
+      d AS (SELECT vec_id, sub.m, code_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(sv, (x, i) -> (x - csub[i]) * (x - csub[i]))),
+                (p, s) -> p + s) AS d2
+            FROM sub JOIN pqc ON sub.m = pqc.m),
+      best AS (SELECT vec_id, m, code_id AS code FROM d
+               QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code_id) = 1),
+      dt AS (SELECT vec_id AS q_id, m, code_id, d2 AS qd2 FROM d WHERE vec_id < $QueryCount),
+      cand AS (SELECT q.q_id, cell.vec_id AS nn_id, cell.cell
+               FROM cell JOIN q ON cell.cell = q.qcell AND cell.vec_id <> q.q_id),
+      j AS (SELECT cand.q_id, cand.nn_id, cand.cell, b.m, dt.qd2
+            FROM cand JOIN best b ON b.vec_id = cand.nn_id
+            JOIN dt ON dt.q_id = cand.q_id AND b.m = dt.m AND b.code = dt.code_id),
+      a2 AS (SELECT q_id, nn_id, any_value(cell) AS cell,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd2 ORDER BY m)),
+                (p, s) -> p + s) AS adc
+            FROM j GROUP BY q_id, nn_id),
+      r AS (SELECT q_id, nn_id, cell, adc,
+              row_number() OVER (PARTITION BY q_id ORDER BY adc, nn_id) AS rk FROM a2)
+      SELECT q_id, nn_id, cell, floor(adc * 1000000 + 0.5) / 1000000 AS adc, rk
       FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
     }
   )
@@ -2515,11 +2578,8 @@ object OracleSql {
     // embedding-cluster × metadata rollup: the q_ann_ivf assignment CTE
     // joined to documents on the shared id space
     "q_cluster_sources" -> {
-      import graft.operators.Similarity.IvfK
       s"""
-      WITH $vecCtes,
-      cents AS (SELECT vec_id AS cent_id, v AS cv FROM nv
-                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfK),
+      WITH $vecCtes,${ivfCentCtes("cents")},
       a AS (SELECT nv.vec_id, c.cent_id,
               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                 list_transform(nv.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),

@@ -184,6 +184,7 @@ object SparkEntry {
     "q_embed_quantize" -> ((s, d) => Similarity.embedQuantize(Tables.embeddings(s, d))),
     "q_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
     "q_ann_pq" -> ((s, d) => Similarity.annPq(Tables.embeddings(s, d))),
+    "q_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(Tables.embeddings(s, d))),
     // F. text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),

@@ -25,9 +25,12 @@ import graft.functions.GraftFunctions
   *    lowest — 13 probes/table. Measured at sf0.01: top-1 recall 0.62
   *    vs the brute ceiling with ~9% of the corpus as candidates
   *    (spec-asserted).
-  *  - [[annIvf]]: inverted-file with a FIXED centroid count — K=32
-  *    deterministically sampled by md5 order, so the assignment
-  *    broadcast is O(K) — and nprobe=6 nearest cells per query.
+  *  - [[annIvf]]: inverted-file with a SCALE-ADAPTIVE centroid count —
+  *    K = clamp(⌈√N⌉, 32, 4096) ([[ivfKFor]]) deterministically
+  *    sampled by md5 order, so the assignment broadcast is O(K) — and
+  *    nprobe=6 nearest cells per query.
+  *  - [[annIvfPq]]: IVF routing composed with PQ/ADC ranking — the
+  *    billion-vector shape where raw vectors never join.
   *
   * The cosine itself is a native Catalyst expression
   * ([[graft.functions.CosineSim]]) — one fused codegen'd loop per pair,
@@ -52,9 +55,23 @@ object Similarity {
   val ProbeSingles = 6   // flip each of the 6 lowest-|proj| bits
   val ProbePairBits = 4  // plus the 6 pairs among the 4 lowest
 
-  // IVF geometry: fixed centroid count (broadcast O(K)), multi-cell probe.
-  val IvfK = 32
+  // IVF geometry: SCALE-ADAPTIVE centroid count (broadcast O(K)),
+  // multi-cell probe. K ≈ √N balances cell population (≈√N vectors per
+  // cell ⇒ probe cost nprobe·√N) against index-build cost (N·K
+  // distance evaluations); the clamp keeps tiny corpora clustered
+  // (≥32) and bounds the centroid broadcast on any corpus (4096 × 64
+  // doubles ≈ 2 MB — well under the executor broadcast budget even at
+  // 10⁹ vectors, where √N would want ~31k centroids; past the cap the
+  // right move is IVF+PQ composition, [[annIvfPq]], not more cells).
+  val IvfKMin = 32
+  val IvfKMax = 4096
   val IvfProbes = 6
+
+  /** K = clamp(⌈√N⌉, IvfKMin, IvfKMax) — exact integer/double math,
+    * mirrored verbatim by the oracle's `ceil(sqrt(count(*)))`. */
+  def ivfKFor(n: Long): Int =
+    math.min(IvfKMax.toLong,
+      math.max(IvfKMin.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
   // Content-driven near-dup: cosine floor + bucket-size cap for the
   // all-corpus LSH-bucket pair join.
@@ -256,20 +273,32 @@ object Similarity {
   private def dist2(a: Column, b: Column): Column =
     call_function("dist2", a, b)
 
-  /** IVF-flat ANN: K fixed centroids sampled deterministically by md5
-    * order (top-K is a distributed TakeOrdered — O(K) result no matter
-    * the corpus), every vector assigned to its nearest centroid by
-    * squared L2, queries probe their `IvfProbes` nearest cells and rank
-    * candidates by exact cosine. Broadcast sizes: centroids O(K), query
-    * probes O(|Q|·nprobe). */
+  /** Deterministic centroid sample: the first k corpus vectors in
+    * (md5(vec_id), vec_id) order — a distributed TakeOrdered, O(k)
+    * result regardless of corpus size. Shared by every IVF variant and
+    * mirrored by the oracle's `row_number() OVER (ORDER BY md5...)`. */
+  private def sampledCentroids(e: DataFrame, k: Int): DataFrame =
+    e.select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("cent_id")).limit(k)
+      .select(col("cent_id"), col("cv"))
+
+  /** Adaptive K for a corpus frame: ONE driver-visible scalar (a
+    * column-pruned count — parquet answers it from row-group metadata)
+    * feeding the sample's `limit`. The only per-corpus driver value in
+    * the family; everything downstream stays distributed. */
+  private def adaptiveK(corpus: DataFrame): Int = ivfKFor(corpus.count())
+
+  /** IVF-flat ANN: K = clamp(⌈√N⌉, 32, 4096) centroids ([[ivfKFor]])
+    * sampled deterministically by md5 order (top-K is a distributed
+    * TakeOrdered — O(K) result no matter the corpus), every vector
+    * assigned to its nearest centroid by squared L2, queries probe
+    * their `IvfProbes` nearest cells and rank candidates by exact
+    * cosine. Broadcast sizes: centroids O(K), query probes
+    * O(|Q|·nprobe). */
   def annIvf(embeddings: DataFrame, k: Int = 3): DataFrame = {
     val e = withVec(embeddings)
-    val cents = e
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        md5(col("vec_id").cast("string").cast("binary")).as("h"))
-      .orderBy(col("h"), col("cent_id")).limit(IvfK)
-      .select(col("cent_id"), col("cv"))
-    ivfProbe(e, cents, k)
+    ivfProbe(e, sampledCentroids(e, adaptiveK(e)), k)
   }
 
   /** Embedding-cluster × metadata profile — the curation view a
@@ -284,11 +313,7 @@ object Similarity {
   def clusterSourceProfile(embeddings: DataFrame,
       documents: DataFrame): DataFrame = {
     val e = withVec(embeddings)
-    val cents = e
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        md5(col("vec_id").cast("string").cast("binary")).as("h"))
-      .orderBy(col("h"), col("cent_id")).limit(IvfK)
-      .select(col("cent_id"), col("cv"))
+    val cents = sampledCentroids(e, adaptiveK(e))
     val assign = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
       .groupBy(col("vec_id"))
@@ -355,11 +380,7 @@ object Similarity {
     * i+1's plan starts from 32 materialized rows, not iteration i's
     * full lineage. */
   private def ivfCentroidsLloydFrom(e: DataFrame, iters: Int): DataFrame = {
-    var cents = e
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        md5(col("vec_id").cast("string").cast("binary")).as("h"))
-      .orderBy(col("h"), col("cent_id")).limit(IvfK)
-      .select(col("cent_id"), col("cv"))
+    var cents = sampledCentroids(e, adaptiveK(e))
     for (_ <- 1 to iters) {
       // nearest-centroid assignment as a map-side combinable min_by
       // (same (d2, cent_id) lexicographic order as a rank-1 window,
@@ -586,6 +607,66 @@ object Similarity {
     adc.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("nn_id"), floor6(col("adc")).as("adc"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** IVF+PQ composed ANN — the billion-vector architecture: the coarse
+    * quantizer (adaptive-K md5-sampled centroids, [[ivfKFor]]) ROUTES
+    * each query to its `IvfProbes` nearest cells, and PQ/ADC RANKS the
+    * candidates within the probed cells. The corpus contributes only
+    * (vec_id, cell) plus its 8 nibble codes to the join graph — raw
+    * vectors never shuffle, which is what makes the shape hold at
+    * 100 TB: centroid broadcast O(K ≤ 4096), codebook O(M·Ks), query
+    * distance table O(|Q|·M·Ks), candidate set ≈ nprobe·N/K rows of
+    * (q_id, vec_id, cell) ids. Versus [[annPq]] (ADC over the WHOLE
+    * corpus) the routed candidate set shrinks by ~K/nprobe; versus
+    * [[annIvf]] (exact cosine in-cell) the ranking never touches raw
+    * vectors. ADC folds over the m-sorted struct array for a fixed
+    * summation order (the [[annPq]] device). */
+  def annIvfPq(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val e = Ema.persistTracked(withVec(embeddings))
+    val cents = sampledCentroids(e, adaptiveK(e))
+    val dists = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
+    // corpus routing: map-side combinable min_by — never a corpus window
+    val assign = dists.groupBy(col("vec_id"))
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
+    // query routing: nprobe nearest cells; the window runs on the
+    // BOUNDED query side only
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
+    val qcells = dists.filter(col("vec_id") < QueryCount)
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("qcell"))
+    // ONE codebook evaluation feeds the corpus codes and the query
+    // distance table (its Ks-row sample is checkpointed — one
+    // TakeOrdered corpus pass total, the annPq device)
+    val cb = pqCodebook(e)
+    val codes = pqAssign(e, cb).select(col("vec_id"), col("m"), col("code"))
+    val dtable = defaultQueries(e)
+      .withColumn("qm", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("q_id").as("dq_id"), col("qm"),
+        slice(col("qv"), col("qm") * PqSubDim + 1, lit(PqSubDim)).as("qsv"))
+      .join(broadcast(cb), col("qm") === col("m"))
+      .select(col("dq_id"), col("qm"), col("code_id"),
+        dist2(col("qsv"), col("csub")).as("qd2"))
+    val cand = assign.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dtable),
+        col("q_id") === col("dq_id") && col("m") === col("qm") &&
+          col("code") === col("code_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+        sort_array(collect_list(struct(col("m"), col("qd2")))).as("arr"))
+      .select(col("q_id"), col("vec_id").as("nn_id"), col("cell"),
+        expr("aggregate(arr, cast(0.0 as double), (acc, s) -> acc + s.qd2)").as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("nn_id"))
+    adc.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("nn_id"), col("cell"),
+        floor6(col("adc")).as("adc"), col("rk"))
       .orderBy(col("q_id"), col("rk"))
   }
 

@@ -230,12 +230,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lloyd > 0.2)
   }
 
-  test("IVF ANN: fixed centroid count independent of corpus size") {
-    // the centroid sample is LIMIT IvfK by md5 order — structural O(K)
-    // broadcast; spot-check the probe output references <= IvfK cells
-    val out = Similarity.annIvf(Tables.embeddings(spark, sf()), k = 3).collect()
+  test("IVF ANN: adaptive centroid count clamp(ceil(sqrt(N)), 32, 4096)") {
+    // the centroid sample is LIMIT ivfKFor(N) by md5 order — structural
+    // O(K) broadcast; spot-check the probe output references <= K cells
+    val e = Tables.embeddings(spark, sf())
+    val kc = Similarity.ivfKFor(e.count())
+    val out = Similarity.annIvf(e, k = 3).collect()
     val cells = out.map(_.getAs[Long]("cell")).distinct
-    assert(cells.length <= Similarity.IvfK)
+    assert(cells.length <= kc)
+    // the clamp itself
+    assert(Similarity.ivfKFor(100L) === 32)
+    assert(Similarity.ivfKFor(10000L) === 100)
+    assert(Similarity.ivfKFor(1000L * 1000 * 1000) === 4096)
+  }
+
+  test("IVF+PQ: routed ADC recall vs the brute ceiling, candidates never raw vectors") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val brute = Similarity.annBruteforce(e, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nn_id")).toSet }
+    val ivfpq = Similarity.annIvfPq(e, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nn_id")).toSet }
+    val hits = brute.map { case (q, s) =>
+      ivfpq.getOrElse(q, Set.empty[Long]).intersect(s).size }.sum
+    val recall = hits.toDouble / brute.map(_._2.size).sum
+    info(f"IVF+PQ recall@5 vs brute cosine: $recall%.2f")
+    // routing shrinks candidates ~K/nprobe; the 4-bit codes are coarse,
+    // so the floor is the annPq contract (>= random ~0.01), not annIvf's
+    assert(recall >= 0.03, f"IVF+PQ recall $recall%.2f below 0.03")
   }
 
   test("multi-probe LSH never does worse than single-probe on top-1 cosine") {
