@@ -782,6 +782,54 @@ object OracleSql {
         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens
       FROM documents ORDER BY doc_id""",
 
+    // greedy longest-match subword tokenization against the DECLARED
+    // vocab (graft.functions.WordPieceVocab — the same literal list the
+    // compiled Spark expression matches against). The recursive CTE
+    // replays the greedy walk per DISTINCT word: each step consumes the
+    // longest vocab entry matching at the cursor (max(len) over the
+    // prefix join ≡ longest match — equal-length matches are the same
+    // string); a word whose walk stalls before the end is whole-word
+    // [UNK]. Distinct-word tokenization + join-back keeps the oracle
+    // linear in the dictionary, not the corpus. All-integer counts.
+    "q_tokenize" -> {
+      val vocabValues = graft.functions.WordPieceVocab.entries
+        .map(v => s"('$v')").mkString(", ")
+      s"""
+      WITH RECURSIVE
+      dw AS (SELECT doc_id, lower(w) AS w
+             FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '[^A-Za-z0-9]+')) AS w
+                   FROM documents)
+             WHERE w <> ''),
+      words AS (SELECT DISTINCT w FROM dw),
+      vocab(v) AS (VALUES $vocabValues),
+      walk(w, pos, n) AS (
+        SELECT w, 1, 0 FROM words
+        UNION ALL
+        SELECT walk.w, walk.pos + max(len(v.v)), walk.n + 1
+        FROM walk JOIN vocab v ON substr(walk.w, walk.pos, len(v.v)) = v.v
+        WHERE walk.pos <= len(walk.w)
+        GROUP BY walk.w, walk.pos, walk.n),
+      fin AS (SELECT w, len(w) AS wl, max(pos) AS mp, max(n) AS mn
+              FROM walk GROUP BY w),
+      tok AS (SELECT w,
+                CASE WHEN mp = wl + 1 THEN mn ELSE 1 END AS t,
+                CASE WHEN mp = wl + 1 THEN 0 ELSE 1 END AS u
+              FROM fin),
+      pd AS (SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+               sum(tok.t)::BIGINT AS n_tokens, sum(tok.u)::BIGINT AS n_unk
+             FROM dw JOIN tok USING (w) GROUP BY dw.doc_id)
+      SELECT d.doc_id,
+        coalesce(pd.n_words, 0)::BIGINT AS n_words,
+        coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+        coalesce(pd.n_unk, 0)::BIGINT AS n_unk,
+        CASE WHEN coalesce(pd.n_words, 0) > 0
+          THEN round(pd.n_unk::DOUBLE / pd.n_words::DOUBLE + 5e-9, 4)
+          ELSE 0.0 END AS oov_rate
+      FROM documents d LEFT JOIN pd USING (doc_id)
+      ORDER BY d.doc_id"""
+    },
+
     "q_text_quality" -> """
       WITH t AS (
         SELECT doc_id,

@@ -33,6 +33,32 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Real subword tokenization: greedy longest-match (WordPiece-style)
+    * encoding against the declared [[graft.functions.WordPieceVocab]],
+    * via the native fused [[graft.functions.WpStats]] expression —
+    * words are `[A-Za-z0-9]+` runs lowercased, each encoded by
+    * repeatedly taking the longest vocab entry at the cursor; a word
+    * with an uncoverable position is whole-word [UNK]. Per-doc token
+    * counts + OOV rate, all-integer except the final ratio.
+    *
+    * Plan shape: ONE per-row projection, zero shuffles before the
+    * output sort — at 100 TB this is a pure map-side pass; the vocab
+    * ships inside the compiled expression (the broadcast degenerates
+    * to a constant). The oracle replays the identical greedy walk as a
+    * recursive CTE over DISTINCT words joined back to per-doc counts. */
+  def tokenize(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("wp_stats(text)").as("s"))
+      .select(col("doc_id"),
+        col("s.n_words").as("n_words"),
+        col("s.n_tokens").as("n_tokens"),
+        col("s.n_unk").as("n_unk"),
+        when(col("s.n_words") > 0,
+          round(col("s.n_unk").cast("double") / col("s.n_words") + lit(5e-9), 4))
+          .otherwise(lit(0.0)).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality score from length / punctuation / stopword-ratio signals. */
   def quality(docs: DataFrame): DataFrame = {
     val nChars = length(col("text")).cast("long")

@@ -564,4 +564,23 @@ class OpsExtraSpec extends SparkSpec {
     assert(Relational.profileEvents(ev0).count() === 6L)
     Ema.unpersistAll()
   }
+
+  test("tokenize: hand-checked greedy longest-match, UNK, and empty text") {
+    import spark.implicits._
+    // "table" → ta|b|le = 3, "join" → no unit covers 'j' → UNK,
+    // "stream" → st|ream = 2, "value" → val|ue = 2, case-folds,
+    // punctuation separates, digits are singles
+    val docs = Seq(
+      (1L, "Table JOIN stream, value!"),
+      (2L, "a42"),
+      (3L, ""),
+      (4L, "   ...   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenize(docs).collect()
+    val m = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(m(1L) === ((4L, 8L, 1L, 0.25)))   // 3 + 1(UNK) + 2 + 2 tokens
+    assert(m(2L) === ((1L, 3L, 0L, 0.0)))    // a|4|2
+    assert(m(3L) === ((0L, 0L, 0L, 0.0)))
+    assert(m(4L) === ((0L, 0L, 0L, 0.0)))
+  }
 }
