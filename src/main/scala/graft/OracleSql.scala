@@ -1102,6 +1102,28 @@ object OracleSql {
       FROM cand c LEFT JOIN shared s ON s.doc_id = c.doc_id
       ORDER BY c.doc_id""",
 
+    // Bloom decontamination contract: the filter's bit layout is
+    // engine-specific, so the oracle recomputes the EXACT side of the
+    // confusion matrix per source (the q_decontaminate semi-join,
+    // aggregated) and expects the Bloom guarantees literally TRUE —
+    // zero false negatives (structural) and measured doc-level fp rate
+    // under the bound (the filter is overprovisioned at test scale)
+    "q_decontam_bloom" -> s"""
+      WITH $ngramCtes5,
+      bench AS (SELECT DISTINCT ng FROM ng5 JOIN documents USING (doc_id)
+                WHERE source = 'src0'),
+      cand AS (SELECT doc_id, source FROM documents WHERE source <> 'src0'),
+      shared AS (SELECT n.doc_id, count(*) AS n_shared
+                 FROM ng5 n JOIN cand USING (doc_id) JOIN bench USING (ng)
+                 GROUP BY n.doc_id)
+      SELECT c.source, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+          AS n_contaminated_exact,
+        TRUE AS zero_false_negatives,
+        TRUE AS fp_rate_within_bound
+      FROM cand c LEFT JOIN shared s ON s.doc_id = c.doc_id
+      GROUP BY c.source ORDER BY c.source""",
+
     "q_data_mix" -> """
       WITH t AS (SELECT doc_id, source,
         CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 4)) AS BIGINT) % 100 AS bucket
@@ -2600,6 +2622,22 @@ object OracleSql {
         min(value) AS vmin, max(value) AS vmax,
         round(sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*)::DOUBLE + 5e-9, 4) AS vavg
       FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // incremental DISTINCT via HLL partials: sketch internals are
+    // engine-specific, so the oracle computes the exact anchors (full/
+    // base/delta distinct via the same data-derived cutoff) and expects
+    // the accuracy verdicts literally TRUE (the q_profile_approx device)
+    "q_incremental_distinct" -> """
+      WITH mx AS (SELECT max(CAST(ts AS DATE)) - 7 AS cut FROM events),
+      t AS (SELECT event_type, user_id, CAST(ts AS DATE) AS day, cut
+            FROM events, mx)
+      SELECT event_type,
+        count(DISTINCT user_id)::BIGINT AS n_exact,
+        count(DISTINCT CASE WHEN day < cut THEN user_id END)::BIGINT AS n_base_exact,
+        count(DISTINCT CASE WHEN day >= cut THEN user_id END)::BIGINT AS n_delta_exact,
+        TRUE AS merged_within_3rsd,
+        TRUE AS recomputed_within_3rsd
+      FROM t GROUP BY event_type ORDER BY event_type""",
 
     // daily per-user dimension snapshot: collapse to (user, day) first,
     // dense day grid, forward-fill — the oracle states the same set via

@@ -100,6 +100,7 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => Temporal.scd2(Tables.events(s, d))),
     "q_active_users" -> ((s, d) => Temporal.activeUsers(Tables.events(s, d))),
     "q_incremental_merge" -> ((s, d) => Temporal.incrementalMerge(Tables.events(s, d))),
+    "q_incremental_distinct" -> ((s, d) => Temporal.incrementalDistinct(Tables.events(s, d))),
     "q_dim_snapshot" -> ((s, d) => Temporal.dimSnapshot(Tables.events(s, d))),
     "q_cluster_sources" -> ((s, d) => Similarity.clusterSourceProfile(
       Tables.embeddings(s, d), Tables.documents(s, d))),
@@ -204,6 +205,7 @@ object SparkEntry {
     "q_doc_chunk" -> ((s, d) => TrainingData.docChunk(Tables.documents(s, d))),
     "q_shard_pack" -> ((s, d) => TrainingData.shardPack(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => TrainingData.decontaminate(Tables.documents(s, d))),
+    "q_decontam_bloom" -> ((s, d) => TrainingData.decontamBloomContract(Tables.documents(s, d))),
     "q_contam_report" -> ((s, d) => TrainingData.contamReport(Tables.documents(s, d))),
     "q_redact" -> ((s, d) => TrainingData.redact(Tables.documents(s, d))),
     "q_data_mix" -> ((s, d) => TrainingData.dataMix(Tables.documents(s, d))),

@@ -153,6 +153,53 @@ object Temporal {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Incremental DISTINCT maintenance — the sketch-typed sibling of
+    * [[incrementalMerge]]: a COUNT DISTINCT is not algebraically
+    * mergeable from exact partials (the same user appears in base and
+    * delta), but its HLL sketch IS — union of sketches ≡ sketch of
+    * union up to estimator mode. The stream splits at the same
+    * data-derived cutoff into BASE and DELTA, each reduced to one HLL
+    * partial per event_type (the stored-MV shape: at 100 TB the base
+    * sketch is kilobytes and only the delta rescans), then merged by
+    * `hll_union_agg`.
+    *
+    * Oracle contract (the q_profile_approx device — sketch internals
+    * are engine-specific, so the gated surface is the accuracy
+    * CONTRACT): exact anchors (full/base/delta distinct counts via the
+    * same cutoff) plus boolean verdicts that BOTH the merged estimate
+    * and a from-scratch recompute estimate land within 3·rsd of exact
+    * (rsd = 1.04/√2¹² for Spark's default lgConfigK=12). The merged
+    * and recomputed estimates may differ by a few ulps of the
+    * estimator (union runs in HLL_8 mode), which is why the contract
+    * bounds each against exact rather than demanding bit equality. */
+  def incrementalDistinct(events: DataFrame): DataFrame = {
+    val rsd3 = 3.0 * 1.04 / math.sqrt((1 << 12).toDouble)
+    val cutoff = events.agg(date_add(max(to_date(col("ts"))), -7).as("cut"))
+    val tagged = events.crossJoin(broadcast(cutoff))
+    val base = tagged.filter(to_date(col("ts")) < col("cut"))
+    val delta = tagged.filter(to_date(col("ts")) >= col("cut"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = partial(base).unionByName(partial(delta))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("m_est"))
+    val rec = tagged.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        countDistinct(when(to_date(col("ts")) < col("cut"), col("user_id")))
+          .as("n_base_exact"),
+        countDistinct(when(to_date(col("ts")) >= col("cut"), col("user_id")))
+          .as("n_delta_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("r_est"))
+    merged.join(rec, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_base_exact"),
+        col("n_delta_exact"),
+        (abs(col("m_est") - col("n_exact")) <= lit(rsd3) * col("n_exact"))
+          .as("merged_within_3rsd"),
+        (abs(col("r_est") - col("n_exact")) <= lit(rsd3) * col("n_exact"))
+          .as("recomputed_within_3rsd"))
+      .orderBy(col("event_type"))
+  }
+
   /** Daily dimension snapshot — the warehouse "as-of end of day D" view
     * of per-user state: for every user and every day from the user's
     * first active day through the global max day, the latest event_type

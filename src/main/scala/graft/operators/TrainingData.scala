@@ -202,6 +202,41 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle-gated contract for [[decontaminateBloom]] (q_decontam_bloom)
+    * — the filter's bit layout is engine-specific, so the gated surface
+    * is the GUARANTEE, per source: (1) zero false negatives — every doc
+    * the exact 5-gram semi-join ([[decontaminate]]) flags is also
+    * Bloom-flagged (structural: a Bloom filter never reports a true
+    * member absent); (2) the measured doc-level false-positive rate
+    * among exactly-clean docs stays under `fpBound` (the filter is
+    * provisioned for `expectedNgrams` entries, so its realized bit
+    * density — and hence fpp — is far below nominal at test scale).
+    * Exact anchors (doc and contamination counts) ride along so the
+    * oracle recomputes them and expects the verdicts literally TRUE. */
+  def decontamBloomContract(docs: DataFrame, benchmarkSource: String = "src0",
+      fpBound: Double = 0.05): DataFrame = {
+    val exact = decontaminate(docs, benchmarkSource)
+      .select(col("doc_id"), col("is_contaminated").as("c_exact"))
+    val bloom = decontaminateBloom(docs, benchmarkSource)
+      .select(col("doc_id"), col("is_contaminated").as("c_bloom"))
+    val sources = docs.select(col("doc_id"), col("source"))
+    exact.join(bloom, Seq("doc_id")).join(sources, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("c_exact")).as("n_contaminated_exact"),
+        sum(when(col("c_exact") === 1 && col("c_bloom") === 0, 1L)
+          .otherwise(0L)).as("_fn"),
+        sum(when(col("c_exact") === 0 && col("c_bloom") === 1, 1L)
+          .otherwise(0L)).as("_fp"),
+        sum(when(col("c_exact") === 0, 1L).otherwise(0L)).as("_clean"))
+      .select(col("source"), col("n_docs"), col("n_contaminated_exact"),
+        (col("_fn") === 0).as("zero_false_negatives"),
+        (col("_clean") === 0 ||
+          col("_fp").cast("double") / col("_clean") <= lit(fpBound))
+          .as("fp_rate_within_bound"))
+      .orderBy(col("source"))
+  }
+
   /** Capstone export plan — the END-TO-END curation decision per doc,
     * composing the pipeline a training export actually runs:
     * quality filter ([[TextAnalysis.qualityFilter]]) → near-dup

@@ -214,6 +214,18 @@ class IndicatorsExtSpec extends SparkSpec {
     assert(d8.getLong(1) === 2L && d8.getLong(2) === 2L)       // day 8: u2, u3 (day 0 aged out)
   }
 
+  test("incremental distinct: HLL merge and recompute both inside the 3-rsd envelope") {
+    val out = Temporal.incrementalDistinct(Tables.events(spark, sf())).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nx, nb, nd) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // distinct algebra: union bounded by sum, at least each side
+      assert(nx <= nb + nd && nx >= math.max(nb, nd))
+      assert(r.getBoolean(4), "merged estimate outside 3-rsd")
+      assert(r.getBoolean(5), "recomputed estimate outside 3-rsd")
+    }
+  }
+
   test("incremental merge of base/delta partials equals a direct full recompute") {
     val ev = Tables.events(spark, sf())
     val merged = Temporal.incrementalMerge(ev).collect()
