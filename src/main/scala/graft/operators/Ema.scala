@@ -88,14 +88,17 @@ object Ema extends Serializable {
   /** Distributed prefix scan over chunk summaries: returns the recursion
     * state ENTERING each chunk.
     *
-    * Statically TWO compose levels (chunk → chunk/fanout →
-    * chunk/fanout²) followed by a per-symbol base fold over the
-    * level-2 summaries, then two unfold levels back down. The depth is
-    * fixed so the plan needs NO data-dependent action (no count jobs):
-    * compose/unfold tasks fold at most `fanout` rows, and the base task
-    * folds chunks/fanout² rows per symbol — ~10³ even for a single
-    * 10¹²-row series at the defaults. */
-  def linearSeeds(sums: Dataset[ChunkSum], fanout: Int = 1024): Dataset[ChunkSeed] = {
+    * Statically `levels` compose stages (chunk → chunk/fanout → …)
+    * followed by a per-symbol base fold over the top-level summaries,
+    * then the matching unfolds back down. The depth is a STATIC
+    * parameter so the plan needs NO data-dependent action (no count
+    * jobs): compose/unfold tasks fold at most `fanout` rows, and the
+    * base task folds chunks/fanout^levels rows per symbol — at the
+    * defaults (levels=2) that is ~10³ even for a single 10¹²-row
+    * series; levels=1 still bounds it at ~10⁶ for the same series
+    * while spending 3 fewer exchanges. */
+  def linearSeeds(sums: Dataset[ChunkSum], fanout: Int = 1024,
+      levels: Int = 2): Dataset[ChunkSeed] = {
     val spark = sums.sparkSession
     import spark.implicits._
 
@@ -120,8 +123,15 @@ object Ema extends Serializable {
       }
     }
 
+    // ONE shared key-function instance for compose and unfold: the two
+    // groupings of the same cached level then produce canonically EQUAL
+    // exchange subtrees, so Spark's exchange-reuse rule replaces the
+    // second with a ReusedExchange — each level's summaries shuffle
+    // once, not once per consumer (compose up + unfold down).
+    val byFan: ChunkSum => (String, Long) = s => (s.symbol, s.chunk / fanout)
+
     def compose(ds: Dataset[ChunkSum]): Dataset[ChunkSum] =
-      ds.groupByKey(s => (s.symbol, s.chunk / fanout))
+      ds.groupByKey(byFan)
         .mapGroups { (key: (String, Long), it: Iterator[ChunkSum]) =>
           val arr = it.toArray.sortBy(_.chunk)
           val k = arr.head.decay.length
@@ -142,20 +152,30 @@ object Ema extends Serializable {
         }
 
     def unfold(ds: Dataset[ChunkSum], superSeeds: Dataset[ChunkSeed]): Dataset[ChunkSeed] =
-      ds.groupByKey(s => (s.symbol, s.chunk / fanout))
+      ds.groupByKey(byFan)
         .cogroup(superSeeds.groupByKey(s => (s.symbol, s.chunk))) {
           (_: (String, Long), it: Iterator[ChunkSum], seedIt: Iterator[ChunkSeed]) =>
           foldGroup(it.toArray.sortBy(_.chunk), seedIt.next())
         }
 
+    // `levels` compose stages, the per-symbol base fold over the top
+    // level, then the matching unfolds back down. Capacity: the base
+    // task folds chunks/fanout^levels rows per symbol — levels=2 keeps
+    // that ~10³ for a 10¹⁵-row series; levels=1 folds ~10⁶ rows for a
+    // 10¹²-row series (one fast O(k·rows) task) while saving one
+    // compose exchange and one unfold cogroup — the right trade for a
+    // cascade whose input is already chunk-count rows.
     val cached = persistTracked(sums)
-    val l1 = persistTracked(compose(cached))
-    val l2 = compose(l1)
-    val baseSeeds = l2.groupByKey(_.symbol).flatMapGroups { (_, it) =>
+    var lowers = List(cached)           // head = highest composed level
+    for (i <- 1 to levels) {
+      val next = compose(lowers.head)
+      lowers = (if (i < levels) persistTracked(next) else next) :: lowers
+    }
+    val baseSeeds = lowers.head.groupByKey(_.symbol).flatMapGroups { (_, it) =>
       val arr = it.toArray.sortBy(_.chunk)
       foldGroup(arr, ChunkSeed(arr.head.symbol, arr.head.chunk, Array.empty, isFirst = true))
     }
-    unfold(cached, unfold(l1, baseSeeds))
+    lowers.tail.foldLeft(baseSeeds) { (sup, lower) => unfold(lower, sup) }
   }
 
   case class Bar(symbol: String, bar_ts: java.sql.Timestamp,
@@ -309,6 +329,154 @@ object Ema extends Serializable {
         outCols.zipWithIndex.map { case (n, j) => col("es")(j).as(n) }: _*)
   }
 
+  /** One (symbol, chunk)'s time-sorted channel arrays — micros
+    * timestamps plus a row-major rows×K value matrix. Materialized ONCE
+    * by [[linkedScan]]'s single bar-scale shuffle; every later stage
+    * reads these chunk rows. */
+  case class VecChunk(symbol: String, chunk: Long,
+      ts: Array[Long], xs: Array[Array[Double]])
+
+  /** One chunk's regenerated LINKED series: the per-row carried values
+    * (rows×C) derived from the stage-1 smoothed states. */
+  case class LinkChunk(symbol: String, chunk: Long,
+      ts: Array[Long], carry: Array[Array[Double]])
+
+  /** Two-stage LINKED segmented scan — the [[macd]] shape generalized:
+    * K channels smoothed jointly (stage 1, independent linear
+    * recursions), a pointwise `link` function of the smoothed state
+    * producing C carried series, and a second EMA (α = `alpha2`) over
+    * carried series `linkIdx` (stage 2). ADX is the instance: smooth
+    * TR/+DM/−DM, link to DI±/DX (ratios — NONLINEAR, so the chain has
+    * no affine form and [[emaChain]] cannot fuse it), smooth DX → ADX.
+    *
+    * Shuffle discipline (the reason this exists): ONE bar-scale
+    * exchange total — the initial chunk materialization. Stage-1
+    * summaries are a narrow map over the persisted [[VecChunk]] rows;
+    * both seed cascades run at chunk/metadata scale (levels=1 — input
+    * is already chunk-count rows); stage-1 regeneration + link and the
+    * stage-2 final pass are chunk-LEVEL cogroups over the persisted
+    * arrays, never a re-shuffle of bar rows. (The r8 shape ran two full
+    * [[emaMulti]] scans back to back: 4 bar-scale exchanges and two
+    * depth-2 cascades — 23 exchanges for q_adx; this one plans 15 with
+    * 2 bar-scale including the caller's lag window.)
+    *
+    * Float parity: chunk arrays fold in the identical per-row op order
+    * as [[emaMulti]]'s sorted-group passes, `link` runs the same
+    * left-associated double ops the previous Catalyst projection did,
+    * and stage 2 re-runs the exact recursion from its seed — same
+    * contract, oracle-gated at three scale factors. */
+  def linkedScan(df: DataFrame, valueCols: Seq[String], alphas: Seq[Double],
+      link: Array[Double] => Array[Double], carryCols: Seq[String],
+      linkIdx: Int, alpha2: Double, outCol: String,
+      chunkBars: Int = 1024, fanout: Int = 1024): DataFrame = {
+    require(valueCols.length == alphas.length, "valueCols and alphas must align")
+    val k = alphas.length
+    val c = carryCols.length
+    val as = alphas.toArray
+    val bs = alphas.map(1.0 - _).toArray
+    val a2 = alpha2; val b2 = 1.0 - alpha2
+    val spark = df.sparkSession
+    import spark.implicits._
+    val span = Bars.BucketMicros * chunkBars
+    // the ONE bar-scale shuffle: sorted channel arrays per (symbol, chunk)
+    val vch = persistTracked(
+      df.select(col("symbol"), col("bar_ts"),
+          array(valueCols.map(col): _*).as("xs"),
+          expr(s"unix_micros(bar_ts) div $span").as("chunk"))
+        .as[MBar]
+        .groupByKey(b => (b.symbol, b.chunk))
+        .mapGroups { (key: (String, Long), it: Iterator[MBar]) =>
+          val arr = it.toArray
+          scala.util.Sorting.stableSort(arr,
+            (a: MBar, b: MBar) => a.bar_ts.getTime < b.bar_ts.getTime)
+          val n = arr.length
+          val ts = new Array[Long](n)
+          val xs = Array.ofDim[Double](n, k)
+          var i = 0
+          while (i < n) {
+            ts(i) = arr(i).bar_ts.getTime * 1000L +
+              (arr(i).bar_ts.getNanos / 1000L) % 1000L
+            var j = 0
+            while (j < k) { xs(i)(j) = arr(i).xs(j); j += 1 }
+            i += 1
+          }
+          VecChunk(key._1, key._2, ts, xs)
+        })
+    // stage-1 chunk summaries: narrow map, same fold order as emaMulti
+    val sums1 = vch.map { vc =>
+      val d = Array.fill(k)(1.0)
+      val p = new Array[Double](k)
+      val fx = new Array[Double](k)
+      var i = 0
+      while (i < vc.xs.length) {
+        var j = 0
+        while (j < k) {
+          val x = vc.xs(i)(j)
+          d(j) *= bs(j); p(j) = x * as(j) + p(j) * bs(j)
+          fx(j) = if (i == 0) x else x * as(j) + fx(j) * bs(j)
+          j += 1
+        }
+        i += 1
+      }
+      ChunkSum(vc.symbol, vc.chunk, d, p, fx)
+    }
+    val seeds1 = linearSeeds(sums1, fanout, levels = 1)
+    // stage-1 regeneration + link: chunk-level cogroup, carried arrays
+    val lch = persistTracked(
+      vch.groupByKey(v => (v.symbol, v.chunk))
+        .cogroup(seeds1.groupByKey(s => (s.symbol, s.chunk))) {
+          (key: (String, Long), it: Iterator[VecChunk], seedIt: Iterator[ChunkSeed]) =>
+          val vc = it.next(); val sd = seedIt.next()
+          val e = new Array[Double](k)
+          if (!sd.isFirst) Array.copy(sd.seed, 0, e, 0, k)
+          val n = vc.ts.length
+          val carr = Array.ofDim[Double](n, c)
+          var i = 0
+          while (i < n) {
+            var j = 0
+            while (j < k) {
+              e(j) = if (sd.isFirst && i == 0) vc.xs(i)(j)
+                else vc.xs(i)(j) * as(j) + e(j) * bs(j)
+              j += 1
+            }
+            val lk = link(e)
+            var cc = 0
+            while (cc < c) { carr(i)(cc) = lk(cc); cc += 1 }
+            i += 1
+          }
+          Iterator.single(LinkChunk(key._1, key._2, vc.ts, carr))
+        })
+    // stage-2 chunk summaries over the linked series: narrow map
+    val sums2 = lch.map { lc =>
+      var d = 1.0; var p = 0.0; var f = 0.0
+      var i = 0
+      while (i < lc.carry.length) {
+        val x = lc.carry(i)(linkIdx)
+        d *= b2; p = x * a2 + p * b2
+        f = if (i == 0) x else x * a2 + f * b2
+        i += 1
+      }
+      ChunkSum(lc.symbol, lc.chunk, Array(d), Array(p), Array(f))
+    }
+    val seeds2 = linearSeeds(sums2, fanout, levels = 1)
+    // final rows: exact stage-2 recursion over each persisted chunk array
+    val rows = lch.groupByKey(lc => (lc.symbol, lc.chunk))
+      .cogroup(seeds2.groupByKey(s => (s.symbol, s.chunk))) {
+        (key: (String, Long), it: Iterator[LinkChunk], seedIt: Iterator[ChunkSeed]) =>
+        val lc = it.next(); val sd = seedIt.next()
+        var e2 = if (sd.isFirst) 0.0 else sd.seed(0)
+        (0 until lc.ts.length).iterator.map { i =>
+          val x = lc.carry(i)(linkIdx)
+          e2 = if (sd.isFirst && i == 0) x else x * a2 + e2 * b2
+          (key._1, lc.ts(i), lc.carry(i).toSeq, e2)
+        }
+      }
+    rows.toDF("symbol", "ts_us", "carr", "e2")
+      .select(col("symbol") +: timestamp_micros(col("ts_us")).as("bar_ts") +:
+        (carryCols.zipWithIndex.map { case (nm, i) => col("carr")(i).as(nm) } :+
+          col("e2").as(outCol)): _*)
+  }
+
   /** Distributed prefix scan for CHAINED recursions: like [[linearSeeds]]
     * but each chunk's effect on the entering state is a full affine map
     * `v' = A·v + U` with `A` a dim×dim matrix (row-major in
@@ -363,8 +531,13 @@ object Ema extends Serializable {
       }
     }
 
+    // shared key-fn instance => compose/unfold exchange subtrees
+    // canonicalize equal and the second shuffle per level is reused
+    // (see linearSeeds)
+    val byFan: ChunkSum => (String, Long) = s => (s.symbol, s.chunk / fanout)
+
     def compose(ds: Dataset[ChunkSum]): Dataset[ChunkSum] =
-      ds.groupByKey(s => (s.symbol, s.chunk / fanout))
+      ds.groupByKey(byFan)
         .mapGroups { (key: (String, Long), it: Iterator[ChunkSum]) =>
           val arr = it.toArray.sortBy(_.chunk)
           var a: Array[Double] = null
@@ -384,7 +557,7 @@ object Ema extends Serializable {
         }
 
     def unfold(ds: Dataset[ChunkSum], superSeeds: Dataset[ChunkSeed]): Dataset[ChunkSeed] =
-      ds.groupByKey(s => (s.symbol, s.chunk / fanout))
+      ds.groupByKey(byFan)
         .cogroup(superSeeds.groupByKey(s => (s.symbol, s.chunk))) {
           (_: (String, Long), it: Iterator[ChunkSum], seedIt: Iterator[ChunkSeed]) =>
           foldGroup(it.toArray.sortBy(_.chunk), seedIt.next())

@@ -265,24 +265,25 @@ object IndicatorsExt {
         when(col("p_low").isNull, lit(0.0))
           .otherwise(when(down > up && down > lit(0.0), down).otherwise(lit(0.0)))
           .as("mdm"))
-    val sm = Ema.emaMulti(derived, Seq("tr", "pdm", "mdm"),
-      Seq(alpha, alpha, alpha), Seq("str", "spdm", "smdm"))
-    val diPlus = when(col("str") > lit(0.0),
-      lit(100.0) * col("spdm") / col("str")).otherwise(lit(0.0))
-    val diMinus = when(col("str") > lit(0.0),
-      lit(100.0) * col("smdm") / col("str")).otherwise(lit(0.0))
-    val withDx = sm
-      .select(col("symbol"), col("bar_ts"), diPlus.as("di_plus"),
-        diMinus.as("di_minus"))
-      .select(col("symbol"), col("bar_ts"), col("di_plus"), col("di_minus"),
-        when(col("di_plus") + col("di_minus") > lit(0.0),
-          lit(100.0) * abs(col("di_plus") - col("di_minus"))
-            / (col("di_plus") + col("di_minus"))).otherwise(lit(0.0)).as("dx"))
-    // Second scan: dx smoothed at α=1/n, plus α=1.0 IDENTITY channels
-    // (e = x·1 + e·0 = x bit-exactly) carrying di±/dx through — no join
-    // back, so the first smoothing chain's lineage executes exactly once.
-    Ema.emaMulti(withDx, Seq("dx", "di_plus", "di_minus", "dx"),
-        Seq(alpha, 1.0, 1.0, 1.0), Seq("adx", "di_plus", "di_minus", "dx"))
+    // ONE linkedScan replaces r8's two chained emaMulti passes: stage 1
+    // smooths TR/+DM/−DM jointly, the link computes DI±/DX per row with
+    // the identical left-associated double ops the old Catalyst
+    // projection ran, stage 2 smooths DX → ADX over the persisted chunk
+    // arrays. Bar-scale shuffles drop 4 → 2 (lag window + chunk build);
+    // total exchanges 23 → 15 (PLANS.md), and no identity channels are
+    // needed — the carried DI±/DX live in the chunk arrays.
+    Ema.linkedScan(derived, Seq("tr", "pdm", "mdm"),
+        Seq(alpha, alpha, alpha),
+        link = e => {
+          val str = e(0)
+          val dip = if (str > 0.0) 100.0 * e(1) / str else 0.0
+          val dim = if (str > 0.0) 100.0 * e(2) / str else 0.0
+          val s = dip + dim
+          val dx = if (s > 0.0) 100.0 * math.abs(dip - dim) / s else 0.0
+          Array(dip, dim, dx)
+        },
+        carryCols = Seq("di_plus", "di_minus", "dx"),
+        linkIdx = 2, alpha2 = alpha, outCol = "adx")
       .select(col("symbol"), col("bar_ts"),
         round(col("di_plus") + lit(5e-9), 4).as("di_plus"),
         round(col("di_minus") + lit(5e-9), 4).as("di_minus"),

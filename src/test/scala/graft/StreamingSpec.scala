@@ -539,4 +539,89 @@ class StreamingSpec extends SparkSpec {
       ("A", "2024-01-01 10:05:00.0", 20.0, 20.0, 20.0, 20.0, 1L),
       ("B", "2024-01-01 10:00:00.0", 5.0, 5.0, 5.0, 5.0, 1L)))
   }
+
+  // ── state growth under sustained replay ────────────────────────────
+  // The 100 TB streaming question is STATE growth, not throughput: a
+  // dedup or indicator pipeline that accretes one state row per input
+  // row dies at scale no matter how fast each micro-batch runs. These
+  // two tests replay 100k events on the RocksDB provider and assert
+  // the state-store row count is bounded by the operator's design —
+  // the within-watermark key window for dedup, the key cardinality for
+  // the per-symbol EMA registers — never by the events processed.
+
+  test("dedup-in-watermark state stays bounded over a 100k-event replay on RocksDB") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[RawEv]
+      val q = StreamPipelines.streamingDedup(mem.toDF())
+        .writeStream.outputMode("append").format("memory").queryName("dedup_state")
+        .start()
+      val base = ts("2024-01-01 00:00:00").getTime
+      val batches = 10; val perBatch = 10000; val distinctPerBatch = 8000
+      var rowsAtHalf = 0L
+      try {
+        for (b <- 0 until batches) {
+          // event time advances one full watermark (1 h) per batch, so
+          // keys older than the previous batch become evictable; 20%
+          // of each batch are in-batch duplicates
+          val evs = (0 until perBatch).map { i =>
+            RawEv(b.toLong * perBatch + i,
+              new Timestamp(base + b * 3600000L + (i % distinctPerBatch) * 400L),
+              i.toLong % 50, "e" + (i % 4), i.toDouble)
+          }
+          mem.addData(evs)
+          q.processAllAvailable()
+          if (b == batches / 2 - 1)
+            rowsAtHalf = q.lastProgress.stateOperators.head.numRowsTotal
+        }
+      } finally {
+        val finalRows = q.lastProgress.stateOperators.head.numRowsTotal
+        q.stop()
+        // all non-duplicate rows came through
+        assert(spark.table("dedup_state").count() ===
+          batches.toLong * distinctPerBatch)
+        // bounded by the watermark window (~2 batches of keys in
+        // flight), nowhere near the 80k distinct keys replayed...
+        assert(finalRows <= 3L * distinctPerBatch,
+          s"dedup state grew to $finalRows rows")
+        // ...and flat between the half-way mark and the end (steady
+        // state, not slow accretion)
+        assert(finalRows <= rowsAtHalf * 3 / 2,
+          s"state still growing: $rowsAtHalf -> $finalRows")
+      }
+    }
+  }
+
+  test("streaming MACD state is one register set per symbol after 100k bars on RocksDB") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[StreamPipelines.BarIn]
+      val q = StreamPipelines.macdStream(mem.toDS())
+        .writeStream.outputMode("append").format("memory").queryName("macd_state")
+        .start()
+      val base = ts("2024-01-01 00:00:00").getTime
+      val symbols = 5; val total = 100000
+      try {
+        for (b <- 0 until 4) {
+          val bars = (0 until total / 4).map { i =>
+            val g = b * (total / 4) + i
+            StreamPipelines.BarIn("S" + (g % symbols),
+              new Timestamp(base + (g / symbols) * 300000L), 100.0 + (g % 97))
+          }
+          mem.addData(bars)
+          q.processAllAvailable()
+        }
+      } finally {
+        val finalRows = q.lastProgress.stateOperators.head.numRowsTotal
+        q.stop()
+        assert(spark.table("macd_state").count() === total.toLong)
+        // EMA registers: exactly one state row per symbol, independent
+        // of the 100k bars replayed
+        assert(finalRows === symbols.toLong,
+          s"expected $symbols state rows, got $finalRows")
+      }
+    }
+  }
 }
