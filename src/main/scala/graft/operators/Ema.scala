@@ -745,105 +745,25 @@ object Ema extends Serializable {
         outCols.zipWithIndex.map { case (n, j) => col("es")(j).as(n) }: _*)
   }
 
-  /** One chunk's regenerated macd series: sorted bar timestamps (epoch
-    * micros — bar_ts is micros-exact by construction, Bars.scala:27) and
-    * the macd value per bar. Persisted so the EMA9 summary pass and the
-    * final row pass read it instead of re-sorting bars and re-running
-    * the EMA12/26 recursions (the r2 shape regenerated this array twice
-    * — one extra full cogroup pass over bars per query). */
-  case class MacdChunk(symbol: String, chunk: Long,
-      ts: Array[Long], m: Array[Double])
-
-  /** MACD(12,26,9) as two segmented scans over bars plus metadata-scale
-    * seed scans: pass 1 computes joint EMA12/EMA26 chunk summaries, the
-    * seed scan distributes entry seeds, pass 2 regenerates each chunk's
-    * macd array ONCE (persisted, [[MacdChunk]]); the EMA9 summaries and
-    * the final signal rows both derive from that persisted array with no
-    * further pass over bars. Every stage is parallel across
-    * (symbol, chunk); summaries/seeds are n/chunkBars rows. */
-  def macd(bars: DataFrame, chunkBars: Int = 1024, fanout: Int = 1024): DataFrame = {
-    val spark = bars.sparkSession
-    import spark.implicits._
-    val ch = chunked(bars, chunkBars)
-
-    // pass 1: joint EMA12+EMA26 chunk summaries over close
-    val sums12_26 = ch.groupByKey(b => (b.symbol, b.chunk)).mapGroups { (key: (String, Long), it: Iterator[Bar]) =>
-      val arr = sortedBars(it)
-      var d12 = 1.0; var p12 = 0.0; var f12 = 0.0
-      var d26 = 1.0; var p26 = 0.0; var f26 = 0.0
-      var i = 0
-      while (i < arr.length) {
-        val x = arr(i).close
-        d12 *= B12; p12 = x * A12 + p12 * B12
-        d26 *= B26; p26 = x * A26 + p26 * B26
-        if (i == 0) { f12 = x; f26 = x }
-        else { f12 = x * A12 + f12 * B12; f26 = x * A26 + f26 * B26 }
-        i += 1
-      }
-      ChunkSum(key._1, key._2, Array(d12, d26), Array(p12, p26), Array(f12, f26))
-    }
-    val seeds12_26 = linearSeeds(sums12_26, fanout)
-
-    // pass 2 (the last full-data pass): regenerate each chunk's macd
-    // array from its entry seeds, exactly as the sequential recursion
-    // would inside the chunk, and persist it.
-    val mchunks = persistTracked(
-      ch.groupByKey(b => (b.symbol, b.chunk))
-        .cogroup(seeds12_26.groupByKey(s => (s.symbol, s.chunk))) {
-          (key: (String, Long), it: Iterator[Bar], seedIt: Iterator[ChunkSeed]) =>
-          val sd = seedIt.next()
-          val arr = sortedBars(it)
-          val ts = new Array[Long](arr.length)
-          val m = new Array[Double](arr.length)
-          var e12 = if (sd.isFirst) 0.0 else sd.seed(0)
-          var e26 = if (sd.isFirst) 0.0 else sd.seed(1)
-          var i = 0
-          while (i < arr.length) {
-            val x = arr(i).close
-            if (sd.isFirst && i == 0) { e12 = x; e26 = x }
-            else { e12 = x * A12 + e12 * B12; e26 = x * A26 + e26 * B26 }
-            ts(i) = arr(i).bar_ts.getTime * 1000L +
-              (arr(i).bar_ts.getNanos / 1000L) % 1000L
-            m(i) = e12 - e26
-            i += 1
-          }
-          Iterator.single(MacdChunk(key._1, key._2, ts, m))
-        })
-
-    // EMA9 chunk summaries: a NARROW map over the persisted macd arrays
-    // (one row per chunk already — no shuffle, no bars re-read).
-    val sums9 = mchunks.map { mc =>
-      var d9 = 1.0; var p9 = 0.0; var f9 = 0.0
-      var i = 0
-      while (i < mc.m.length) {
-        d9 *= B9; p9 = mc.m(i) * A9 + p9 * B9
-        f9 = if (i == 0) mc.m(i) else mc.m(i) * A9 + f9 * B9
-        i += 1
-      }
-      ChunkSum(mc.symbol, mc.chunk, Array(d9), Array(p9), Array(f9))
-    }
-    val seeds9 = linearSeeds(sums9, fanout)
-
-    // final rows: the exact EMA9 recursion over each persisted chunk
-    // array from its seed — chunk-level cogroup, not a bars pass.
-    val rows = mchunks.groupByKey(mc => (mc.symbol, mc.chunk))
-      .cogroup(seeds9.groupByKey(s => (s.symbol, s.chunk))) {
-        (key: (String, Long), it: Iterator[MacdChunk], seedIt: Iterator[ChunkSeed]) =>
-        val mc = it.next()
-        val sd = seedIt.next()
-        var sig = if (sd.isFirst) 0.0 else sd.seed(0)
-        (0 until mc.m.length).iterator.map { i =>
-          sig = if (sd.isFirst && i == 0) mc.m(i) else mc.m(i) * A9 + sig * B9
-          (key._1, mc.ts(i), mc.m(i), sig, mc.m(i) - sig)
-        }
-      }
-    rows.toDF("symbol", "ts_us", "m", "s", "h")
-      .select(col("symbol"), timestamp_micros(col("ts_us")).as("bar_ts"),
-        round(col("m") + lit(5e-9), 4).as("macd"),
-        round(col("s") + lit(5e-9), 4).as("macd_signal"),
-        round(col("h") + lit(5e-9), 4).as("macd_hist"))
+  /** MACD(12,26,9) on the [[linkedScan]] two-stage device: EMA12 and
+    * EMA26 smoothed jointly (stage 1), macd = e12 − e26 linked
+    * pointwise, EMA9 of macd (stage 2) over the persisted per-chunk
+    * arrays — ONE bar-scale shuffle; summaries, both seed cascades and
+    * the signal pass run at chunk/metadata scale. β = 1 − α here is
+    * bit-equal to the oracle's 11/13- and 25/27-style literals (exact
+    * for these denominators). hist = macd − signal at the output edge,
+    * the same double op the in-task emit ran. */
+  def macd(bars: DataFrame, chunkBars: Int = 1024, fanout: Int = 1024): DataFrame =
+    linkedScan(bars.select(col("symbol"), col("bar_ts"), col("close")),
+        valueCols = Seq("close", "close"), alphas = Seq(A12, A26),
+        link = e => Array(e(0) - e(1)),
+        carryCols = Seq("m_raw"), linkIdx = 0, alpha2 = A9, outCol = "sig",
+        chunkBars = chunkBars, fanout = fanout)
+      .select(col("symbol"), col("bar_ts"),
+        round(col("m_raw") + lit(5e-9), 4).as("macd"),
+        round(col("sig") + lit(5e-9), 4).as("macd_signal"),
+        round(col("m_raw") - col("sig") + lit(5e-9), 4).as("macd_hist"))
       .orderBy(col("symbol"), col("bar_ts"))
-  }
 
   /** Single-task-per-symbol sequential MACD — retained as the spec
     * comparator for [[macd]] (bit-level drift bound) and as the simpler

@@ -625,36 +625,56 @@ object Similarity {
     * summation order (the [[annPq]] device). */
   def annIvfPq(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val e = Ema.persistTracked(withVec(embeddings))
+    annIvfPqImpl(e, defaultQueries(e), k, broadcastQ = true)
+  }
+
+  /** IVF+PQ over an ARBITRARY query table with the auto-broadcast gate
+    * (the [[annLshFor]]/[[annPqFor]] device): a bounded query set
+    * broadcasts its probe rows and ADC distance table; an
+    * over-threshold set falls back to shuffle equi-joins on the cell /
+    * (subspace, code) keys — either way the corpus side still joins
+    * only through ids and nibble codes. */
+  def annIvfPqFor(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
+    val e = Ema.persistTracked(withVec(embeddings))
+    val q0 = normalizeQueries(queries)
+    annIvfPqImpl(e, q0, k, broadcastQ = fitsBroadcast(q0, maxBroadcastQueries))
+  }
+
+  private def annIvfPqImpl(e: DataFrame, q0: DataFrame, k: Int,
+      broadcastQ: Boolean): DataFrame = {
     val cents = sampledCentroids(e, adaptiveK(e))
-    val dists = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
     // corpus routing: map-side combinable min_by — never a corpus window
-    val assign = dists.groupBy(col("vec_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
+      .groupBy(col("vec_id"))
       .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
-    // query routing: nprobe nearest cells; the window runs on the
-    // BOUNDED query side only
-    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
-    val qcells = dists.filter(col("vec_id") < QueryCount)
+    // query routing: nprobe nearest cells; the window partitions by
+    // q_id, so even the over-gate fallback never sorts the corpus
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cent_id"))
+    val qcells = q0.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cent_id"), dist2(col("qv"), col("cv")).as("d2"))
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= IvfProbes)
-      .select(col("vec_id").as("q_id"), col("cent_id").as("qcell"))
+      .select(col("q_id"), col("cent_id").as("qcell"))
     // ONE codebook evaluation feeds the corpus codes and the query
     // distance table (its Ks-row sample is checkpointed — one
     // TakeOrdered corpus pass total, the annPq device)
     val cb = pqCodebook(e)
     val codes = pqAssign(e, cb).select(col("vec_id"), col("m"), col("code"))
-    val dtable = defaultQueries(e)
+    val dtable = q0
       .withColumn("qm", explode(sequence(lit(0), lit(PqM - 1))))
       .select(col("q_id").as("dq_id"), col("qm"),
         slice(col("qv"), col("qm") * PqSubDim + 1, lit(PqSubDim)).as("qsv"))
       .join(broadcast(cb), col("qm") === col("m"))
       .select(col("dq_id"), col("qm"), col("code_id"),
         dist2(col("qsv"), col("csub")).as("qd2"))
-    val cand = assign.join(broadcast(qcells),
+    val cand = assign.join(
+        if (broadcastQ) broadcast(qcells) else qcells,
         col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("cell"))
     val adc = cand.join(codes, Seq("vec_id"))
-      .join(broadcast(dtable),
+      .join(if (broadcastQ) broadcast(dtable) else dtable,
         col("q_id") === col("dq_id") && col("m") === col("qm") &&
           col("code") === col("code_id"))
       .groupBy(col("q_id"), col("vec_id"))

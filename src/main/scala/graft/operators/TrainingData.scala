@@ -178,12 +178,21 @@ object TrainingData {
     * decontamination. Spec-gated (the filter's bit layout is
     * engine-specific, so no DuckDB oracle). */
   def decontaminateBloom(docs: DataFrame, benchmarkSource: String = "src0",
-      expectedNgrams: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+      expectedNgrams: Long = -1L, fpp: Double = 1e-4): DataFrame = {
     val ng5 = Dedup.wordNgrams(docs.select(col("doc_id"), col("text")), 5)
     val sources = docs.select(col("doc_id"), col("source"))
     val benchNg = ng5.join(sources.filter(col("source") === benchmarkSource), Seq("doc_id"))
       .select(col("ng"))
-    val bloom = benchNg.stat.bloomFilter("ng", expectedNgrams, fpp)
+    // Size the filter FROM the benchmark side (one count over the small
+    // side — it IS the bounded input by construction) unless the caller
+    // provisions explicitly. An undersized filter silently blows the
+    // realized fpp: the r9 sf1.0 run had 123k bench 5-grams against the
+    // old fixed 100k capacity and the doc-level fp rate breached its
+    // contract. fpp is per-PROBE; a doc with g n-grams false-positives
+    // at ~g·fpp, so the default 1e-4 keeps ~100-gram docs under 1%.
+    val sized = if (expectedNgrams > 0) expectedNgrams
+      else math.max(1000L, benchNg.count())
+    val bloom = benchNg.stat.bloomFilter("ng", sized, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val spark = docs.sparkSession
     import spark.implicits._

@@ -244,6 +244,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.ivfKFor(1000L * 1000 * 1000) === 4096)
   }
 
+  test("annIvfPqFor: external query table equals the default bounded query set") {
+    val e = Tables.embeddings(spark, sf())
+    val q = e.filter(col("vec_id") < Similarity.QueryCount)
+    val viaFor = Similarity.annIvfPqFor(e, q).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> r.getLong(1)).toMap
+    val viaDefault = Similarity.annIvfPq(e).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> r.getLong(1)).toMap
+    assert(viaFor === viaDefault)
+  }
+
   test("IVF+PQ: routed ADC recall vs the brute ceiling, candidates never raw vectors") {
     val e = Tables.embeddings(spark, sf("sf0.01"))
     val brute = Similarity.annBruteforce(e, k = 5).collect()
