@@ -275,57 +275,69 @@ object Ema extends Serializable {
     val spark = df.sparkSession
     import spark.implicits._
     val span = Bars.BucketMicros * chunkBars
-    val ch = persistTracked(
+    // ONE bar-scale shuffle (r9): sorted per-chunk channel arrays
+    // materialize once; the summary pass is a narrow map over them and
+    // the regeneration cogroup runs at CHUNK granularity — the r8 shape
+    // re-shuffled and re-sorted the bar rows for each of the two passes.
+    val vch = persistTracked(
       df.select(col("symbol"), col("bar_ts"),
           array(valueCols.map(col): _*).as("xs"),
           expr(s"unix_micros(bar_ts) div $span").as("chunk"))
-        .as[MBar])
-    def sortedM(it: Iterator[MBar]): Array[MBar] = {
-      val arr = it.toArray
-      scala.util.Sorting.stableSort(arr,
-        (a: MBar, b: MBar) => a.bar_ts.getTime < b.bar_ts.getTime)
-      arr
-    }
-    val sums = ch.groupByKey(b => (b.symbol, b.chunk)).mapGroups {
-      (key: (String, Long), it: Iterator[MBar]) =>
-      val arr = sortedM(it)
+        .as[MBar]
+        .groupByKey(b => (b.symbol, b.chunk))
+        .mapGroups { (key: (String, Long), it: Iterator[MBar]) =>
+          val arr = it.toArray
+          scala.util.Sorting.stableSort(arr,
+            (a: MBar, b: MBar) => a.bar_ts.getTime < b.bar_ts.getTime)
+          val n = arr.length
+          val ts = new Array[Long](n)
+          val xs = Array.ofDim[Double](n, k)
+          var i = 0
+          while (i < n) {
+            ts(i) = arr(i).bar_ts.getTime * 1000L +
+              (arr(i).bar_ts.getNanos / 1000L) % 1000L
+            var j = 0
+            while (j < k) { xs(i)(j) = arr(i).xs(j); j += 1 }
+            i += 1
+          }
+          VecChunk(key._1, key._2, ts, xs)
+        })
+    val sums = vch.map { vc =>
       val d = Array.fill(k)(1.0)
       val p = new Array[Double](k)
       val fx = new Array[Double](k)
       var i = 0
-      while (i < arr.length) {
+      while (i < vc.xs.length) {
         var j = 0
         while (j < k) {
-          val x = arr(i).xs(j)
+          val x = vc.xs(i)(j)
           d(j) *= bs(j); p(j) = x * as(j) + p(j) * bs(j)
           fx(j) = if (i == 0) x else x * as(j) + fx(j) * bs(j)
           j += 1
         }
         i += 1
       }
-      ChunkSum(key._1, key._2, d, p, fx)
+      ChunkSum(vc.symbol, vc.chunk, d, p, fx)
     }
     val seeds = linearSeeds(sums, fanout)
-    ch.groupByKey(b => (b.symbol, b.chunk))
+    vch.groupByKey(v => (v.symbol, v.chunk))
       .cogroup(seeds.groupByKey(s => (s.symbol, s.chunk))) {
-        (_: (String, Long), it: Iterator[MBar], seedIt: Iterator[ChunkSeed]) =>
+        (key: (String, Long), it: Iterator[VecChunk], seedIt: Iterator[ChunkSeed]) =>
+        val vc = it.next()
         val sd = seedIt.next()
-        val arr = sortedM(it)
         val e = new Array[Double](k)
         if (!sd.isFirst) Array.copy(sd.seed, 0, e, 0, k)
-        var i = 0
-        arr.iterator.map { b =>
+        (0 until vc.ts.length).iterator.map { i =>
           var j = 0
           while (j < k) {
-            e(j) = if (sd.isFirst && i == 0) b.xs(j)
-              else b.xs(j) * as(j) + e(j) * bs(j)
+            e(j) = if (sd.isFirst && i == 0) vc.xs(i)(j)
+              else vc.xs(i)(j) * as(j) + e(j) * bs(j)
             j += 1
           }
-          i += 1
-          (b.symbol, b.bar_ts, e.clone())
+          (key._1, vc.ts(i), e.clone())
         }
-      }.toDF("symbol", "bar_ts", "es")
-      .select(col("symbol") +: col("bar_ts") +:
+      }.toDF("symbol", "ts_us", "es")
+      .select(col("symbol") +: timestamp_micros(col("ts_us")).as("bar_ts") +:
         outCols.zipWithIndex.map { case (n, j) => col("es")(j).as(n) }: _*)
   }
 
