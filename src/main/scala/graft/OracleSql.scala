@@ -115,11 +115,14 @@ object OracleSql {
     // `+ 0.0` canonicalizes DuckDB's -0.0 (its round is a ×10^4 multiply
     // that preserves the sign of tiny negatives; Spark's BigDecimal round
     // has no signed zero) — without it one macd_hist cell hashes as -0.0.
+    // fold windows truncated to 1000 rows (the §5 keltner/holt device):
+    // slowest decay here is 25/27 → (25/27)^999 ≈ 1e-33, invisible at
+    // 4dp, and the O(rows²) list-cell blow-up disappears at any scale
     "q_macd" -> s"""
       WITH $barsCte,
       w1 AS (
         SELECT symbol, bar_ts,
-          list("close") ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS lst
+          list("close") ${wf("ROWS BETWEEN 999 PRECEDING AND CURRENT ROW")} AS lst
         FROM bars),
       m AS (
         SELECT symbol, bar_ts,
@@ -128,7 +131,7 @@ object OracleSql {
         FROM w1),
       w2 AS (
         SELECT symbol, bar_ts, macd,
-          list(macd) ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS mlst
+          list(macd) ${wf("ROWS BETWEEN 999 PRECEDING AND CURRENT ROW")} AS mlst
         FROM m),
       s AS (
         SELECT symbol, bar_ts, macd,
@@ -2556,7 +2559,7 @@ object OracleSql {
                     ELSE lag(hc, 1) ${wf("")} END AS x
              FROM h1),
       h3 AS (SELECT symbol, bar_ts, high, low, hc,
-               list(x) ${wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS lst FROM h2),
+               list(x) ${wf("ROWS BETWEEN 999 PRECEDING AND CURRENT ROW")} AS lst FROM h2),
       h4 AS (SELECT symbol, bar_ts, high, low, hc,
                list_reduce(lst, (acc, x) -> x * 0.5::DOUBLE + acc * 0.5::DOUBLE) AS ha_open FROM h3)
       SELECT symbol, bar_ts,
@@ -2688,7 +2691,8 @@ object OracleSql {
     "q_adx" -> {
       val A = "(1::DOUBLE / 14::DOUBLE)"
       val B = "(1::DOUBLE - 1::DOUBLE / 14::DOUBLE)"
-      val run = wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+      // truncated fold window (§5): (13/14)^999 ≈ 4e-33, 4dp-invisible
+      val run = wf("ROWS BETWEEN 999 PRECEDING AND CURRENT ROW")
       s"""
       WITH $barsCte,
       l AS (SELECT symbol, bar_ts, high, low,
@@ -2746,7 +2750,9 @@ object OracleSql {
     "q_trix" -> {
       val A = "(2::DOUBLE / 16::DOUBLE)"
       val B = "(1::DOUBLE - 2::DOUBLE / 16::DOUBLE)"
-      val run = wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+      // each of the three chained folds truncates independently (§5):
+      // 0.875^999 ≈ 1e-58 absolute on a ~100-magnitude series
+      val run = wf("ROWS BETWEEN 999 PRECEDING AND CURRENT ROW")
       s"""
       WITH $barsCte,
       w1 AS (SELECT symbol, bar_ts, list("close") $run AS l1 FROM bars),
@@ -2765,6 +2771,9 @@ object OracleSql {
     // both engines) + oscillator (EMA3 − EMA10 folds over the line)
     "q_ad_line" -> {
       val run = wf("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+      // the RUNNING SUM must stay unbounded (sums do not decay); only
+      // the EMA fold lists truncate (§5): slowest decay 9/11 → ~1e-87
+      val foldw = wf("ROWS BETWEEN 999 PRECEDING AND CURRENT ROW")
       s"""
       WITH $barsCte,
       f AS (SELECT symbol, bar_ts,
@@ -2773,7 +2782,7 @@ object OracleSql {
                 * volume::DOUBLE + 5e-9, 6)::DECIMAL(28,6) AS mfv6
             FROM bars),
       a AS (SELECT symbol, bar_ts, sum(mfv6) $run AS ad_exact FROM f),
-      w1 AS (SELECT symbol, bar_ts, ad_exact, list(ad_exact::DOUBLE) $run AS lst FROM a),
+      w1 AS (SELECT symbol, bar_ts, ad_exact, list(ad_exact::DOUBLE) $foldw AS lst FROM a),
       o AS (SELECT symbol, bar_ts, ad_exact,
               list_reduce(lst, (acc, x) ->
                 x * (2::DOUBLE / 4::DOUBLE) + acc * (1::DOUBLE - 2::DOUBLE / 4::DOUBLE)) AS e3,
