@@ -136,4 +136,27 @@ class PlanShapeSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  // Exchange-count regression gate for the r9 linked-scan rewrites: the
+  // q_adx/q_macd fusions (one bar-scale shuffle + levels-1 cascades +
+  // compose/unfold exchange reuse) planned 14/13 exchanges where the r8
+  // shapes planned 23/21. The bound has slack for planner drift but
+  // trips long before the old two-full-scan shape (or a lost
+  // ReusedExchange) could sneak back.
+  for ((name, bound) <- Seq("q_adx" -> 17, "q_macd" -> 16))
+    test(s"$name plans at most $bound exchanges (linked-scan fusion holds)") {
+      val fn = SparkEntry.queries(name)
+      try {
+        val df = fn(spark, sf())
+        val nodes = PlanAudit.executedNodes(df.queryExecution.executedPlan)
+        val exchanges = nodes.map(_.simpleString(60))
+          .count(_.startsWith("Exchange"))
+        assert(exchanges <= bound,
+          s"$name plans $exchanges exchanges (> $bound): the segmented-scan" +
+            " fusion or exchange reuse has regressed")
+      } finally {
+        graft.operators.Ema.unpersistAll()
+        spark.catalog.clearCache()
+      }
+    }
 }
