@@ -2434,6 +2434,67 @@ object OracleSql {
               row_number() OVER (PARTITION BY q_id ORDER BY adc, nn_id) AS rk FROM a2)
       SELECT q_id, nn_id, cell, floor(adc * 1000000 + 0.5) / 1000000 AS adc, rk
       FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
+    },
+
+    // Residual IVF+PQ (IVFADC proper): the codebook trains on residuals
+    // r = x - centroid(cell), queries build one distance table per
+    // PROBED cell against their own residual q - centroid. Residual
+    // subtraction is exact per-element; everything else mirrors
+    // q_ann_ivfpq with the residual frames substituted.
+    "q_ann_ivfpq_res" -> {
+      import graft.operators.Similarity.{IvfProbes, PqKs, PqM, PqSubDim, QueryCount}
+      s"""
+      WITH $vecCtes,${ivfCentCtes("cents")},
+      av AS (SELECT nv.vec_id, nv.v, c.cent_id, c.cv,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(nv.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+                (p, s) -> p + s) AS d2
+            FROM nv, cents c),
+      cellv AS (SELECT vec_id, cent_id AS cell,
+                  list_transform(v, (x, i) -> x - cv[i]) AS r
+                FROM av
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      samp AS (SELECT r AS scv,
+                 row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code_id
+               FROM cellv ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqKs),
+      ms AS (SELECT unnest(range($PqM)) AS m),
+      pqc AS (SELECT m, code_id,
+                list_slice(scv, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS csub
+              FROM samp, ms),
+      sub AS (SELECT vec_id, m,
+                list_slice(r, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sv
+              FROM cellv, ms),
+      d AS (SELECT vec_id, sub.m, code_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(sv, (x, i) -> (x - csub[i]) * (x - csub[i]))),
+                (p, s) -> p + s) AS d2
+            FROM sub JOIN pqc ON sub.m = pqc.m),
+      best AS (SELECT vec_id, m, code_id AS code FROM d
+               QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code_id) = 1),
+      qprobe AS (SELECT vec_id AS q_id, cent_id AS qcell,
+                   list_transform(v, (x, i) -> x - cv[i]) AS qr
+                 FROM av WHERE vec_id < $QueryCount
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) <= $IvfProbes),
+      dtq AS (SELECT q.q_id, q.qcell, ms.m, pqc.code_id,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(list_slice(q.qr, ms.m * $PqSubDim + 1, ms.m * $PqSubDim + $PqSubDim),
+                    (x, i) -> (x - pqc.csub[i]) * (x - pqc.csub[i]))),
+                  (p, s) -> p + s) AS qd2
+              FROM qprobe q, ms JOIN pqc ON ms.m = pqc.m),
+      cand AS (SELECT q.q_id, cellv.vec_id AS nn_id, cellv.cell
+               FROM cellv JOIN qprobe q ON cellv.cell = q.qcell AND cellv.vec_id <> q.q_id),
+      j AS (SELECT cand.q_id, cand.nn_id, cand.cell, b.m, dt.qd2
+            FROM cand JOIN best b ON b.vec_id = cand.nn_id
+            JOIN dtq dt ON dt.q_id = cand.q_id AND dt.qcell = cand.cell
+              AND b.m = dt.m AND b.code = dt.code_id),
+      a2 AS (SELECT q_id, nn_id, any_value(cell) AS cell,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd2 ORDER BY m)),
+                (p, s) -> p + s) AS adc
+            FROM j GROUP BY q_id, nn_id),
+      r AS (SELECT q_id, nn_id, cell, adc,
+              row_number() OVER (PARTITION BY q_id ORDER BY adc, nn_id) AS rk FROM a2)
+      SELECT q_id, nn_id, cell, floor(adc * 1000000 + 0.5) / 1000000 AS adc, rk
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
     }
   )
 

@@ -186,6 +186,7 @@ object SparkEntry {
     "q_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
     "q_ann_pq" -> ((s, d) => Similarity.annPq(Tables.embeddings(s, d))),
     "q_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(Tables.embeddings(s, d))),
+    "q_ann_ivfpq_res" -> ((s, d) => Similarity.annIvfPqResidual(Tables.embeddings(s, d))),
     // F. text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
