@@ -205,6 +205,38 @@ object Ema extends Serializable {
     arr
   }
 
+  /** One (symbol, chunk)'s time-sorted close series — the scalar sibling
+    * of [[VecChunk]]. */
+  case class SChunk(symbol: String, chunk: Long,
+      ts: Array[Long], x: Array[Double])
+
+  /** Chunk-array materialization for the single-channel scans
+    * (r9 shape, shared by [[emaSegmented]]/[[emaChain]]/[[affineScan]]):
+    * the ONE bar-scale shuffle; summaries become narrow maps over the
+    * persisted arrays and the regeneration cogroup runs on chunk rows
+    * instead of re-shuffling + re-sorting bars per pass. */
+  private def scalarChunks(bars: DataFrame, chunkBars: Int): Dataset[SChunk] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    persistTracked(
+      chunked(bars, chunkBars)
+        .groupByKey(b => (b.symbol, b.chunk))
+        .mapGroups { (key: (String, Long), it: Iterator[Bar]) =>
+          val arr = sortedBars(it)
+          val n = arr.length
+          val ts = new Array[Long](n)
+          val x = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            ts(i) = arr(i).bar_ts.getTime * 1000L +
+              (arr(i).bar_ts.getNanos / 1000L) % 1000L
+            x(i) = arr(i).close
+            i += 1
+          }
+          SChunk(key._1, key._2, ts, x)
+        })
+  }
+
   /** Distributed segmented-scan EMA over `close` for one span — the same
     * machinery as [[macd]] with a single recurrence. */
   def emaSegmented(bars: DataFrame, span: Int, chunkBars: Int = 1024,
@@ -212,32 +244,31 @@ object Ema extends Serializable {
     val alpha = 2.0 / (span + 1); val beta = 1.0 - alpha
     val spark = bars.sparkSession
     import spark.implicits._
-    val ch = chunked(bars, chunkBars)
-    val sums = ch.groupByKey(b => (b.symbol, b.chunk)).mapGroups { (key: (String, Long), it: Iterator[Bar]) =>
-      val arr = sortedBars(it)
+    val ch = scalarChunks(bars, chunkBars)
+    val sums = ch.map { sc =>
       var d = 1.0; var p = 0.0; var fx = 0.0; var i = 0
-      while (i < arr.length) {
-        val x = arr(i).close
+      while (i < sc.x.length) {
+        val x = sc.x(i)
         d *= beta; p = x * alpha + p * beta
         fx = if (i == 0) x else x * alpha + fx * beta
         i += 1
       }
-      ChunkSum(key._1, key._2, Array(d), Array(p), Array(fx))
+      ChunkSum(sc.symbol, sc.chunk, Array(d), Array(p), Array(fx))
     }
     val seeds = linearSeeds(sums, fanout)
-    ch.groupByKey(b => (b.symbol, b.chunk))
+    ch.groupByKey(c => (c.symbol, c.chunk))
       .cogroup(seeds.groupByKey(s => (s.symbol, s.chunk))) {
-        (_: (String, Long), it: Iterator[Bar], seedIt: Iterator[ChunkSeed]) =>
+        (key: (String, Long), it: Iterator[SChunk], seedIt: Iterator[ChunkSeed]) =>
+        val sc = it.next()
         val sd = seedIt.next()
-        val arr = sortedBars(it)
         var e = if (sd.isFirst) 0.0 else sd.seed(0)
-        var i = 0
-        arr.iterator.map { b =>
-          e = if (sd.isFirst && i == 0) b.close else b.close * alpha + e * beta
-          i += 1
-          (b.symbol, b.bar_ts, e)
+        (0 until sc.x.length).iterator.map { i =>
+          e = if (sd.isFirst && i == 0) sc.x(i) else sc.x(i) * alpha + e * beta
+          (key._1, sc.ts(i), e)
         }
-      }.toDF("symbol", "bar_ts", "ema") match {
+      }.toDF("symbol", "ts_us", "ema")
+      .select(col("symbol"), timestamp_micros(col("ts_us")).as("bar_ts"),
+        col("ema")) match {
       // intermediate stages of an EMA chain (TRIX, Keltner's join side)
       // don't need the output-contract sort — skip the range exchange
       case df if sorted => df.orderBy(col("symbol"), col("bar_ts"))
@@ -619,14 +650,13 @@ object Ema extends Serializable {
     }
     val spark = bars.sparkSession
     import spark.implicits._
-    val ch = chunked(bars, chunkBars)
+    val ch = scalarChunks(bars, chunkBars)
     def chainStep(e: Array[Double], x: Double): Unit = {
       var p = x; var j = 0
       while (j < k) { e(j) = p * as(j) + e(j) * bs(j); p = e(j); j += 1 }
     }
-    val sums = ch.groupByKey(b => (b.symbol, b.chunk)).mapGroups {
-      (key: (String, Long), it: Iterator[Bar]) =>
-      val arr = sortedBars(it)
+    val sums = ch.map { sc =>
+      val arr = sc.x
       val a = new Array[Double](k * k)
       var j = 0
       while (j < k) { a(j * k + j) = 1.0; j += 1 }
@@ -634,7 +664,7 @@ object Ema extends Serializable {
       val fx = new Array[Double](k)
       var i = 0
       while (i < arr.length) {
-        val x = arr(i).close
+        val x = arr(i)
         // U ← M·U + c·x ; A ← M·A (row-major, reading the old values)
         val nu = new Array[Double](k)
         val na = new Array[Double](k * k)
@@ -656,26 +686,24 @@ object Ema extends Serializable {
         else chainStep(fx, x)
         i += 1
       }
-      ChunkSum(key._1, key._2, a, u, fx)
+      ChunkSum(sc.symbol, sc.chunk, a, u, fx)
     }
     val seeds = affineSeeds(sums, k, fanout)
-    ch.groupByKey(b => (b.symbol, b.chunk))
+    ch.groupByKey(c => (c.symbol, c.chunk))
       .cogroup(seeds.groupByKey(s => (s.symbol, s.chunk))) {
-        (_: (String, Long), it: Iterator[Bar], seedIt: Iterator[ChunkSeed]) =>
+        (key: (String, Long), it: Iterator[SChunk], seedIt: Iterator[ChunkSeed]) =>
+        val sc = it.next()
         val sd = seedIt.next()
-        val arr = sortedBars(it)
         val e = new Array[Double](k)
         if (!sd.isFirst) Array.copy(sd.seed, 0, e, 0, k)
-        var i = 0
-        arr.iterator.map { b =>
+        (0 until sc.x.length).iterator.map { i =>
           if (sd.isFirst && i == 0) {
-            var q = 0; while (q < k) { e(q) = b.close; q += 1 }
-          } else chainStep(e, b.close)
-          i += 1
-          (b.symbol, b.bar_ts, e.clone())
+            var q = 0; while (q < k) { e(q) = sc.x(i); q += 1 }
+          } else chainStep(e, sc.x(i))
+          (key._1, sc.ts(i), e.clone())
         }
-      }.toDF("symbol", "bar_ts", "es")
-      .select(col("symbol") +: col("bar_ts") +:
+      }.toDF("symbol", "ts_us", "es")
+      .select(col("symbol") +: timestamp_micros(col("ts_us")).as("bar_ts") +:
         outCols.zipWithIndex.map { case (n, j) => col("es")(j).as(n) }: _*)
   }
 
@@ -702,10 +730,9 @@ object Ema extends Serializable {
     require(m.length == k * k && outCols.length == k)
     val spark = bars.sparkSession
     import spark.implicits._
-    val ch = chunked(bars, chunkBars)
-    val sums = ch.groupByKey(b => (b.symbol, b.chunk)).mapGroups {
-      (key: (String, Long), it: Iterator[Bar]) =>
-      val arr = sortedBars(it)
+    val ch = scalarChunks(bars, chunkBars)
+    val sums = ch.map { sc =>
+      val arr = sc.x
       val a = new Array[Double](k * k)
       var j = 0
       while (j < k) { a(j * k + j) = 1.0; j += 1 }
@@ -713,7 +740,7 @@ object Ema extends Serializable {
       var fx: Array[Double] = null
       var i = 0
       while (i < arr.length) {
-        val x = arr(i).close
+        val x = arr(i)
         // U ← M·U + c·x ; A ← M·A (row-major, reading the old values)
         val nu = new Array[Double](k)
         val na = new Array[Double](k * k)
@@ -734,26 +761,24 @@ object Ema extends Serializable {
         fx = if (i == 0) init(x) else step(fx, x)
         i += 1
       }
-      ChunkSum(key._1, key._2, a, u, fx)
+      ChunkSum(sc.symbol, sc.chunk, a, u, fx)
     }
     val seeds = affineSeeds(sums, k, fanout)
-    ch.groupByKey(b => (b.symbol, b.chunk))
+    ch.groupByKey(c => (c.symbol, c.chunk))
       .cogroup(seeds.groupByKey(s => (s.symbol, s.chunk))) {
-        (_: (String, Long), it: Iterator[Bar], seedIt: Iterator[ChunkSeed]) =>
+        (key: (String, Long), it: Iterator[SChunk], seedIt: Iterator[ChunkSeed]) =>
+        val sc = it.next()
         val sd = seedIt.next()
-        val arr = sortedBars(it)
         var e: Array[Double] = if (sd.isFirst) null else sd.seed
-        var i = 0
-        arr.iterator.map { b =>
-          e = if (sd.isFirst && i == 0) init(b.close) else step(e, b.close)
-          i += 1
-          // defensive copy (same reason emaMulti clones, line 305): a
-          // `step` that mutates its accumulator in place would otherwise
-          // make every row in the chunk carry the chunk's final state
-          (b.symbol, b.bar_ts, e.clone())
+        (0 until sc.x.length).iterator.map { i =>
+          e = if (sd.isFirst && i == 0) init(sc.x(i)) else step(e, sc.x(i))
+          // defensive copy (same reason emaMulti clones): a `step` that
+          // mutates its accumulator in place would otherwise make every
+          // row in the chunk carry the chunk's final state
+          (key._1, sc.ts(i), e.clone())
         }
-      }.toDF("symbol", "bar_ts", "es")
-      .select(col("symbol") +: col("bar_ts") +:
+      }.toDF("symbol", "ts_us", "es")
+      .select(col("symbol") +: timestamp_micros(col("ts_us")).as("bar_ts") +:
         outCols.zipWithIndex.map { case (n, j) => col("es")(j).as(n) }: _*)
   }
 
