@@ -1127,6 +1127,32 @@ object OracleSql {
       FROM cand c LEFT JOIN shared s ON s.doc_id = c.doc_id
       GROUP BY c.source ORDER BY c.source""",
 
+    // TPC-H Q21 shape, textbook correlated form: the oracle keeps the
+    // EXISTS / NOT EXISTS subqueries so the hash match PROVES the Spark
+    // side's single-aggregate decorrelation (n_supp>1 ∧ n_late_supp=1)
+    // is equivalent — the strongest evidence a decorrelation can get
+    "q_sole_late_supplier" -> """
+      WITH l1 AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+          (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'),
+      sole AS (
+        SELECT DISTINCT a.l_orderkey, a.l_suppkey
+        FROM l1 a
+        WHERE a.late
+          AND EXISTS (SELECT 1 FROM l1 b
+                      WHERE b.l_orderkey = a.l_orderkey
+                        AND b.l_suppkey <> a.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l1 c
+                          WHERE c.l_orderkey = a.l_orderkey
+                            AND c.l_suppkey <> a.l_suppkey AND c.late)),
+      w AS (SELECT l_suppkey, count(*)::BIGINT AS numwait
+            FROM sole GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name, w.numwait
+      FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+      ORDER BY w.numwait DESC, s.s_name, s.s_suppkey LIMIT 20""",
+
     "q_data_mix" -> """
       WITH t AS (SELECT doc_id, source,
         CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 4)) AS BIGINT) % 100 AS bucket

@@ -133,6 +133,8 @@ object SparkEntry {
       Tables.lineitem(s, d), Tables.part(s, d))),
     "q_top_supplier" -> ((s, d) => Relational.topSupplier(
       Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q_sole_late_supplier" -> ((s, d) => Relational.soleLateSupplier(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.supplier(s, d))),
     "q_returned_losses" -> ((s, d) => Relational.returnedLosses(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
       Tables.nation(s, d))),

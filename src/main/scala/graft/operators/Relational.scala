@@ -903,4 +903,48 @@ object Relational {
         col("n_returns"))
       .orderBy(col("returned_revenue").desc, col("c_custkey"))
   }
+
+  /** Sole-late-supplier ranking — the TPC-H Q21 shape (the hardest
+    * multi-EXISTS decorrelation in the benchmark), adapted to this
+    * schema: "late" = shipped more than 60 days after the order date
+    * (no commit/receipt dates here). For finalized ('F') orders, count
+    * per supplier the orders where that supplier was late, ANOTHER
+    * supplier also participated (EXISTS), and NO other supplier was
+    * late (NOT EXISTS) — i.e. the one who held the order up.
+    *
+    * Spark-first DECORRELATION: both correlated subqueries collapse
+    * into ONE per-order aggregate — n_supp = countDistinct(suppkey)
+    * (EXISTS other ⟺ n_supp > 1) and n_late_supp = countDistinct(late
+    * suppkey) (NOT EXISTS other late ⟺ the late set is exactly {s}).
+    * One join + two hash aggregates + a broadcast supplier join — no
+    * per-order subquery execution; the ORACLE keeps the textbook
+    * EXISTS/NOT EXISTS form, so the hash match PROVES the rewrite.
+    * Shuffles ride (orderkey) then (suppkey); supplier names broadcast.
+    * Top-20 by (numwait DESC, s_name) — a TakeOrdered, no global
+    * window. */
+  def soleLateSupplier(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, lateDays: Int = 60, k: Int = 20): DataFrame = {
+    val l1 = lineitem.join(
+        orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+          .as("late"))
+    val perOrder = l1.groupBy(col("l_orderkey").as("g_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    val sole = l1.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    sole.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .orderBy(col("numwait").desc, col("s_name"), col("s_suppkey"))
+      .limit(k)
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"), col("s_suppkey"))
+  }
 }

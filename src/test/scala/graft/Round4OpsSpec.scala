@@ -588,6 +588,33 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.exists(r => r.getAs[Long]("g_rf") == 1 && r.getAs[Long]("g_ls") == 0))
   }
 
+  test("soleLateSupplier: hand-built Q21 cases (multi-supplier, sole-late, F-only)") {
+    import spark.implicits._
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    // order 1 (F): suppliers 10, 20; only 10 late      -> counts for 10
+    // order 2 (F): suppliers 10, 20; both late          -> counts for none
+    // order 3 (F): supplier 10 alone, late              -> no other supplier
+    // order 4 (O): suppliers 10, 20; 10 late            -> wrong status
+    // order 5 (F): suppliers 20, 30; only 20 late twice -> ONE order for 20
+    val orders = Seq(
+      (1L, "F", d("2024-01-01")), (2L, "F", d("2024-01-01")),
+      (3L, "F", d("2024-01-01")), (4L, "O", d("2024-01-01")),
+      (5L, "F", d("2024-01-01")))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+    val li = Seq(
+      (1L, 10L, d("2024-04-01")), (1L, 20L, d("2024-01-10")),
+      (2L, 10L, d("2024-04-01")), (2L, 20L, d("2024-04-02")),
+      (3L, 10L, d("2024-04-01")),
+      (4L, 10L, d("2024-04-01")), (4L, 20L, d("2024-01-10")),
+      (5L, 20L, d("2024-04-01")), (5L, 20L, d("2024-05-01")), (5L, 30L, d("2024-01-05")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supp = Seq((10L, "SUP_A"), (20L, "SUP_B"), (30L, "SUP_C"))
+      .toDF("s_suppkey", "s_name")
+    val out = Relational.soleLateSupplier(li, orders, supp).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(10L -> 1L, 20L -> 1L))
+  }
+
   test("skylineParts equals the naive dominance definition") {
     import spark.implicits._
     val part = Tables.part(spark, sf())
