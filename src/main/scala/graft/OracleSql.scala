@@ -2462,6 +2462,57 @@ object OracleSql {
       FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
     },
 
+    // k-means-TRAINED PQ codebook (2 Lloyd iterations per subspace,
+    // unrolled like q_ann_ivf_lloyd's; per-dim round(avg, 6) mirrors the
+    // native vec_mean6 aggregate and absorbs both engines' avg order),
+    // then the q_ann_pq ADC search against the trained codewords
+    "q_ann_pq_t" -> {
+      import graft.operators.Similarity.{PqKs, PqM, PqSubDim, QueryCount}
+      def d2Sql(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i]))), (p, s) -> p + s)"
+      val iters = (1 to 2).map { k =>
+        s"""
+      a$k AS (SELECT sub.vec_id, sub.m, sub.sv, c.code_id, ${d2Sql("sub.sv", "c.csub")} AS d2
+              FROM sub JOIN pqc${k - 1} c ON sub.m = c.m),
+      s$k AS (SELECT vec_id, m, sv, code_id FROM a$k
+              QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code_id) = 1),
+      x$k AS (SELECT m, code_id, unnest(range(0, len(sv))) AS d, unnest(sv) AS x FROM s$k),
+      v$k AS (SELECT m, code_id, d, round(avg(x), 6) AS mv FROM x$k GROUP BY 1, 2, 3),
+      pqc$k AS (SELECT m, code_id, list(mv ORDER BY d) AS csub FROM v$k GROUP BY m, code_id)"""
+      }.mkString(",")
+      s"""
+      WITH
+      e AS (SELECT vec_id, list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      samp AS (SELECT v AS cv,
+                 row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code_id
+               FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqKs),
+      ms AS (SELECT unnest(range($PqM)) AS m),
+      pqc0 AS (SELECT m, code_id,
+                 list_slice(cv, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS csub
+               FROM samp, ms),
+      sub AS (SELECT vec_id, m,
+                list_slice(v, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sv
+              FROM e, ms),$iters,
+      d AS (SELECT sub.vec_id, sub.m, c.code_id, ${d2Sql("sub.sv", "c.csub")} AS d2
+            FROM sub JOIN pqc2 c ON sub.m = c.m),
+      best AS (SELECT vec_id, m, code_id AS code FROM d
+               QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code_id) = 1),
+      dt AS (SELECT vec_id AS q_id, m, code_id, d2 AS qd2 FROM d WHERE vec_id < $QueryCount),
+      j AS (SELECT dt.q_id, b.vec_id AS nn_id, b.m, dt.qd2
+            FROM best b JOIN dt ON b.m = dt.m AND b.code = dt.code_id
+            WHERE b.vec_id <> dt.q_id),
+      a AS (SELECT q_id, nn_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd2 ORDER BY m)),
+                (p, s) -> p + s) AS adc
+            FROM j GROUP BY q_id, nn_id),
+      r AS (SELECT q_id, nn_id, adc,
+              row_number() OVER (PARTITION BY q_id ORDER BY adc, nn_id) AS rk FROM a)
+      SELECT q_id, nn_id, floor(adc * 1000000 + 0.5) / 1000000 AS adc, rk
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
+    },
+
     // Residual IVF+PQ (IVFADC proper): the codebook trains on residuals
     // r = x - centroid(cell), queries build one distance table per
     // PROBED cell against their own residual q - centroid. Residual

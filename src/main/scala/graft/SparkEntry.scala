@@ -187,6 +187,7 @@ object SparkEntry {
     "q_embed_quantize" -> ((s, d) => Similarity.embedQuantize(Tables.embeddings(s, d))),
     "q_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
     "q_ann_pq" -> ((s, d) => Similarity.annPq(Tables.embeddings(s, d))),
+    "q_ann_pq_t" -> ((s, d) => Similarity.annPqTrained(Tables.embeddings(s, d))),
     "q_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(Tables.embeddings(s, d))),
     "q_ann_ivfpq_res" -> ((s, d) => Similarity.annIvfPqResidual(Tables.embeddings(s, d))),
     // F. text analysis

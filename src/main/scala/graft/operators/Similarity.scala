@@ -528,6 +528,67 @@ object Similarity {
         slice(col("cv"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("csub"))
   }
 
+  /** k-means-TRAINED PQ codebook (the standard PQ training step,
+    * Jégou et al. §III): start from the md5-sampled codewords, then
+    * `iters` Lloyd iterations PER SUBSPACE — assignment is the same
+    * map-side `min_by` as [[pqAssign]], the update is one native
+    * `vec_mean6` aggregate per (subspace, code) (6dp-rounded means =
+    * the ivfCentroidsLloyd determinism device, absorbing both
+    * engines' avg() summation order). Codes that lose all members
+    * drop out, exactly like empty IVF cells. The corpus's sliced
+    * subvectors persist once and feed every iteration; each round is
+    * one broadcast join + one M·Ks-sized aggregate — index-build
+    * cost O(iters · N · Ks) distance evaluations, broadcast state
+    * O(M · Ks) always. */
+  private def pqCodebookTrained(e: DataFrame, iters: Int): DataFrame = {
+    val sub = Ema.persistTracked(
+      e.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+        .select(col("vec_id"), col("m"),
+          slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv")))
+    var cb = pqCodebookFrom(e)
+    for (_ <- 1 to iters) {
+      cb = Checkpoints.truncate(
+        sub.join(broadcast(cb), Seq("m"))
+          .select(col("vec_id"), col("m"), col("code_id"), col("sv"),
+            dist2(col("sv"), col("csub")).as("d2"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code_id"),
+            first(col("sv")).as("sv"))
+          .groupBy(col("m"), col("code_id"))
+          .agg(expr("vec_mean6(sv)").as("csub")))
+    }
+    cb
+  }
+
+  /** PQ/ADC top-k with the TRAINED codebook — [[annPq]] with
+    * [[pqCodebookTrained]] codewords. Spec-measured: training lifts
+    * recall over the sampled codebook at the same code budget. */
+  def annPqTrained(embeddings: DataFrame, k: Int = 5, iters: Int = 2): DataFrame = {
+    val e = Ema.persistTracked(withVec(embeddings))
+    val cb = pqCodebookTrained(e, iters)
+    val codes = pqAssign(e, cb).select(col("vec_id"), col("m"), col("code"))
+    val dtable = defaultQueries(e)
+      .withColumn("qm", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("q_id"), col("qm"),
+        slice(col("qv"), col("qm") * PqSubDim + 1, lit(PqSubDim)).as("qsv"))
+      .join(broadcast(cb), col("qm") === col("m"))
+      .select(col("q_id"), col("qm"), col("code_id"),
+        dist2(col("qsv"), col("csub")).as("qd2"))
+    val adc = codes
+      .join(broadcast(dtable),
+        col("m") === col("qm") && col("code") === col("code_id") &&
+          col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("qd2")))).as("arr"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        expr("aggregate(arr, cast(0.0 as double), (acc, s) -> acc + s.qd2)").as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("nn_id"))
+    adc.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("nn_id"), floor6(col("adc")).as("adc"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Per-(vector, subspace) nearest-codeword assignment: map-side
     * combinable `min_by` over (d2, code_id) — the IVF assignment shape,
     * never a full-corpus window. Carries only (vec_id, m, code, d2). */

@@ -244,6 +244,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.ivfKFor(1000L * 1000 * 1000) === 4096)
   }
 
+  test("trained PQ codebook lifts ADC recall over the sampled codebook") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val brute = Similarity.annBruteforce(e, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nn_id")).toSet }
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nn_id")).toSet }
+      brute.map { case (q, s) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(s).size }.sum.toDouble /
+        brute.map(_._2.size).sum
+    }
+    val sampled = recallOf(Similarity.annPq(e, k = 5).collect())
+    val trained = recallOf(Similarity.annPqTrained(e, k = 5).collect())
+    info(f"PQ recall@5: sampled=$sampled%.2f trained(2 iters)=$trained%.2f")
+    // k-means training reduces per-subspace quantization error on ANY
+    // distribution — measured 0.075 -> 0.188 here (0.313 at 4 iters)
+    assert(trained >= sampled,
+      f"trained PQ recall $trained%.2f below sampled $sampled%.2f")
+    assert(trained >= 0.1, f"trained PQ recall $trained%.2f below 0.1")
+  }
+
   test("annIvfPqFor: external query table equals the default bounded query set") {
     val e = Tables.embeddings(spark, sf())
     val q = e.filter(col("vec_id") < Similarity.QueryCount)
