@@ -763,17 +763,21 @@ object Similarity {
     * (clustered) corpora residuals concentrate around the origin and
     * the same 8-nibble budget buys more resolution — the reason IVFADC
     * is the billion-vector standard. On THIS repo's near-uniform
-    * synthetic embeddings they do not concentrate, and the sampled
-    * (untrained) codebook draws codewords from other cells' residual
-    * distributions: measured recall@5 is ~half of raw-space
-    * [[annIvfPq]] (0.09 vs 0.18, spec-documented) — an honest property
-    * of the data, not the pipeline; the oracle row gates exactness
-    * either way. Join discipline is unchanged: the corpus contributes
-    * (vec_id, cell) + codes; the
+    * synthetic embeddings the premise inverts: a residual is the
+    * difference of two nearly-independent vectors, so its per-subspace
+    * variance is ~2× the raw subvectors' and it is strictly HARDER to
+    * quantize at the same code budget — measured recall@5 is ~half of
+    * raw-space [[annIvfPq]] (0.09 vs 0.18), and `trainIters > 0`
+    * (k-means on the pooled residual distribution) does not close the
+    * gap (0.088 trained vs 0.088 sampled) because the deficit is
+    * variance, not codeword placement. All spec-documented; the oracle
+    * row gates exactness either way. Join discipline is unchanged: the
+    * corpus contributes (vec_id, cell) + codes; the
     * dtable broadcast grows to O(|Q|·nprobe·M·Ks) — still bounded by
     * the query side. Residual subtraction is one exact per-element
     * zip_with (order-free, identical doubles in both engines). */
-  def annIvfPqResidual(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  def annIvfPqResidual(embeddings: DataFrame, k: Int = 5,
+      trainIters: Int = 0): DataFrame = {
     val e = Ema.persistTracked(withVec(embeddings))
     val cents = sampledCentroids(e, adaptiveK(e))
     // assignment keeps the winning centroid's vector so the residual
@@ -788,7 +792,13 @@ object Similarity {
             struct(col("d2"), col("cent_id"))).as("bc"))
         .select(col("vec_id"), col("bc.cent_id").as("cell"),
           zip_with(col("v"), col("bc.cv"), (a, b) => a - b).as("r")))
-    val cb = pqCodebookFrom(assign.select(col("vec_id"), col("r").as("v")))
+    // trainIters > 0: k-means-train the codebook ON THE RESIDUAL
+    // DISTRIBUTION (pooled across cells) — the piece that was missing
+    // when the sampled residual codebook lost to raw-space PQ: training
+    // learns where the residuals actually live
+    val resFrame = assign.select(col("vec_id"), col("r").as("v"))
+    val cb = if (trainIters > 0) pqCodebookTrained(resFrame, trainIters)
+      else pqCodebookFrom(resFrame)
     val codes = pqAssign(assign.select(col("vec_id"), col("r").as("v")), cb)
       .select(col("vec_id"), col("m"), col("code"))
     // query side: nprobe cells, one residual per (query, probed cell)

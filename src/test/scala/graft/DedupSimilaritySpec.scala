@@ -295,15 +295,21 @@ class DedupSimilaritySpec extends SparkSpec {
     // so the floor is the annPq contract (>= random ~0.01), not annIvf's
     assert(recall >= 0.03, f"IVF+PQ recall $recall%.2f below 0.03")
     // Measured fact on THIS corpus: residual coding recalls ~half of
-    // raw-space PQ (0.09 vs 0.18). The synthetic embeddings are
-    // near-uniform, so cell residuals do NOT concentrate, and the
-    // SAMPLED (untrained) codebook draws each codeword from a different
-    // cell's residual distribution — cross-cell mismatch that a trained
-    // residual codebook on a clustered real corpus would not have. The
-    // oracle row gates the pipeline's exactness; this spec pins the
-    // variant above the random baseline and documents the ordering so a
-    // future data drop that flips it is noticed.
+    // raw-space PQ (0.09 vs 0.18), and k-means-training the residual
+    // codebook does NOT close the gap (0.088 either way): the synthetic
+    // embeddings are near-uniform, so a residual is the difference of
+    // two nearly-independent vectors — ~2x the per-subspace variance,
+    // strictly harder to quantize at the same code budget regardless of
+    // codeword placement. On a clustered real corpus the premise (and
+    // the ordering) flips. The oracle row gates the pipeline's
+    // exactness; this spec pins the variant above the random baseline
+    // and documents the ordering so a data drop that flips it is
+    // noticed.
     assert(recallRes >= 0.02, f"residual IVFADC recall $recallRes%.2f below 0.02")
+    val recallResTrained =
+      recallOf(Similarity.annIvfPqResidual(e, k = 5, trainIters = 2).collect())
+    info(f"residual IVFADC trained(2): $recallResTrained%.2f")
+    assert(recallResTrained >= 0.02)
   }
 
   test("multi-probe LSH never does worse than single-probe on top-1 cosine") {
