@@ -1412,8 +1412,10 @@ object OracleSql {
       l AS (SELECT *, lag(day_close) OVER (PARTITION BY symbol ORDER BY bar_date) AS prev_close
             FROM d)
       SELECT symbol, bar_date, day_open, day_close, day_high, day_low, n_bars,
-        round((day_close - day_open) / day_open * 100.0::DOUBLE + 5e-9, 4) + 0.0 AS intraday_pct,
-        CASE WHEN prev_close IS NOT NULL
+        CASE WHEN day_open <> 0
+             THEN round((day_close - day_open) / day_open * 100.0::DOUBLE + 5e-9, 4) + 0.0
+        END AS intraday_pct,
+        CASE WHEN prev_close IS NOT NULL AND prev_close <> 0
              THEN round((day_open - prev_close) / prev_close * 100.0::DOUBLE + 5e-9, 4) + 0.0
         END AS overnight_gap_pct
       FROM l ORDER BY symbol, bar_date""",

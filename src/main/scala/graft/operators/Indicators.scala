@@ -450,9 +450,14 @@ object Indicators {
       .withColumn("prev_close", lag(col("day_close"), 1).over(wd))
       .select(col("symbol"), col("bar_date"), col("day_open"), col("day_close"),
         col("day_high"), col("day_low"), col("n_bars"),
-        round((col("day_close") - col("day_open")) / col("day_open") * lit(100.0)
-          + lit(5e-9), 4).as("intraday_pct"),
-        when(col("prev_close").isNotNull,
+        // zero-price guards: a degenerate 0.00 day-open/prev-close has
+        // no meaningful percentage (and ANSI mode raises on the divide —
+        // first seen when a zero tick landed as a day's FIRST bar at
+        // 100x bench scale); NULL matches the oracle's CASE guards
+        when(col("day_open") =!= 0.0,
+          round((col("day_close") - col("day_open")) / col("day_open") * lit(100.0)
+            + lit(5e-9), 4)).as("intraday_pct"),
+        when(col("prev_close").isNotNull && col("prev_close") =!= 0.0,
           round((col("day_open") - col("prev_close")) / col("prev_close") * lit(100.0)
             + lit(5e-9), 4)).as("overnight_gap_pct"))
       .orderBy(col("symbol"), col("bar_date"))
