@@ -2529,7 +2529,11 @@ object OracleSql {
                 list_transform(nv.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
                 (p, s) -> p + s) AS d2
             FROM nv, cents c),
-      cellv AS (SELECT vec_id, cent_id AS cell,
+      -- MATERIALIZED (the q_graph_cc device): cellv carries one
+      -- 64-double residual list per corpus vector and is referenced by
+      -- samp/sub/cand — re-inlining re-runs the K-way distance scan per
+      -- reference and exhausted temp disk at 100x bench scale
+      cellv AS MATERIALIZED (SELECT vec_id, cent_id AS cell,
                   list_transform(v, (x, i) -> x - cv[i]) AS r
                 FROM av
                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
