@@ -198,6 +198,16 @@ object Dedup {
     * docs become singletons). Output is unordered: (doc_id,
     * cluster_id, cluster_size, is_canonical). */
   def dedupClustersFromPairs(pairs0: DataFrame, ids: DataFrame,
+      maxIter: Int = 50): DataFrame =
+    annotateClusters(clusterLabelsFromPairs(pairs0, ids, maxIter))
+
+  /** The min-label fixpoint WITHOUT the cluster-size annotation:
+    * (doc_id, cluster_id) only. Consumers that don't need sizes
+    * ([[clusterStats]]'s histogram, [[TrainingData.exportPlan]]'s
+    * canonical test `doc_id = cluster_id`) start here and skip
+    * [[annotateClusters]]' full-corpus groupBy + join — at 100 TB
+    * that's one fewer shuffle of every (doc_id, label) row. */
+  def clusterLabelsFromPairs(pairs0: DataFrame, ids: DataFrame,
       maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = pairs0.select(col("doc_a"), col("doc_b"))
@@ -238,7 +248,7 @@ object Dedup {
     edges.unpersist()
     // the returned plan reads the final labels checkpoint (its blocks
     // are held alive by the plan's RDD reference, reclaimed on GC)
-    annotateClusters(labels.select(col("doc_id"), col("label").as("cluster_id")))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Per-doc cluster size WITHOUT a cluster_id-partitioned window: a
@@ -421,10 +431,24 @@ object Dedup {
     * components — how many clusters of each size exist, how many docs
     * they hold, and how many rows a keep-canonical pass deletes. The
     * sizing artifact that decides whether a corpus-wide dedup run pays
-    * for itself before anyone launches it. Piggybacks on
-    * [[dedupClusters]]' fixpoint; the stats aggregate is metadata-sized. */
+    * for itself before anyone launches it.
+    *
+    * The histogram needs only the per-cluster SIZES, so it aggregates
+    * the raw (doc_id, cluster_id) fixpoint labels twice (cluster →
+    * size, size → histogram row) and derives `n_docs = size·clusters`
+    * and `n_removed = (size−1)·clusters` arithmetically — the
+    * [[annotateClusters]] join back onto every doc (one full-corpus
+    * shuffle) never happens. Exactly one doc per cluster is canonical
+    * (the min label), so the arithmetic identities are exact. */
   def clusterStats(docs: DataFrame): DataFrame =
-    clusterStatsFromLabels(dedupClustersUnordered(docs))
+    clusterLabelsFromPairs(minhashLshPairsUnordered(docs),
+      docs.select(col("doc_id")))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removed"))
+      .orderBy(col("cluster_size"))
 
   /** The ROI histogram from a PRECOMPUTED labels frame (the
     * compute-once path: one [[dedupPairGraph]] + one fixpoint feeds

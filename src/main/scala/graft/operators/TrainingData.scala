@@ -262,8 +262,13 @@ object TrainingData {
   def exportPlan(docs: DataFrame, benchmarkSource: String = "src0"): DataFrame = {
     val qf = TextAnalysis.qualityFilter(docs)
       .select(col("doc_id"), col("keep").as("keep_quality"))
-    val cl = Dedup.dedupClusters(docs)
-      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+    // labels-only fixpoint: the plan needs cluster_id + the canonical
+    // test (doc_id = min label) but never cluster_size, so the
+    // annotateClusters size join (a full-corpus shuffle) is skipped
+    val cl = Dedup.clusterLabelsFromPairs(
+        Dedup.dedupPairGraph(docs), docs.select(col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
     val dc = decontaminate(docs, benchmarkSource)
       .select(col("doc_id"), col("is_contaminated"))
     val sp = trainSplit(docs).select(col("doc_id"), col("split"))
