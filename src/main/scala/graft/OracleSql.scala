@@ -2464,6 +2464,65 @@ object OracleSql {
       FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
     },
 
+    // IVF+PQ with EXACT RE-RANKING: the q_ann_ivfpq chain ranks a
+    // 32-deep ADC shortlist per query, then ONLY those ids rejoin the
+    // raw vectors for the exact cosine that decides the final top-k —
+    // the compressed index shortlists, the refine decides
+    "q_ann_ivf_refine" -> {
+      import graft.operators.Similarity.{IvfProbes, PqKs, PqM, PqSubDim,
+        QueryCount, RefineShortlist}
+      s"""
+      WITH $vecCtes,${ivfCentCtes("cents")},
+      av AS (SELECT nv.vec_id, c.cent_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(nv.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+                (p, s) -> p + s) AS d2
+            FROM nv, cents c),
+      cell AS (SELECT vec_id, cent_id AS cell FROM av
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      q AS (SELECT vec_id AS q_id, cent_id AS qcell FROM av WHERE vec_id < $QueryCount
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) <= $IvfProbes),
+      samp AS (SELECT v AS cv,
+                 row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code_id
+               FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqKs),
+      ms AS (SELECT unnest(range($PqM)) AS m),
+      pqc AS (SELECT m, code_id,
+                list_slice(cv, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS csub
+              FROM samp, ms),
+      sub AS (SELECT vec_id, m,
+                list_slice(v, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sv
+              FROM e, ms),
+      d AS (SELECT vec_id, sub.m, code_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(sv, (x, i) -> (x - csub[i]) * (x - csub[i]))),
+                (p, s) -> p + s) AS d2
+            FROM sub JOIN pqc ON sub.m = pqc.m),
+      best AS (SELECT vec_id, m, code_id AS code FROM d
+               QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code_id) = 1),
+      dt AS (SELECT vec_id AS q_id, m, code_id, d2 AS qd2 FROM d WHERE vec_id < $QueryCount),
+      cand AS (SELECT q.q_id, cell.vec_id AS nn_id
+               FROM cell JOIN q ON cell.cell = q.qcell AND cell.vec_id <> q.q_id),
+      j AS (SELECT cand.q_id, cand.nn_id, b.m, dt.qd2
+            FROM cand JOIN best b ON b.vec_id = cand.nn_id
+            JOIN dt ON dt.q_id = cand.q_id AND b.m = dt.m AND b.code = dt.code_id),
+      a2 AS (SELECT q_id, nn_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd2 ORDER BY m)),
+                (p, s) -> p + s) AS adc
+            FROM j GROUP BY q_id, nn_id),
+      sl AS (SELECT q_id, nn_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc, nn_id) AS ark
+             FROM a2 QUALIFY ark <= $RefineShortlist),
+      x AS (SELECT sl.q_id, sl.nn_id, sl.ark,
+              ${dotSql("b.v", "a.v")} / (a.nrm * b.nrm) AS cos
+            FROM sl JOIN nv b ON b.vec_id = sl.nn_id
+                    JOIN nv a ON a.vec_id = sl.q_id
+            WHERE a.nrm > 0 AND b.nrm > 0),
+      r AS (SELECT q_id, nn_id, cos, ark,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM x)
+      SELECT q_id, nn_id, round(cos + 5e-9, 4) + 0.0 AS cos, ark::BIGINT AS ark, rk
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
+    },
+
     // k-means-TRAINED PQ codebook (2 Lloyd iterations per subspace,
     // unrolled like q_ann_ivf_lloyd's; per-dim round(avg, 6) mirrors the
     // native vec_mean6 aggregate and absorbs both engines' avg order),
@@ -2785,6 +2844,19 @@ object OracleSql {
         TRUE AS merged_within_3rsd,
         TRUE AS recomputed_within_3rsd
       FROM t GROUP BY event_type ORDER BY event_type""",
+
+    // incremental TOP-K: selecting the k best rows is exactly mergeable
+    // (monotone — a union's top-k row is in its own side's top-k), so
+    // the Spark side merges base/delta TopKAgg partials while the
+    // oracle recomputes the top-k from raw rows in one window; the hash
+    // match is the merge ≡ recompute proof, exact (no contract needed)
+    "q_incremental_topk" -> """
+      WITH r AS (SELECT event_type, event_id, value,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY value DESC, event_id) AS rk
+        FROM events)
+      SELECT event_type, event_id, value, rk::BIGINT AS rk
+      FROM r WHERE rk <= 10 ORDER BY event_type, rk""",
 
     // daily per-user dimension snapshot: collapse to (user, day) first,
     // dense day grid, forward-fill — the oracle states the same set via

@@ -200,6 +200,53 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Incremental TOP-K maintenance — the third mergeable shape after
+    * [[incrementalMerge]] (algebraic partials) and
+    * [[incrementalDistinct]] (sketch partials): selecting the k best
+    * ROWS is exactly mergeable because it is monotone — any row in the
+    * top-k of a union is in the top-k of its own side, so
+    * topk(merge(topk(base), topk(delta))) ≡ topk(full) with NO
+    * approximation. That is precisely [[graft.functions.TopKAgg]]'s
+    * merge contract, exercised here across a BASE/DELTA split at the
+    * same data-derived cutoff as the siblings: each side reduces to ≤k
+    * (value desc, event_id asc) rows per event_type via the typed
+    * bounded-buffer aggregate (map-side partial top-k — only k rows
+    * per group per mapper cross the wire), the stored-MV-plus-delta
+    * merge is a second bounded pass over ≤2k rows per group, and the
+    * oracle recomputes the same top-k from the raw rows in one window
+    * — the hash match IS the merge≡recompute proof. At 100 TB the base
+    * partial is the stored MV (k rows per group); only the delta ever
+    * rescans. */
+  def incrementalTopk(events: DataFrame, k: Int = 10): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cutoff = events.agg(date_add(max(to_date(col("ts"))), -7).as("cut"))
+    val tagged = events.crossJoin(broadcast(cutoff))
+    def partial(df: DataFrame): DataFrame = {
+      val agg = new graft.functions.TopKAgg(k)
+      df.select(col("event_type"), col("value"), col("event_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(agg.toColumn)
+        .flatMap { case (et, top) =>
+          top.iterator.map { case (v, id) => (et, v, id) }
+        }
+        .toDF("event_type", "value", "event_id")
+    }
+    val base = partial(tagged.filter(to_date(col("ts")) < col("cut")))
+    val delta = partial(tagged.filter(to_date(col("ts")) >= col("cut")))
+    // merge stage: ≤ 2k rows per event_type — the window is bounded by
+    // construction (never a full-corpus sort)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    base.unionByName(delta)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("event_type"), col("event_id"), col("value"), col("rk"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   /** Daily dimension snapshot — the warehouse "as-of end of day D" view
     * of per-user state: for every user and every day from the user's
     * first active day through the global max day, the latest event_type

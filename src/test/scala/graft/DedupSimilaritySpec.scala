@@ -312,6 +312,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recallResTrained >= 0.02)
   }
 
+  test("exact re-ranking lifts IVF+PQ recall and beats the ADC ordering") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val brute = Similarity.annBruteforce(e, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nn_id")).toSet }
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nn_id")).toSet }
+      brute.map { case (q, s) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(s).size }.sum.toDouble /
+        brute.map(_._2.size).sum
+    }
+    val unrefined = recallOf(Similarity.annIvfPq(e, k = 5).collect())
+    val rows = Similarity.annIvfPqRefine(e, k = 5).collect()
+    val refined = recallOf(rows)
+    info(f"recall@5 vs brute: unrefined=$unrefined%.2f refined=$refined%.2f")
+    // the refine can only improve the ordering WITHIN the routed
+    // candidate set (recall is bounded by IVF routing, not by ADC), so
+    // the contract is refined >= unrefined — measured, not assumed
+    assert(refined >= unrefined,
+      f"refine lowered recall: $refined%.2f < $unrefined%.2f")
+    // and the exact stage genuinely REORDERS: some returned row must
+    // rank differently than its ADC shortlist position (on a corpus
+    // where 4-bit ADC were already perfect this would be vacuous — at
+    // sf0.01 it is not)
+    assert(rows.exists(r => r.getAs[Long]("ark") != r.getAs[Long]("rk")),
+      "exact re-rank never changed an ADC rank — refine is vacuous here")
+  }
+
   test("multi-probe LSH never does worse than single-probe on top-1 cosine") {
     val e = Tables.embeddings(spark, sf())
     val single = Similarity.annLsh(e, k = 1).collect()
