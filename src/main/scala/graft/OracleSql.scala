@@ -740,6 +740,27 @@ object OracleSql {
       FROM ng n JOIN fs f ON f.ng = n.ng
       GROUP BY n.doc_id ORDER BY n.doc_id""",
 
+    // unigram LM score: ln T − (Σ ln c_w)/n with the Σ folded over the
+    // word-sorted list (one fixed summation order) — ln feeds an output
+    // VALUE, not a ranking, so the `+ 5e-9, 4dp` edge rounding absorbs
+    // the engines' ≤2-ulp-per-term ln() differences
+    "q_lm_score" -> """
+      WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                 FROM documents WHERE length(trim(text)) > 0),
+      v AS (SELECT w, count(*)::BIGINT AS c FROM w GROUP BY w),
+      t AS (SELECT sum(c)::BIGINT AS t FROM v),
+      d AS (SELECT w.doc_id, count(*)::BIGINT AS n_tokens,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(ln(v.c::DOUBLE) ORDER BY w.w)), (p, s) -> p + s) AS sl
+            FROM w JOIN v ON v.w = w.w GROUP BY w.doc_id)
+      SELECT docs.doc_id,
+        coalesce(d.n_tokens, 0)::BIGINT AS n_tokens,
+        CASE WHEN d.doc_id IS NOT NULL
+          THEN round(ln(t.t::DOUBLE) - d.sl / d.n_tokens::DOUBLE + 5e-9, 4)
+        END AS lm_score
+      FROM documents docs LEFT JOIN d ON d.doc_id = docs.doc_id, t
+      ORDER BY docs.doc_id""",
+
     // deterministic 20% stratified sample: md5 order + integer ceiling
     // division, no float thresholds
     "q_stratified_sample" -> """
@@ -1378,6 +1399,37 @@ object OracleSql {
                     * (n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)) + 5e-9, 4) + 0.0
         END AS corr
       FROM m ORDER BY sym_a, sym_b""",
+
+    // rolling market correlation(20): the q_price_corr DECIMAL moment
+    // device inside bounded 20-row window frames against the marketBeta
+    // equal-share index; corr negative-near-zero → signed-zero canon
+    "q_rolling_corr" -> {
+      val fr = wf("ROWS BETWEEN 19 PRECEDING AND CURRENT ROW")
+      s"""
+      WITH $barsCte, $rnCte,
+      ix AS (SELECT bar_ts AS ix_ts,
+               CAST(sum(CAST("close" AS DECIMAL(9,2))) AS DECIMAL(12,2)) AS idx
+             FROM b GROUP BY 1),
+      t AS (SELECT b.symbol, b.bar_ts, b."close", b.rn,
+              CAST(b."close" AS DECIMAL(9,2)) AS x, ix.idx AS y
+            FROM b JOIN ix ON ix.ix_ts = b.bar_ts),
+      m AS (SELECT symbol, bar_ts, "close", rn,
+              count(*) $fr AS nw,
+              sum(x) $fr AS sx, sum(y) $fr AS sy,
+              sum(x * y) $fr AS sxy,
+              sum(x * x) $fr AS sx2,
+              sum(y * y) $fr AS sy2
+            FROM t)
+      SELECT symbol, bar_ts, "close",
+        CASE WHEN rn >= 20
+              AND nw::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+              AND nw::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+             THEN round((nw::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / sqrt((nw::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (nw::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)) + 5e-9, 4) + 0.0
+        END AS mkt_corr
+      FROM m ORDER BY symbol, bar_ts"""
+    },
 
     // z-score anomalies: DECIMAL moment sums (bit-identical pre-division
     // values), one-division mean/var, z in the same association order;

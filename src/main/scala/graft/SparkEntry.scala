@@ -88,6 +88,7 @@ object SparkEntry {
     "q_ewma_chart" -> ((s, d) => IndicatorsExt.ewmaChart(bars(s, d))),
     "q_winsorize" -> ((s, d) => IndicatorsExt.winsorize(bars(s, d))),
     "q_roll_spread" -> ((s, d) => IndicatorsExt.rollSpread(bars(s, d))),
+    "q_rolling_corr" -> ((s, d) => IndicatorsExt.rollingCorr(bars(s, d))),
     "q_pagerank" -> ((s, d) => Relational.pagerankTransitions(Tables.events(s, d))),
     "q_cusum" -> ((s, d) => IndicatorsExt.cusum(bars(s, d))),
     "q_cusum_seg" -> ((s, d) => SegmentedWindows.cusumSegmented(bars(s, d))),
@@ -220,6 +221,7 @@ object SparkEntry {
     "q_pack_efficiency" -> ((s, d) => TrainingData.packEfficiency(Tables.documents(s, d))),
     "q_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(Tables.documents(s, d))),
     "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(Tables.documents(s, d))),
+    "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
     "q_dup_ratio" -> ((s, d) => Dedup.dupRatioBySource(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => Dedup.crossSourceOverlap(Tables.documents(s, d))),
     "q_graph_cc" -> ((s, d) => Dedup.graphCc(Tables.documents(s, d))),

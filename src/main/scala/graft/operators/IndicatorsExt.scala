@@ -41,6 +41,43 @@ object IndicatorsExt {
   private val PosBase = 10000000000L // 10^10: rn slot in the encoded key
   private val CentCap = 100000000L   // 10^8 cents = prices < $1M
 
+  /** Rolling market correlation(20): per-bar Pearson correlation
+    * between the symbol's close and the equal-share market index (the
+    * per-bar_ts close sum, [[Indicators.marketBeta]]'s index) over the
+    * trailing 20 bars — the "is this symbol still tracking the market"
+    * regime signal a beta dashboard plots as a time series where
+    * marketBeta reports one number per symbol.
+    *
+    * Parity: moment sums accumulate in exact DECIMAL inside the window
+    * frame (order-free integer arithmetic — the q_price_corr device,
+    * windowed), with one double conversion per term at the edge in the
+    * oracle's association order; corr can be negative-near-zero →
+    * signed-zero canonicalization (`+ 0.0`). Scale: one bar_ts index
+    * aggregate + equi-join (dense per timestamp), then the standard
+    * per-symbol window exchange; all frames bounded at 20 rows. */
+  def rollingCorr(bars: DataFrame, n: Int = 20): DataFrame = {
+    val idx = bars.groupBy(col("bar_ts"))
+      .agg(sum(col("close").cast("decimal(9,2)")).cast("decimal(12,2)").as("idx"))
+    val fr = wr(n)
+    val nD = col("nw").cast("double")
+    val num = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val denx = nD * col("sx2").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val deny = nD * col("sy2").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    bars.join(idx, Seq("bar_ts"))
+      .select(col("symbol"), col("bar_ts"), col("close"), rn.as("rn"),
+        col("close").cast("decimal(9,2)").as("x"), col("idx").as("y"))
+      .select(col("symbol"), col("bar_ts"), col("close"), col("rn"),
+        count(lit(1)).over(fr).as("nw"),
+        sum(col("x")).over(fr).as("sx"), sum(col("y")).over(fr).as("sy"),
+        sum(col("x") * col("y")).over(fr).as("sxy"),
+        sum(col("x") * col("x")).over(fr).as("sx2"),
+        sum(col("y") * col("y")).over(fr).as("sy2"))
+      .select(col("symbol"), col("bar_ts"), col("close"),
+        when(col("rn") >= n && denx > 0 && deny > 0,
+          round(num / sqrt(denx * deny) + lit(5e-9), 4) + lit(0.0)).as("mkt_corr"))
+      .orderBy(col("symbol"), col("bar_ts"))
+  }
+
   /** Aroon(25): % of the 25-bar window since the rolling high/low.
     * `aroon_up = 100·(25 − bars_since_high)/25`, most-recent bar wins
     * extremum ties (the conventional definition). Values are exact

@@ -33,6 +33,48 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Unigram language-model score per doc — the perplexity-proxy
+    * curation signal (CCNet orders a corpus by LM perplexity before
+    * keeping the best tail; a unigram model is its engine-checkable
+    * core): train word → count over the WHOLE corpus, then score each
+    * doc by the average negative log-likelihood of its tokens,
+    * avg(−ln(c_w/T)) = ln T − (Σ ln c_w)/n. Low score = stereotypical
+    * text, high = rare-token-heavy.
+    *
+    * Float parity: this file avoids log() where it would decide a
+    * RANKING (q_distinctive_terms, q_lexical_diversity — an ulp flip
+    * reorders rows and no rounding can absorb it). Here ln only feeds
+    * an output VALUE: per-term ln differs across engines by ≤ ~2 ulp
+    * (~5e-15 at ln≈10), the per-doc sum stays < 1e-11 even at
+    * thousands of tokens, and the standard `+ 5e-9, 4dp` edge rounding
+    * absorbs it — same risk class as every rounded double in the tree.
+    * The Σ ln c_w fold runs over the word-sorted struct array on both
+    * engines (one fixed summation order, the temperatureMix device).
+    *
+    * Scale shape: only (doc_id, word) and dictionary-sized (word,
+    * count) rows shuffle — text never does; the count join reuses the
+    * token shuffle's partitioning; T is a one-row broadcast. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(ws).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("t"))
+    val perDoc = toks.join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("w"), col("c")))).as("arr"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("t").cast("double"))
+          - expr("aggregate(arr, cast(0.0 as double), (acc, s) -> acc + ln(cast(s.c as double)))")
+            / col("n_tokens").cast("double")
+          + lit(5e-9), 4).as("lm_score"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Real subword tokenization: greedy longest-match (WordPiece-style)
     * encoding against the declared [[graft.functions.WordPieceVocab]],
     * via the native fused [[graft.functions.WpStats]] expression —
