@@ -2575,6 +2575,88 @@ object OracleSql {
       FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
     },
 
+    // ANN recall report: exact brute top-k as the ceiling, ADC-only and
+    // exact-re-ranked hit counts per query — integer intersections, the
+    // recall ratios divide the same integers in both engines
+    "q_ann_recall_report" -> {
+      import graft.operators.Similarity.{IvfProbes, PqKs, PqM, PqSubDim,
+        QueryCount, RefineShortlist}
+      s"""
+      WITH $vecCtes,${ivfCentCtes("cents")},
+      av AS (SELECT nv.vec_id, c.cent_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(nv.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+                (p, s) -> p + s) AS d2
+            FROM nv, cents c),
+      cell AS (SELECT vec_id, cent_id AS cell FROM av
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      q AS (SELECT vec_id AS q_id, cent_id AS qcell FROM av WHERE vec_id < $QueryCount
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) <= $IvfProbes),
+      samp AS (SELECT v AS cv,
+                 row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code_id
+               FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqKs),
+      ms AS (SELECT unnest(range($PqM)) AS m),
+      pqc AS (SELECT m, code_id,
+                list_slice(cv, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS csub
+              FROM samp, ms),
+      sub AS (SELECT vec_id, m,
+                list_slice(v, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sv
+              FROM e, ms),
+      d AS (SELECT vec_id, sub.m, code_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(sv, (x, i) -> (x - csub[i]) * (x - csub[i]))),
+                (p, s) -> p + s) AS d2
+            FROM sub JOIN pqc ON sub.m = pqc.m),
+      best AS (SELECT vec_id, m, code_id AS code FROM d
+               QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code_id) = 1),
+      dt AS (SELECT vec_id AS q_id, m, code_id, d2 AS qd2 FROM d WHERE vec_id < $QueryCount),
+      cand AS (SELECT q.q_id, cell.vec_id AS nn_id
+               FROM cell JOIN q ON cell.cell = q.qcell AND cell.vec_id <> q.q_id),
+      j AS (SELECT cand.q_id, cand.nn_id, b.m, dt.qd2
+            FROM cand JOIN best b ON b.vec_id = cand.nn_id
+            JOIN dt ON dt.q_id = cand.q_id AND b.m = dt.m AND b.code = dt.code_id),
+      a2 AS (SELECT q_id, nn_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd2 ORDER BY m)),
+                (p, s) -> p + s) AS adc
+            FROM j GROUP BY q_id, nn_id),
+      adc5 AS (SELECT q_id, nn_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY adc, nn_id) AS rk
+               FROM a2 QUALIFY rk <= 5),
+      sl AS (SELECT q_id, nn_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc, nn_id) AS ark
+             FROM a2 QUALIFY ark <= $RefineShortlist),
+      x AS (SELECT sl.q_id, sl.nn_id,
+              ${dotSql("b.v", "a.v")} / (a.nrm * b.nrm) AS cos
+            FROM sl JOIN nv b ON b.vec_id = sl.nn_id
+                    JOIN nv a ON a.vec_id = sl.q_id
+            WHERE a.nrm > 0 AND b.nrm > 0),
+      ref5 AS (SELECT q_id, nn_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk
+               FROM x QUALIFY rk <= 5),
+      bqr AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < $QueryCount),
+      bcand AS (SELECT bqr.q_id, nv.vec_id AS nn_id,
+                  ${dotSql("nv.v", "bqr.qv")} / (bqr.qn * nv.nrm) AS cos
+                FROM nv, bqr WHERE nv.vec_id <> bqr.q_id AND nv.nrm > 0 AND bqr.qn > 0),
+      bru AS (SELECT q_id, nn_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk
+              FROM bcand QUALIFY rk <= 5),
+      nb AS (SELECT q_id, count(*)::BIGINT AS n_brute FROM bru GROUP BY q_id),
+      ha AS (SELECT bru.q_id, count(*)::BIGINT AS h_adc
+             FROM bru JOIN adc5 ON adc5.q_id = bru.q_id AND adc5.nn_id = bru.nn_id
+             GROUP BY bru.q_id),
+      hr AS (SELECT bru.q_id, count(*)::BIGINT AS h_ref
+             FROM bru JOIN ref5 ON ref5.q_id = bru.q_id AND ref5.nn_id = bru.nn_id
+             GROUP BY bru.q_id)
+      SELECT nb.q_id, nb.n_brute,
+        coalesce(ha.h_adc, 0)::BIGINT AS hits_adc,
+        coalesce(hr.h_ref, 0)::BIGINT AS hits_refined,
+        round(coalesce(ha.h_adc, 0)::DOUBLE / nb.n_brute::DOUBLE + 5e-9, 4) AS recall_adc,
+        round(coalesce(hr.h_ref, 0)::DOUBLE / nb.n_brute::DOUBLE + 5e-9, 4) AS recall_refined
+      FROM nb LEFT JOIN ha ON ha.q_id = nb.q_id
+              LEFT JOIN hr ON hr.q_id = nb.q_id
+      ORDER BY nb.q_id"""
+    },
+
     // k-means-TRAINED PQ codebook (2 Lloyd iterations per subspace,
     // unrolled like q_ann_ivf_lloyd's; per-dim round(avg, 6) mirrors the
     // native vec_mean6 aggregate and absorbs both engines' avg order),
@@ -2896,6 +2978,21 @@ object OracleSql {
         TRUE AS merged_within_3rsd,
         TRUE AS recomputed_within_3rsd
       FROM t GROUP BY event_type ORDER BY event_type""",
+
+    // CDC changelog apply: last writer wins per key in (ts, event_id)
+    // order, 'error' = DELETE tombstone (key absent when last); the
+    // oracle states it as rank-1-latest + tombstone filter
+    "q_cdc_apply" -> """
+      WITH c AS (SELECT user_id, count(*)::BIGINT AS n_ops,
+          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_deletes
+        FROM events GROUP BY user_id),
+      l AS (SELECT user_id, event_type, value, ts FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) = 1)
+      SELECT l.user_id, l.value, l.ts AS updated_at, c.n_ops, c.n_deletes
+      FROM l JOIN c ON c.user_id = l.user_id
+      WHERE l.event_type <> 'error'
+      ORDER BY l.user_id""",
 
     // incremental TOP-K: selecting the k best rows is exactly mergeable
     // (monotone — a union's top-k row is in its own side's top-k), so

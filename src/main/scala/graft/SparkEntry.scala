@@ -103,6 +103,7 @@ object SparkEntry {
     "q_incremental_merge" -> ((s, d) => Temporal.incrementalMerge(Tables.events(s, d))),
     "q_incremental_distinct" -> ((s, d) => Temporal.incrementalDistinct(Tables.events(s, d))),
     "q_incremental_topk" -> ((s, d) => Temporal.incrementalTopk(Tables.events(s, d))),
+    "q_cdc_apply" -> ((s, d) => Temporal.cdcApply(Tables.events(s, d))),
     "q_dim_snapshot" -> ((s, d) => Temporal.dimSnapshot(Tables.events(s, d))),
     "q_cluster_sources" -> ((s, d) => Similarity.clusterSourceProfile(
       Tables.embeddings(s, d), Tables.documents(s, d))),
@@ -193,6 +194,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(Tables.embeddings(s, d))),
     "q_ann_ivfpq_res" -> ((s, d) => Similarity.annIvfPqResidual(Tables.embeddings(s, d))),
     "q_ann_ivf_refine" -> ((s, d) => Similarity.annIvfPqRefine(Tables.embeddings(s, d))),
+    "q_ann_recall_report" -> ((s, d) => Similarity.annRecallReport(Tables.embeddings(s, d))),
     // F. text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),

@@ -888,6 +888,37 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** ANN recall report — the evaluation a 100 TB vector deployment
+    * publishes BEFORE switching search paths: per query, how many of
+    * the exact cosine top-k ([[annBruteforce]], the ceiling) the
+    * compressed index recovers, ADC-only ([[annIvfPq]]) next to
+    * exact-re-ranked ([[annIvfPqRefine]]) so the refine lift is itself
+    * an oracle-gated number rather than a spec-only measurement. All
+    * hit counts are exact integers; the recall ratios divide the same
+    * integers in both engines (bit-identical doubles).
+    *
+    * The three searches run their own audited pipelines; the report
+    * joins only bounded (q_id, nn_id) id sets — |Q|·k rows each. */
+  def annRecallReport(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val brute = annBruteforce(embeddings, k).select(col("q_id"), col("nn_id"))
+    val adc = annIvfPq(embeddings, k).select(col("q_id"), col("nn_id"))
+    val ref = annIvfPqRefine(embeddings, k).select(col("q_id"), col("nn_id"))
+    val b = brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
+    val hA = brute.join(adc, Seq("q_id", "nn_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h_adc"))
+    val hR = brute.join(ref, Seq("q_id", "nn_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h_ref"))
+    b.join(hA, Seq("q_id"), "left").join(hR, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_brute"),
+        coalesce(col("h_adc"), lit(0L)).as("hits_adc"),
+        coalesce(col("h_ref"), lit(0L)).as("hits_refined"),
+        round(coalesce(col("h_adc"), lit(0L)).cast("double")
+          / col("n_brute").cast("double") + lit(5e-9), 4).as("recall_adc"),
+        round(coalesce(col("h_ref"), lit(0L)).cast("double")
+          / col("n_brute").cast("double") + lit(5e-9), 4).as("recall_refined"))
+      .orderBy(col("q_id"))
+  }
+
   /** Embedding-cosine near-dup pairs in an id-banded candidate window
     * (offset-explode equi-join: b.vec_id = a.vec_id + off, off ∈ 1..10). */
   def embedNeardup(embeddings: DataFrame, maxOffset: Int = 10,

@@ -247,6 +247,32 @@ object Temporal {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** CDC changelog apply — the MERGE step a warehouse runs over a
+    * change stream: the event stream is read as an ordered per-key
+    * changelog ((ts, event_id) order; 'error' rows are DELETE
+    * tombstones, everything else UPSERTs its value) and reduced to the
+    * final table state: last writer wins per user, a key whose last op
+    * is a tombstone is absent from the result. The per-key audit
+    * counts (total ops, deletes seen) ride along.
+    *
+    * Scale shape: ONE partial-aggregatable groupBy — `max_by` over the
+    * (ts, event_id) struct is a map-side-combining latest-row reduce,
+    * so no per-key window sort ever materializes the changelog
+    * ([[Relational.dedupLatest]] keeps the rank-1 window formulation;
+    * this is the aggregate formulation that replaces it when only the
+    * final state is needed — at 100 TB the difference is a full sort
+    * vs a combiner). */
+  def cdcApply(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ops"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_deletes"),
+        max_by(struct(col("event_type"), col("value"), col("ts")),
+          struct(col("ts"), col("event_id"))).as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.value").as("value"),
+        col("last.ts").as("updated_at"), col("n_ops"), col("n_deletes"))
+      .orderBy(col("user_id"))
+
   /** Daily dimension snapshot — the warehouse "as-of end of day D" view
     * of per-user state: for every user and every day from the user's
     * first active day through the global max day, the latest event_type
