@@ -3397,7 +3397,8 @@ object OracleSql {
     "q_cci_seg" -> "q_cci",
     "q_cmf_seg" -> "q_cmf",
     "q_ultimate_osc_seg" -> "q_ultimate_osc",
-    "q_cusum_seg" -> "q_cusum")
+    "q_cusum_seg" -> "q_cusum",
+    "q_rolling_corr_seg" -> "q_rolling_corr")
     .map { case (seg, base) => seg -> merged(base) }.toMap
 
   val all: Map[String, String] = merged ++ segAliases

@@ -89,6 +89,7 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) => IndicatorsExt.winsorize(bars(s, d))),
     "q_roll_spread" -> ((s, d) => IndicatorsExt.rollSpread(bars(s, d))),
     "q_rolling_corr" -> ((s, d) => IndicatorsExt.rollingCorr(bars(s, d))),
+    "q_rolling_corr_seg" -> ((s, d) => SegmentedWindows.rollingCorrSegmented(bars(s, d))),
     "q_pagerank" -> ((s, d) => Relational.pagerankTransitions(Tables.events(s, d))),
     "q_cusum" -> ((s, d) => IndicatorsExt.cusum(bars(s, d))),
     "q_cusum_seg" -> ((s, d) => SegmentedWindows.cusumSegmented(bars(s, d))),

@@ -55,27 +55,41 @@ object IndicatorsExt {
     * signed-zero canonicalization (`+ 0.0`). Scale: one bar_ts index
     * aggregate + equi-join (dense per timestamp), then the standard
     * per-symbol window exchange; all frames bounded at 20 rows. */
-  def rollingCorr(bars: DataFrame, n: Int = 20): DataFrame = {
-    val idx = bars.groupBy(col("bar_ts"))
-      .agg(sum(col("close").cast("decimal(9,2)")).cast("decimal(12,2)").as("idx"))
-    val fr = wr(n)
+  def rollingCorr(bars: DataFrame, n: Int = 20): DataFrame =
+    rollingCorrCore(n)(withMarketIndex(bars), w, rn, Nil)
+      .orderBy(col("symbol"), col("bar_ts"))
+
+  /** The per-bar_ts equal-share index join shared by [[rollingCorr]]
+    * and its segmented variant. */
+  private[operators] def withMarketIndex(bars: DataFrame): DataFrame =
+    bars.join(
+      bars.groupBy(col("bar_ts"))
+        .agg(sum(col("close").cast("decimal(9,2)")).cast("decimal(12,2)").as("idx")),
+      Seq("bar_ts"))
+
+  /** [[rollingCorr]]'s expression body — the [[aroonCore]]
+    * parameterization contract (input frame must carry `idx`).
+    * Dependency depth: n−1 preceding rows. */
+  private[operators] def rollingCorrCore(n: Int)(df: DataFrame,
+      spec: org.apache.spark.sql.expressions.WindowSpec,
+      rnc: Column, keep: Seq[Column]): DataFrame = {
+    val fr = spec.rowsBetween(-(n - 1), 0)
     val nD = col("nw").cast("double")
     val num = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
     val denx = nD * col("sx2").cast("double") - col("sx").cast("double") * col("sx").cast("double")
     val deny = nD * col("sy2").cast("double") - col("sy").cast("double") * col("sy").cast("double")
-    bars.join(idx, Seq("bar_ts"))
-      .select(col("symbol"), col("bar_ts"), col("close"), rn.as("rn"),
-        col("close").cast("decimal(9,2)").as("x"), col("idx").as("y"))
-      .select(col("symbol"), col("bar_ts"), col("close"), col("rn"),
+    df.select(Seq(col("symbol"), col("bar_ts"), col("close"), rnc.as("rn"),
+        col("close").cast("decimal(9,2)").as("x"), col("idx").as("y")) ++ keep: _*)
+      .select(Seq(col("symbol"), col("bar_ts"), col("close"), col("rn"),
         count(lit(1)).over(fr).as("nw"),
         sum(col("x")).over(fr).as("sx"), sum(col("y")).over(fr).as("sy"),
         sum(col("x") * col("y")).over(fr).as("sxy"),
         sum(col("x") * col("x")).over(fr).as("sx2"),
-        sum(col("y") * col("y")).over(fr).as("sy2"))
-      .select(col("symbol"), col("bar_ts"), col("close"),
+        sum(col("y") * col("y")).over(fr).as("sy2")) ++ keep: _*)
+      .select(Seq(col("symbol"), col("bar_ts"), col("close"),
         when(col("rn") >= n && denx > 0 && deny > 0,
-          round(num / sqrt(denx * deny) + lit(5e-9), 4) + lit(0.0)).as("mkt_corr"))
-      .orderBy(col("symbol"), col("bar_ts"))
+          round(num / sqrt(denx * deny) + lit(5e-9), 4) + lit(0.0))
+          .as("mkt_corr")) ++ keep: _*)
   }
 
   /** Aroon(25): % of the 25-bar window since the rolling high/low.

@@ -228,6 +228,17 @@ object SegmentedWindows {
       Seq("symbol", "bar_ts", "high", "low", "close", "volume"),
       lookback = 20, chunkRows)(IndicatorsExt.cmfCore(21))
 
+  /** Rolling market correlation(20) with bounded window tasks —
+    * contract of [[IndicatorsExt.rollingCorr]]. Demonstrates the device
+    * on a JOINED input: the per-bar_ts index column rides into the
+    * chunking like any other bar column, so the correlation frames stay
+    * bounded even though the series was enriched by an aggregate join
+    * first. */
+  def rollingCorrSegmented(bars: DataFrame, chunkRows: Int = 4096): DataFrame =
+    rollingSegmented(IndicatorsExt.withMarketIndex(bars),
+      Seq("symbol", "bar_ts", "close", "idx"),
+      lookback = 19, chunkRows)(IndicatorsExt.rollingCorrCore(20))
+
   /** Ultimate Oscillator(7,14,28) with bounded window tasks — contract
     * of [[IndicatorsExt.ultimateOsc]]. Lookback 28: the 28-row TR frame's
     * oldest element lags one more close. */

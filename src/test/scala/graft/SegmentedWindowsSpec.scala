@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bars, Indicators, SegmentedWindows}
+import graft.operators.{Bars, Indicators, IndicatorsExt, SegmentedWindows}
 
 class SegmentedWindowsSpec extends SparkSpec {
 
@@ -89,7 +89,11 @@ class SegmentedWindowsSpec extends SparkSpec {
     ("mfi", (b: DataFrame) => SegmentedWindows.mfiSegmented(b, chunkRows = 64),
       (b: DataFrame) => Indicators.mfi(b)),
     ("momentum", (b: DataFrame) => SegmentedWindows.momentumSegmented(b, chunkRows = 64),
-      (b: DataFrame) => Indicators.momentum(b)))
+      (b: DataFrame) => Indicators.momentum(b)),
+    // joined-input shape: the per-bar_ts index column rides into the
+    // chunking like any other bar column
+    ("rolling_corr", (b: DataFrame) => SegmentedWindows.rollingCorrSegmented(b, chunkRows = 64),
+      (b: DataFrame) => IndicatorsExt.rollingCorr(b)))
 
   for ((name, segF, refF) <- rollingPairs)
     test(s"segmented $name equals the per-symbol-window $name across chunk boundaries") {
