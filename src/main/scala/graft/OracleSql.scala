@@ -1258,6 +1258,28 @@ object OracleSql {
         min(value) AS min_value, max(value) AS max_value
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
 
+    // native session_window semantics: an event opens [ts, ts+gap) and
+    // windows that overlap OR touch merge (Spark coalesces adjacent
+    // sessions — measured in the replay spec: an event landing exactly
+    // at the previous window's end JOINS it), so consecutive events
+    // share a session iff next.ts <= prev.ts + gap;
+    // session_end = last event + gap; DECIMAL sums (order-free)
+    "q_stream_sessions" -> """
+      WITH o AS (SELECT user_id, ts, event_id, value,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events),
+      m AS (SELECT user_id, ts, value,
+          sum(CASE WHEN pts IS NULL OR ts > pts + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        count(*)::BIGINT AS n_events,
+        round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE + 5e-9, 4) AS total_value
+      FROM m GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
     // JSON-feed round trip: the Spark side serializes each event to a
     // JSON message and parses it back before aggregating, so this plain
     // agg over the raw table is a fidelity oracle for the round trip

@@ -254,6 +254,11 @@ object SparkEntry {
     "q_stream_props" -> ((s, d) =>
       graft.streaming.StreamPipelines.propsWindowAgg(Tables.events(s, d))
         .orderBy("win_start", "event_type")),
+    // batch run of the native session_window aggregate (streaming runs
+    // the same plan on the session-window state store, spec-replayed)
+    "q_stream_sessions" -> ((s, d) =>
+      graft.streaming.StreamPipelines.sessionWindowAgg(Tables.events(s, d))
+        .orderBy("user_id", "session_start")),
     // batch run of the SAME stream-stream join plan (the watermark
     // nodes are no-ops in batch) — the one-semantics-two-latencies
     // claim, oracle-gated; the bridging spec additionally proves the

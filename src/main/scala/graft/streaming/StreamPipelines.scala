@@ -85,6 +85,31 @@ object StreamPipelines {
   def windowedAggStream(events: DataFrame): DataFrame =
     windowedAgg(events.withWatermark("ts", "30 minutes"))
 
+  /** NATIVE session-window aggregate per user — `session_window(ts,
+    * gap)`, Spark's gap-merged dynamic window: an event opens
+    * [ts, ts+gap) and overlapping windows merge, so `session_end` =
+    * last event + gap (the q_sessionize lag/cumsum formulation closes
+    * at the last EVENT and splits only when the gap is strictly
+    * exceeded — two deliberately different session dialects, both
+    * gated). In batch this is one aggregate; in streaming the SAME
+    * plan runs on the session-window state store (merging keyed state
+    * — the operator the lag/cumsum form cannot express in a stream).
+    * Sums ride DECIMAL because session membership is engine-agnostic
+    * but fold order is not. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double")
+          + lit(5e-9), 4).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** Streaming variant of [[sessionWindowAgg]] with a watermark —
+    * session state expires once the watermark passes the session end. */
+  def sessionWindowAggStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    sessionWindowAgg(events.withWatermark("ts", "30 minutes"), gap)
+
   /** Sliding 10-min/5-min window aggregate per symbol — each event
     * contributes to exactly two overlapping windows (the moving-average
     * view a dashboard refreshes every slide). Identical semantics in

@@ -54,6 +54,48 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:10:00.0", "A", 1L, 30.0)))
   }
 
+  test("streaming session_window agg matches batch and splits at exactly the gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      // user 1: second event 29 min after the first (merge), third
+      // exactly 30 min after the second — Spark session windows merge
+      // ADJACENT windows too (boundary-inclusive), so all three join
+      // one session; the fourth, 30:01 after the third, starts fresh
+      RawEv(1, ts("2024-01-01 10:00:00"), 1, "A", 10.0),
+      RawEv(2, ts("2024-01-01 10:29:00"), 1, "A", 20.0),
+      RawEv(3, ts("2024-01-01 10:59:00"), 1, "A", 30.0),
+      RawEv(5, ts("2024-01-01 11:29:01"), 1, "A", 40.0),
+      // user 2: a lone event = singleton session ending ts+gap
+      RawEv(4, ts("2024-01-01 10:03:00"), 2, "B", 5.0))
+    val mem = MemoryStream[RawEv]
+    val q = StreamPipelines.sessionWindowAggStream(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("swin_out")
+      .start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    // advance the watermark past every session end so append emits them
+    mem.addData(RawEv(99, ts("2024-01-01 14:00:00"), 9, "Z", 0.0))
+    q.processAllAvailable()
+    mem.addData(RawEv(100, ts("2024-01-01 15:00:00"), 9, "Z", 0.0))
+    q.processAllAvailable(); q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString, r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))
+    val streamed = spark.table("swin_out")
+      .filter(col("user_id") < 9).orderBy("user_id", "session_start")
+      .collect().map(key)
+    val batch = StreamPipelines.sessionWindowAgg(rows.toDF())
+      .orderBy("user_id", "session_start").collect().map(key)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.toSeq === Seq(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 11:29:00.0", 3L, 60.0),
+      (1L, "2024-01-01 11:29:01.0", "2024-01-01 11:59:01.0", 1L, 40.0),
+      (2L, "2024-01-01 10:03:00.0", "2024-01-01 10:33:00.0", 1L, 5.0)))
+  }
+
   test("streaming sliding-window agg matches the batch result on the same data") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
