@@ -283,6 +283,7 @@ object Bench {
     val artifact = sfBase match {
       case "sf0.1" => "BENCH_FULL.json"
       case "sf1.0" => "BENCH_FULL_SF1.json"
+      case "sf10.0" => "BENCH_FULL_SF10.json"
       case other => s"BENCH_FULL_${other.replaceAll("[^A-Za-z0-9]", "_")}.json"
     }
     // Name the artifact VISIBLY: routing keys on the data dir basename,

@@ -2236,7 +2236,10 @@ object OracleSql {
       bk AS ($bkUnion)"""
   }
 
-  private def lshOracleSql(probed: Boolean): String = {
+  /** CTEs `q0`, `q`, `c` — the LSH query probes and their DISTINCT
+    * candidate set with exact cosine (shared by the LSH top-k oracles
+    * and the graph-ANN entry beam). Expects $vecCtes,$lshBkCtes before. */
+  private def lshEntryCtes(probed: Boolean): String = {
     import graft.operators.Similarity._
     def probesExpr(t: Int) =
       if (!probed) s"[qb_$t]"
@@ -2255,14 +2258,18 @@ object OracleSql {
       .map(t => s"SELECT q_id, qv, qn, $t AS t, unnest(${probesExpr(t)}) AS probe FROM q0")
       .mkString(" UNION ALL ")
     s"""
-      WITH $vecCtes,$lshBkCtes,
       q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, ${(0 until LshTables).map(t => s"pt_$t, qb_$t").mkString(", ")}
              FROM p2 WHERE vec_id < $QueryCount),
       q AS ($qUnion),
       c AS (SELECT DISTINCT q.q_id, bk.vec_id AS nn_id,
               ${dotSql("bk.v", "q.qv")} / (q.qn * bk.nrm) AS cos
             FROM bk JOIN q ON bk.t = q.t AND bk.bucket = q.probe AND bk.vec_id <> q.q_id
-            WHERE bk.nrm > 0 AND q.qn > 0),
+            WHERE bk.nrm > 0 AND q.qn > 0)"""
+  }
+
+  private def lshOracleSql(probed: Boolean): String = {
+    s"""
+      WITH $vecCtes,$lshBkCtes,${lshEntryCtes(probed)},
       r AS (SELECT q_id, nn_id, cos,
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c)
       SELECT q_id, nn_id, round(cos + 5e-9, 4) + 0.0 AS cos, rk
@@ -2359,6 +2366,54 @@ object OracleSql {
     "q_ann_lsh" -> lshOracleSql(probed = false),
 
     "q_ann_lsh_multiprobe" -> lshOracleSql(probed = true),
+
+    // graph ANN: bounded-degree kNN graph from the capped LSH pair join,
+    // beam search unrolled to GraphRounds fixed expansion rounds (each
+    // round: expand beam through out-edges, score new ids exactly,
+    // re-rank to the beam width) — the engine's fixed-round plan replays
+    // as a linear CTE chain
+    "q_ann_graph" -> {
+      import graft.operators.Similarity._
+      def round(i: Int, prev: String) = s"""
+      x$i AS (SELECT DISTINCT b.q_id, g.dst AS nn_id
+              FROM $prev b JOIN g ON b.nn_id = g.src WHERE g.dst <> b.q_id),
+      c$i AS (SELECT x.q_id, x.nn_id,
+                ${dotSql("nv.v", "qq.qv")} / (qq.qn * nv.nrm) AS cos
+              FROM x$i x JOIN nv ON x.nn_id = nv.vec_id
+                JOIN qq ON x.q_id = qq.q_id
+              WHERE nv.nrm > 0 AND qq.qn > 0),
+      u$i AS (SELECT q_id, nn_id, max(cos) AS cos FROM
+                (SELECT * FROM $prev UNION ALL SELECT * FROM c$i)
+              GROUP BY 1, 2),
+      b$i AS (SELECT q_id, nn_id, cos FROM u$i
+              QUALIFY row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, nn_id) <= $GraphBeam)"""
+      val rounds = (1 to GraphRounds)
+        .map(i => round(i, if (i == 1) "b0" else s"b${i - 1}")).mkString(",")
+      s"""
+      WITH $vecCtes,$lshBkCtes,${lshEntryCtes(probed = true)},
+      b0 AS (SELECT q_id, nn_id, cos FROM c
+             QUALIFY row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, nn_id) <= $GraphBeam),
+      sz AS (SELECT t, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+      bkc AS (SELECT bk.vec_id, bk.v, bk.nrm, bk.t, bk.bucket
+              FROM bk JOIN sz ON bk.t = sz.t AND bk.bucket = sz.bucket
+              WHERE sz.c <= $NeardupMaxBucket),
+      pr AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+               ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS ecos
+             FROM bkc a JOIN bkc b
+               ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+             WHERE a.nrm > 0 AND b.nrm > 0),
+      g AS (SELECT src, dst FROM pr
+            QUALIFY row_number() OVER (PARTITION BY src
+              ORDER BY ecos DESC, dst) <= $GraphDegree),
+      qq AS (SELECT q_id, qv, qn FROM q0),$rounds,
+      r AS (SELECT q_id, nn_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk
+            FROM b$GraphRounds)
+      SELECT q_id, nn_id, round(cos + 5e-9, 4) + 0.0 AS cos, rk
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
+    },
 
     // content-driven near-dup: pairs sharing any LSH table bucket (the
     // scale path the id-band variant approximates), with the same
@@ -3025,7 +3080,7 @@ object OracleSql {
       WITH r AS (SELECT event_type, event_id, value,
           row_number() OVER (PARTITION BY event_type
             ORDER BY value DESC, event_id) AS rk
-        FROM events)
+        FROM events WHERE value IS NOT NULL)
       SELECT event_type, event_id, value, rk::BIGINT AS rk
       FROM r WHERE rk <= 10 ORDER BY event_type, rk""",
 

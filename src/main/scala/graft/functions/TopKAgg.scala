@@ -15,8 +15,16 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), Array[(Double, Long)], Array[(Double, Long)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** SQL total ordering, not Scala `>`: primitive Double comparisons are
+    * always-false on NaN, which would let a NaN value land anywhere in
+    * the merged partial top-k while the oracle's `ORDER BY value DESC`
+    * sorts NaN as the largest value. `java.lang.Double.compare` ranks
+    * NaN above every finite double — the same total order Spark and
+    * DuckDB use — so merge ≡ recompute holds even on NaN inputs. */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def topK(xs: Array[(Double, Long)]): Array[(Double, Long)] =
     xs.sortWith(better).take(k)

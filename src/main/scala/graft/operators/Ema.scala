@@ -700,7 +700,12 @@ object Ema extends Serializable {
           if (sd.isFirst && i == 0) {
             var q = 0; while (q < k) { e(q) = sc.x(i); q += 1 }
           } else chainStep(e, sc.x(i))
-          (key._1, sc.ts(i), e.clone())
+          // no per-row clone: this iterator feeds SerializeFromObject
+          // directly (the .toDF below), which deep-copies the array
+          // into UnsafeArrayData before pulling the next row — the
+          // emitted row already copies, so the shared scratch state is
+          // never observed after mutation (bit-equality specs gate it)
+          (key._1, sc.ts(i), e)
         }
       }.toDF("symbol", "ts_us", "es")
       .select(col("symbol") +: timestamp_micros(col("ts_us")).as("bar_ts") +:
@@ -772,10 +777,12 @@ object Ema extends Serializable {
         var e: Array[Double] = if (sd.isFirst) null else sd.seed
         (0 until sc.x.length).iterator.map { i =>
           e = if (sd.isFirst && i == 0) init(sc.x(i)) else step(e, sc.x(i))
-          // defensive copy (same reason emaMulti clones): a `step` that
-          // mutates its accumulator in place would otherwise make every
-          // row in the chunk carry the chunk's final state
-          (key._1, sc.ts(i), e.clone())
+          // no per-row clone (even for an in-place-mutating `step`):
+          // this iterator feeds SerializeFromObject directly (the
+          // .toDF below), which deep-copies the array into
+          // UnsafeArrayData before pulling the next row — the emitted
+          // row already copies (bit-equality specs gate it)
+          (key._1, sc.ts(i), e)
         }
       }.toDF("symbol", "ts_us", "es")
       .select(col("symbol") +: timestamp_micros(col("ts_us")).as("bar_ts") +:

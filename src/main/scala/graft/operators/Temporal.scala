@@ -224,7 +224,14 @@ object Temporal {
     val tagged = events.crossJoin(broadcast(cutoff))
     def partial(df: DataFrame): DataFrame = {
       val agg = new graft.functions.TopKAgg(k)
-      df.select(col("event_type"), col("value"), col("event_id"))
+      // null-tolerant like the SQL aggregates every other value consumer
+      // uses: the typed (String, Double, Long) encoder would throw on a
+      // null value, so nulls are dropped explicitly here and in the
+      // oracle (a null can never rank in a value-desc top-k anyway —
+      // SQL ORDER BY .. DESC puts NULL last and the window's rows are
+      // capped at k non-null candidates).
+      df.filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"))
         .as[(String, Double, Long)]
         .groupByKey(_._1)
         .mapValues(r => (r._2, r._3))

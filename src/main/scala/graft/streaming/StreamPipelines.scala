@@ -106,9 +106,16 @@ object StreamPipelines {
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
 
   /** Streaming variant of [[sessionWindowAgg]] with a watermark —
-    * session state expires once the watermark passes the session end. */
-  def sessionWindowAggStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    sessionWindowAgg(events.withWatermark("ts", "30 minutes"), gap)
+    * session state expires once the watermark passes the session end.
+    * The lateness bound defaults to the session gap itself (an event
+    * later than one gap cannot extend any still-open session), so a
+    * caller widening `gap` widens the watermark with it; pass
+    * `watermarkDelay` to decouple them deliberately. */
+  def sessionWindowAggStream(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = ""): DataFrame = {
+    val delay = if (watermarkDelay.nonEmpty) watermarkDelay else gap
+    sessionWindowAgg(events.withWatermark("ts", delay), gap)
+  }
 
   /** Sliding 10-min/5-min window aggregate per symbol — each event
     * contributes to exactly two overlapping windows (the moving-average
@@ -246,6 +253,88 @@ object StreamPipelines {
       .foreachBatch { (batch: DataFrame, id: Long) => dualWriteBatch(batch, id, outDir) }
       .option("checkpointLocation", s"$outDir/ckpt")
       .start()
+
+  /** Streaming CDC MERGE — [[graft.operators.Temporal.cdcApply]]'s
+    * last-writer-wins semantics run stream-native, the reference
+    * loader's upsert path (reference src/loader/bigquery_loader.py:211
+    * buffered upsert callback) as a foreachBatch MERGE into a parquet
+    * state table. Per micro-batch: ONE map-side-combining `max_by`
+    * reduce collapses the batch's changelog to one row per user (the
+    * q_cdc_apply combiner — never a per-key sort), then a single
+    * full-outer MERGE against the previous state on `user_id` folds it
+    * in: op counts add, the surviving row is `greatest` over the
+    * (ts, event_id)-ordered last-row struct, so out-of-order keys
+    * ACROSS batches resolve exactly like rows within one batch.
+    *
+    * The state table is GENERATION-CHAINED for exactly-once semantics
+    * on a plain-parquet sink (the [[dualWriteBatch]] idempotency
+    * device, upgraded from partition-overwrite to merge-compaction):
+    * batch N writes `state/gen=N` by merging onto the newest gen < N,
+    * so a replayed batch (offsets committed, sink write lost)
+    * deterministically REWRITES its own generation instead of
+    * double-counting. Tombstoned users stay in the state (their op
+    * counts must survive a later resurrection); [[cdcState]] applies
+    * the tombstone filter at read time, matching `cdcApply` exactly.
+    *
+    * Scale shape: the MERGE is one co-partitioned shuffle join keyed on
+    * user_id — state rows ∝ distinct keys, never event volume; the
+    * changelog itself is never retained. At warehouse scale the same
+    * body runs against a MERGE-capable table format; the generation
+    * chain is what plain parquet needs to make the upsert idempotent. */
+  def cdcMergeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val root = s"$outDir/state"
+    val delta = batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ops"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_deletes"),
+        max_by(struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+    val prevGens = cdcGens(spark, root).filter(_ < batchId)
+    val prev =
+      if (prevGens.isEmpty) delta.limit(0)
+      else spark.read.parquet(s"$root/gen=${prevGens.max}")
+    val p = prev.select(col("user_id"), col("n_ops").as("p_ops"),
+      col("n_deletes").as("p_del"), col("last").as("p_last"))
+    val d = delta.select(col("user_id"), col("n_ops").as("d_ops"),
+      col("n_deletes").as("d_del"), col("last").as("d_last"))
+    p.join(d, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("p_ops"), lit(0L)) + coalesce(col("d_ops"), lit(0L))).as("n_ops"),
+        (coalesce(col("p_del"), lit(0L)) + coalesce(col("d_del"), lit(0L))).as("n_deletes"),
+        // greatest skips NULL (a key present on one side only) and
+        // orders by the struct's leading (ts, event_id) — last writer wins
+        greatest(col("p_last"), col("d_last")).as("last"))
+      .write.mode("overwrite").parquet(s"$root/gen=$batchId")
+  }
+
+  /** The streaming query driving [[cdcMergeBatch]] under a checkpoint. */
+  def cdcApplyStream(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) => cdcMergeBatch(batch, id, outDir) }
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
+
+  /** Current CDC table state: newest generation, tombstones dropped,
+    * projected to exactly [[graft.operators.Temporal.cdcApply]]'s
+    * output schema — the spec equates the two across a replay. */
+  def cdcState(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    val gens = cdcGens(spark, s"$outDir/state")
+    require(gens.nonEmpty, s"no CDC state generations under $outDir/state")
+    spark.read.parquet(s"$outDir/state/gen=${gens.max}")
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.value").as("value"),
+        col("last.ts").as("updated_at"), col("n_ops"), col("n_deletes"))
+      .orderBy(col("user_id"))
+  }
+
+  private def cdcGens(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+  }
 
   /** Stream-static enrichment: join the unbounded stream against a
     * (small) static dimension with an explicit broadcast — per

@@ -341,6 +341,60 @@ class DedupSimilaritySpec extends SparkSpec {
       "exact re-rank never changed an ADC rank — refine is vacuous here")
   }
 
+  test("graph ANN: recall monotone over its LSH entry beam and >= IVF+PQ-refine") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val brute = Similarity.annBruteforce(e, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nn_id")).toSet }
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nn_id")).toSet }
+      brute.map { case (q, s) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(s).size }.sum.toDouble /
+        brute.map(_._2.size).sum
+    }
+    val lsh = recallOf(Similarity.annLshMultiprobe(e, k = 5).collect())
+    val graph = recallOf(Similarity.annGraph(e, k = 5).collect())
+    val refine = recallOf(Similarity.annIvfPqRefine(e, k = 5).collect())
+    info(f"recall@5 vs brute: lsh-multiprobe=$lsh%.3f graph=$graph%.3f ivfpq-refine=$refine%.3f")
+    // monotone BY CONSTRUCTION: the beam (width 16 >= 2k) starts from the
+    // multiprobe candidate set's best 16, so its top-5 equals the
+    // entry-only top-5, and expansion rounds only ADD exact-scored
+    // candidates — recall can never drop below the entry path
+    assert(graph >= lsh, f"graph $graph%.3f below its own entry beam $lsh%.3f")
+    // and the graph walk reaches candidates the compressed-index path
+    // misses: measured >= the exact-re-ranked IVF+PQ at comparable
+    // exact-distance budgets (refine: 32/query; graph: <= 16 + 16*8*2)
+    assert(graph >= refine,
+      f"graph recall $graph%.3f fell below IVF+PQ-refine $refine%.3f")
+  }
+
+  test("recall report (compute-once) equals the three public pipelines") {
+    // annRecallReport shares ONE persisted ivfPqAdcFrame between the
+    // ADC ranking and the refine shortlist; this proves the shared-index
+    // path emits exactly what running annBruteforce + annIvfPq +
+    // annIvfPqRefine back-to-back would report (the pre-refactor shape).
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val k = 5
+    def idSet(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nn_id")).toSet }
+    val brute = idSet(Similarity.annBruteforce(e, k).collect())
+    val adc = idSet(Similarity.annIvfPq(e, k).collect())
+    val ref = idSet(Similarity.annIvfPqRefine(e, k).collect())
+    val report = Similarity.annRecallReport(e, k).collect()
+    assert(report.map(_.getAs[Long]("q_id")).toSet === brute.keySet)
+    report.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val b = brute(q)
+      assert(r.getAs[Long]("n_brute") === b.size.toLong)
+      assert(r.getAs[Long]("hits_adc") ===
+        b.intersect(adc.getOrElse(q, Set.empty)).size.toLong)
+      assert(r.getAs[Long]("hits_refined") ===
+        b.intersect(ref.getOrElse(q, Set.empty)).size.toLong)
+    }
+  }
+
   test("multi-probe LSH never does worse than single-probe on top-1 cosine") {
     val e = Tables.embeddings(spark, sf())
     val single = Similarity.annLsh(e, k = 1).collect()

@@ -228,6 +228,46 @@ class StreamingSpec extends SparkSpec {
     assert(bars.filter(col("symbol") === "A").head().getAs[Long]("volume") === 2L)
   }
 
+  test("streaming CDC MERGE equals batch cdcApply across an out-of-order 2-batch replay") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val b1 = Seq(
+      RawEv(10, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      RawEv(11, ts("2024-01-01 10:05:00"), 1, "purchase", 5.0),
+      RawEv(12, ts("2024-01-01 10:06:00"), 2, "click", 2.0),
+      RawEv(13, ts("2024-01-01 10:07:00"), 3, "error", 0.0), // tombstone (for now)
+      RawEv(14, ts("2024-01-01 10:09:00"), 4, "click", 4.0))
+    val b2 = Seq(
+      RawEv(5, ts("2024-01-01 09:55:00"), 1, "view", 9.0), // older than all of b1: must NOT win
+      RawEv(20, ts("2024-01-01 10:10:00"), 2, "error", 0.0), // deletes user 2
+      RawEv(21, ts("2024-01-01 10:11:00"), 3, "click", 7.0), // resurrects user 3
+      RawEv(6, ts("2024-01-01 10:09:00"), 4, "view", 6.0)) // same ts, lower id: must NOT win
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+        r.getAs[Timestamp]("updated_at").toString,
+        r.getAs[Long]("n_ops"), r.getAs[Long]("n_deletes"))
+    val mem = MemoryStream[RawEv]
+    val q = StreamPipelines.cdcApplyStream(mem.toDF(), tmp)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamed = StreamPipelines.cdcState(spark, tmp).collect().map(key)
+    val batch = graft.operators.Temporal.cdcApply((b1 ++ b2).toDF())
+      .collect().map(key)
+    assert(streamed.toSeq === batch.toSeq)
+    // user 1's late row and user 4's lower-id row lost; user 2 tombstoned
+    assert(!streamed.exists(_._1 == 2L))
+    assert(streamed.find(_._1 == 1L).get._2 === 5.0)
+    assert(streamed.find(_._1 == 4L).get._2 === 4.0)
+    // state is bounded by DISTINCT KEYS, not event volume (incl. tombstoned)
+    assert(spark.read.parquet(s"$tmp/state/gen=1").count() === 4L)
+    // exactly-once: replaying batch 1 (offsets committed, write lost)
+    // deterministically REWRITES gen=1 — no double counting
+    StreamPipelines.cdcMergeBatch(b2.toDF(), 1L, tmp)
+    val replayed = StreamPipelines.cdcState(spark, tmp).collect().map(key)
+    assert(replayed.toSeq === batch.toSeq)
+  }
+
   test("streaming MACD equals the batch recursion across a two-batch replay") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
