@@ -2267,6 +2267,47 @@ object OracleSql {
             WHERE bk.nrm > 0 AND q.qn > 0)"""
   }
 
+  /** Graph-ANN CTE chain, ending in `b<GraphRounds>(q_id, nn_id, cos)` —
+    * the beam after the final expansion round. Expects
+    * $vecCtes,$lshBkCtes earlier in the WITH; includes the multiprobe
+    * entry CTEs (q0/q/c). Shared by q_ann_graph and the recall report. */
+  private def graphAnnCtes: String = {
+    import graft.operators.Similarity._
+    def round(i: Int, prev: String) = s"""
+      x$i AS (SELECT DISTINCT b.q_id, g.dst AS nn_id
+              FROM $prev b JOIN g ON b.nn_id = g.src WHERE g.dst <> b.q_id),
+      c$i AS (SELECT x.q_id, x.nn_id,
+                ${dotSql("nv.v", "qq.qv")} / (qq.qn * nv.nrm) AS cos
+              FROM x$i x JOIN nv ON x.nn_id = nv.vec_id
+                JOIN qq ON x.q_id = qq.q_id
+              WHERE nv.nrm > 0 AND qq.qn > 0),
+      u$i AS (SELECT q_id, nn_id, max(cos) AS cos FROM
+                (SELECT * FROM $prev UNION ALL SELECT * FROM c$i)
+              GROUP BY 1, 2),
+      b$i AS (SELECT q_id, nn_id, cos FROM u$i
+              QUALIFY row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, nn_id) <= $GraphBeam)"""
+    val rounds = (1 to GraphRounds)
+      .map(i => round(i, if (i == 1) "b0" else s"b${i - 1}")).mkString(",")
+    s"""${lshEntryCtes(probed = true)},
+      b0 AS (SELECT q_id, nn_id, cos FROM c
+             QUALIFY row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, nn_id) <= $GraphBeam),
+      sz AS (SELECT t, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+      bkc AS (SELECT bk.vec_id, bk.v, bk.nrm, bk.t, bk.bucket
+              FROM bk JOIN sz ON bk.t = sz.t AND bk.bucket = sz.bucket
+              WHERE sz.c <= $NeardupMaxBucket),
+      pr AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+               ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS ecos
+             FROM bkc a JOIN bkc b
+               ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+             WHERE a.nrm > 0 AND b.nrm > 0),
+      g AS (SELECT src, dst FROM pr
+            QUALIFY row_number() OVER (PARTITION BY src
+              ORDER BY ecos DESC, dst) <= $GraphDegree),
+      qq AS (SELECT q_id, qv, qn FROM q0),$rounds"""
+  }
+
   private def lshOracleSql(probed: Boolean): String = {
     s"""
       WITH $vecCtes,$lshBkCtes,${lshEntryCtes(probed)},
@@ -2371,43 +2412,11 @@ object OracleSql {
     // beam search unrolled to GraphRounds fixed expansion rounds (each
     // round: expand beam through out-edges, score new ids exactly,
     // re-rank to the beam width) — the engine's fixed-round plan replays
-    // as a linear CTE chain
+    // as a linear CTE chain (graphAnnCtes, shared with the recall report)
     "q_ann_graph" -> {
-      import graft.operators.Similarity._
-      def round(i: Int, prev: String) = s"""
-      x$i AS (SELECT DISTINCT b.q_id, g.dst AS nn_id
-              FROM $prev b JOIN g ON b.nn_id = g.src WHERE g.dst <> b.q_id),
-      c$i AS (SELECT x.q_id, x.nn_id,
-                ${dotSql("nv.v", "qq.qv")} / (qq.qn * nv.nrm) AS cos
-              FROM x$i x JOIN nv ON x.nn_id = nv.vec_id
-                JOIN qq ON x.q_id = qq.q_id
-              WHERE nv.nrm > 0 AND qq.qn > 0),
-      u$i AS (SELECT q_id, nn_id, max(cos) AS cos FROM
-                (SELECT * FROM $prev UNION ALL SELECT * FROM c$i)
-              GROUP BY 1, 2),
-      b$i AS (SELECT q_id, nn_id, cos FROM u$i
-              QUALIFY row_number() OVER (PARTITION BY q_id
-                ORDER BY cos DESC, nn_id) <= $GraphBeam)"""
-      val rounds = (1 to GraphRounds)
-        .map(i => round(i, if (i == 1) "b0" else s"b${i - 1}")).mkString(",")
+      import graft.operators.Similarity.GraphRounds
       s"""
-      WITH $vecCtes,$lshBkCtes,${lshEntryCtes(probed = true)},
-      b0 AS (SELECT q_id, nn_id, cos FROM c
-             QUALIFY row_number() OVER (PARTITION BY q_id
-               ORDER BY cos DESC, nn_id) <= $GraphBeam),
-      sz AS (SELECT t, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
-      bkc AS (SELECT bk.vec_id, bk.v, bk.nrm, bk.t, bk.bucket
-              FROM bk JOIN sz ON bk.t = sz.t AND bk.bucket = sz.bucket
-              WHERE sz.c <= $NeardupMaxBucket),
-      pr AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
-               ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS ecos
-             FROM bkc a JOIN bkc b
-               ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
-             WHERE a.nrm > 0 AND b.nrm > 0),
-      g AS (SELECT src, dst FROM pr
-            QUALIFY row_number() OVER (PARTITION BY src
-              ORDER BY ecos DESC, dst) <= $GraphDegree),
-      qq AS (SELECT q_id, qv, qn FROM q0),$rounds,
+      WITH $vecCtes,$lshBkCtes,$graphAnnCtes,
       r AS (SELECT q_id, nn_id, cos,
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk
             FROM b$GraphRounds)
@@ -2656,8 +2665,8 @@ object OracleSql {
     // exact-re-ranked hit counts per query — integer intersections, the
     // recall ratios divide the same integers in both engines
     "q_ann_recall_report" -> {
-      import graft.operators.Similarity.{IvfProbes, PqKs, PqM, PqSubDim,
-        QueryCount, RefineShortlist}
+      import graft.operators.Similarity.{GraphRounds, IvfProbes, PqKs, PqM,
+        PqSubDim, QueryCount, RefineShortlist}
       s"""
       WITH $vecCtes,${ivfCentCtes("cents")},
       av AS (SELECT nv.vec_id, c.cent_id,
@@ -2667,7 +2676,7 @@ object OracleSql {
             FROM nv, cents c),
       cell AS (SELECT vec_id, cent_id AS cell FROM av
                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
-      q AS (SELECT vec_id AS q_id, cent_id AS qcell FROM av WHERE vec_id < $QueryCount
+      qpr AS (SELECT vec_id AS q_id, cent_id AS qcell FROM av WHERE vec_id < $QueryCount
             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) <= $IvfProbes),
       samp AS (SELECT v AS cv,
                  row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code_id
@@ -2687,8 +2696,8 @@ object OracleSql {
       best AS (SELECT vec_id, m, code_id AS code FROM d
                QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code_id) = 1),
       dt AS (SELECT vec_id AS q_id, m, code_id, d2 AS qd2 FROM d WHERE vec_id < $QueryCount),
-      cand AS (SELECT q.q_id, cell.vec_id AS nn_id
-               FROM cell JOIN q ON cell.cell = q.qcell AND cell.vec_id <> q.q_id),
+      cand AS (SELECT qpr.q_id, cell.vec_id AS nn_id
+               FROM cell JOIN qpr ON cell.cell = qpr.qcell AND cell.vec_id <> qpr.q_id),
       j AS (SELECT cand.q_id, cand.nn_id, b.m, dt.qd2
             FROM cand JOIN best b ON b.vec_id = cand.nn_id
             JOIN dt ON dt.q_id = cand.q_id AND b.m = dt.m AND b.code = dt.code_id),
@@ -2723,14 +2732,24 @@ object OracleSql {
              GROUP BY bru.q_id),
       hr AS (SELECT bru.q_id, count(*)::BIGINT AS h_ref
              FROM bru JOIN ref5 ON ref5.q_id = bru.q_id AND ref5.nn_id = bru.nn_id
+             GROUP BY bru.q_id),
+      $lshBkCtes,$graphAnnCtes,
+      gr5 AS (SELECT q_id, nn_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk
+              FROM b$GraphRounds QUALIFY rk <= 5),
+      hg AS (SELECT bru.q_id, count(*)::BIGINT AS h_graph
+             FROM bru JOIN gr5 ON gr5.q_id = bru.q_id AND gr5.nn_id = bru.nn_id
              GROUP BY bru.q_id)
       SELECT nb.q_id, nb.n_brute,
         coalesce(ha.h_adc, 0)::BIGINT AS hits_adc,
         coalesce(hr.h_ref, 0)::BIGINT AS hits_refined,
+        coalesce(hg.h_graph, 0)::BIGINT AS hits_graph,
         round(coalesce(ha.h_adc, 0)::DOUBLE / nb.n_brute::DOUBLE + 5e-9, 4) AS recall_adc,
-        round(coalesce(hr.h_ref, 0)::DOUBLE / nb.n_brute::DOUBLE + 5e-9, 4) AS recall_refined
+        round(coalesce(hr.h_ref, 0)::DOUBLE / nb.n_brute::DOUBLE + 5e-9, 4) AS recall_refined,
+        round(coalesce(hg.h_graph, 0)::DOUBLE / nb.n_brute::DOUBLE + 5e-9, 4) AS recall_graph
       FROM nb LEFT JOIN ha ON ha.q_id = nb.q_id
               LEFT JOIN hr ON hr.q_id = nb.q_id
+              LEFT JOIN hg ON hg.q_id = nb.q_id
       ORDER BY nb.q_id"""
     },
 

@@ -915,8 +915,10 @@ object Similarity {
     * publishes BEFORE switching search paths: per query, how many of
     * the exact cosine top-k ([[annBruteforce]], the ceiling) the
     * compressed index recovers, ADC-only ([[annIvfPq]]) next to
-    * exact-re-ranked ([[annIvfPqRefine]]) so the refine lift is itself
-    * an oracle-gated number rather than a spec-only measurement. All
+    * exact-re-ranked ([[annIvfPqRefine]]) and the graph walk
+    * ([[annGraph]]) so the refine lift AND the graph method's recall
+    * are themselves oracle-gated numbers rather than spec-only
+    * measurements. All
     * hit counts are exact integers; the recall ratios divide the same
     * integers in both engines (bit-identical doubles).
     *
@@ -938,19 +940,26 @@ object Similarity {
     val adc = adcTopK(adcF, k).select(col("q_id"), col("nn_id"))
     val ref = refineFromAdc(e, q0, adcF, k, RefineShortlist)
       .select(col("q_id"), col("nn_id"))
+    val gr = annGraphFrom(e, q0, k).select(col("q_id"), col("nn_id"))
     val b = brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
     val hA = brute.join(adc, Seq("q_id", "nn_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("h_adc"))
     val hR = brute.join(ref, Seq("q_id", "nn_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("h_ref"))
+    val hG = brute.join(gr, Seq("q_id", "nn_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h_graph"))
     b.join(hA, Seq("q_id"), "left").join(hR, Seq("q_id"), "left")
+      .join(hG, Seq("q_id"), "left")
       .select(col("q_id"), col("n_brute"),
         coalesce(col("h_adc"), lit(0L)).as("hits_adc"),
         coalesce(col("h_ref"), lit(0L)).as("hits_refined"),
+        coalesce(col("h_graph"), lit(0L)).as("hits_graph"),
         round(coalesce(col("h_adc"), lit(0L)).cast("double")
           / col("n_brute").cast("double") + lit(5e-9), 4).as("recall_adc"),
         round(coalesce(col("h_ref"), lit(0L)).cast("double")
-          / col("n_brute").cast("double") + lit(5e-9), 4).as("recall_refined"))
+          / col("n_brute").cast("double") + lit(5e-9), 4).as("recall_refined"),
+        round(coalesce(col("h_graph"), lit(0L)).cast("double")
+          / col("n_brute").cast("double") + lit(5e-9), 4).as("recall_graph"))
       .orderBy(col("q_id"))
   }
 
@@ -990,7 +999,13 @@ object Similarity {
     * with the measured lift vs IVF+PQ-refine reported. */
   def annGraph(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val e = Ema.persistTracked(withVec(embeddings))
-    val q0 = defaultQueries(e)
+    annGraphFrom(e, defaultQueries(e), k)
+  }
+
+  /** [[annGraph]]'s core over an already-prepared corpus/query pair —
+    * shared with [[annRecallReport]] so the report gates the graph
+    * method without a second corpus preparation. */
+  private def annGraphFrom(e: DataFrame, q0: DataFrame, k: Int): DataFrame = {
     // ---- build: capped pairs -> bounded-degree out-edges
     val bk = corpusBuckets(e)
       .select(col("vec_id"), col("v"), col("t"), col("bucket"))

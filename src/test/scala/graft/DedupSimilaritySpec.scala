@@ -382,6 +382,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val brute = idSet(Similarity.annBruteforce(e, k).collect())
     val adc = idSet(Similarity.annIvfPq(e, k).collect())
     val ref = idSet(Similarity.annIvfPqRefine(e, k).collect())
+    val gra = idSet(Similarity.annGraph(e, k).collect())
     val report = Similarity.annRecallReport(e, k).collect()
     assert(report.map(_.getAs[Long]("q_id")).toSet === brute.keySet)
     report.foreach { r =>
@@ -392,6 +393,8 @@ class DedupSimilaritySpec extends SparkSpec {
         b.intersect(adc.getOrElse(q, Set.empty)).size.toLong)
       assert(r.getAs[Long]("hits_refined") ===
         b.intersect(ref.getOrElse(q, Set.empty)).size.toLong)
+      assert(r.getAs[Long]("hits_graph") ===
+        b.intersect(gra.getOrElse(q, Set.empty)).size.toLong)
     }
   }
 
