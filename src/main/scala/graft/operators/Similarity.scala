@@ -335,15 +335,23 @@ object Similarity {
     * window shuffle+sort; only the bounded query side uses a window for
     * its nprobe ranking. */
   private def ivfProbe(e: DataFrame, cents: DataFrame, k: Int): DataFrame = {
-    val dists = e.crossJoin(broadcast(cents))
+    // NARROW assignment: the N×K expanded stream carries only
+    // (vec_id, cent_id, d2) — materializing the 64-double vector into
+    // every candidate row is a K× memcpy amplification inside the
+    // crossJoin stage (measured 15× on the residual variant at sf10);
+    // the vector rejoins ONCE per corpus row afterwards. The query
+    // side keeps the wide form: its filter pushes below the crossJoin,
+    // so that stream is |Q|·K — bounded.
+    val assignN = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
+    val assign = e.join(assignN, Seq("vec_id"))
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
+    val qcells = e.filter(col("vec_id") < QueryCount)
+      .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cent_id"),
         dist2(col("v"), col("cv")).as("d2"))
-    val assign = dists
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"),
-        min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
-    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
-    val qcells = dists.filter(col("vec_id") < QueryCount)
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= IvfProbes)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -384,13 +392,18 @@ object Similarity {
     for (_ <- 1 to iters) {
       // nearest-centroid assignment as a map-side combinable min_by
       // (same (d2, cent_id) lexicographic order as a rank-1 window,
-      // without the full-corpus shuffle+sort per iteration)
-      val assign = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cent_id"),
-          dist2(col("v"), col("cv")).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(first(col("v")).as("v"),
-          min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cent_id"))
+      // without the full-corpus shuffle+sort per iteration); NARROW:
+      // the N×K stream carries ids and distances only, the vector
+      // rejoins once per row for the mean update (the ivfProbe /
+      // residual-IVFADC discipline — K× memcpy otherwise)
+      val assign = e.join(
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"),
+            dist2(col("v"), col("cv")).as("d2"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cent_id"),
+            struct(col("d2"), col("cent_id"))).as("cent_id")),
+        Seq("vec_id"))
       // centroid update: ONE native vector-mean aggregate (6dp-rounded,
       // ≡ the per-dim round(avg(x), 6) the oracle mirrors) instead of a
       // dim× posexplode + two groupBy shuffles per iteration
