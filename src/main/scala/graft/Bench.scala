@@ -123,6 +123,44 @@ object Bench {
       System.err.println(json)
       return
     }
+    // ANN-index composite (SPARK_GRAFT_COMPOSITE=ann): the index
+    // AMORTIZATION story — a production vector deployment builds the
+    // IVF+PQ index (and the neighbor graph) ONCE and serves every
+    // search mode from it, while the per-query bench charges each ANN
+    // query its own index build by design. Pipelined = ONE
+    // annRecallReport pass (shared persisted ADC frame + shared corpus
+    // prep feeding brute/ADC/refine/graph AND the recall joins);
+    // standalone = the four public pipelines each building their own
+    // index, summed. The pipelined side does strictly MORE output work
+    // (the hit joins), so the reported speedup is conservative.
+    if (sys.env.get("SPARK_GRAFT_COMPOSITE").exists(_.equalsIgnoreCase("ann"))) {
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(spark, sfDir)
+      def onePass(): (Double, Double) = {
+        val tShared = timed(Similarity.annRecallReport(emb).count())._2
+        cleanup()
+        val standalone = Seq[() => org.apache.spark.sql.DataFrame](
+          () => Similarity.annBruteforce(emb),
+          () => Similarity.annIvfPq(emb),
+          () => Similarity.annIvfPqRefine(emb),
+          () => Similarity.annGraph(emb))
+        val tSolo = standalone.map { f =>
+          val t = timed(f().count())._2; cleanup(); t
+        }.sum
+        (tShared, tSolo)
+      }
+      val p1 = onePass(); System.gc(); val p2 = onePass()
+      val (tShared, tSolo) =
+        (math.min(p1._1, p2._1), math.min(p1._2, p2._2))
+      val json =
+        s"""{"metric":"ann_index_composite","unit":"sec","n_methods":4,"pipelined":${num(tShared)},"standalone_sum":${num(tSolo)},"speedup":${num(tSolo / math.max(tShared, 1e-9))},"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_COMPOSITE_ANN.json"), json + "\n")
+      catch { case _: Throwable => () }
+      try spark.stop() catch { case _: Throwable => () }
+      System.err.println(json)
+      return
+    }
     // Checkpoint-I/O probe (SPARK_GRAFT_CKPT=1): run the iterative
     // dedup-clusters fixpoint once and report what its per-round
     // localCheckpoints actually cost — block count (= rounds + initial),

@@ -1781,6 +1781,20 @@ object OracleSql {
       FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
       ORDER BY d.doc_id""",
 
+    // char-level exact-substring anchors: one 32-char gram per 16-char
+    // stride per doc, cross-doc anchors = grams in >= 2 distinct docs;
+    // total order (n_docs DESC, gram) makes the LIMIT deterministic
+    "q_substring_dup" -> """
+      WITH px AS (SELECT doc_id, text,
+                    unnest(range(1, length(text) - 31 + 1, 16)) AS p
+                  FROM documents WHERE length(text) >= 32),
+      g AS (SELECT DISTINCT doc_id, substr(text, p, 32) AS gram FROM px),
+      a AS (SELECT gram, count(*)::BIGINT AS n_docs,
+              min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM g GROUP BY gram HAVING count(*) >= 2)
+      SELECT gram, n_docs, min_doc, max_doc
+      FROM a ORDER BY n_docs DESC, gram LIMIT 100""",
+
     // per-source duplication report over the global exact dedup
     "q_dup_ratio" -> s"""
       WITH t AS (SELECT doc_id, source, md5($normExpr) AS text_hash FROM documents),

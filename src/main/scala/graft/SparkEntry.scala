@@ -177,6 +177,7 @@ object SparkEntry {
     "q_cluster_stats" -> ((s, d) => Dedup.clusterStats(Tables.documents(s, d))),
     "q_seg_dedup" -> ((s, d) => Dedup.segDedup(Tables.documents(s, d))),
     "q_intradoc_repeats" -> ((s, d) => Dedup.intradocRepeats(Tables.documents(s, d))),
+    "q_substring_dup" -> ((s, d) => Dedup.substringDup(Tables.documents(s, d))),
     "q_minhash_est" -> ((s, d) => Dedup.minhashEstimate(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),

@@ -568,6 +568,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Char-level EXACT-SUBSTRING duplication anchors across documents —
+    * the signal behind suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * anchor-sampled for distribution: every document contributes one
+    * `gramLen`-char gram per `stride` chars, and a gram present in ≥2
+    * distinct docs is a cross-doc exact-substring anchor (full-doc
+    * dups and shared boilerplate light up immediately). Stride
+    * sampling is the scale trade — 2 anchor rows per 32 chars instead
+    * of one suffix per char, so the shuffle carries ~2·L/S ≈ 12% of
+    * corpus bytes as (doc_id, gram) pairs; fixed-stride anchors catch
+    * ALIGNED repeats (content-defined winnowing is the production
+    * extension for arbitrary-offset repeats). Both aggregations are
+    * map-side combinable; output is the top 100 most-shared anchors
+    * under a total order (n_docs desc, gram) with doc-span evidence. */
+  def substringDup(docs: DataFrame, gramLen: Int = 32,
+      stride: Int = 16): DataFrame = {
+    val grams = docs
+      .filter(length(col("text")) >= gramLen)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(text) - ${gramLen - 1}, $stride)"))
+          .as("p"),
+        col("text"))
+      .select(col("doc_id"), expr(s"substring(text, p, $gramLen)").as("gram"))
+      .distinct()
+    grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(100)
+  }
+
   /** Per-source duplication report: how many of each source's docs a
     * GLOBAL exact dedup (keep-min-doc_id per normalized-text hash)
     * would remove — "which source is padding the corpus". Only the

@@ -25,6 +25,26 @@ class DedupSimilaritySpec extends SparkSpec {
       Set(("A", 2L), ("B", 9L)))
   }
 
+  test("substringDup finds cross-doc aligned anchors, skips short docs") {
+    // 64-char text shared by docs 1 and 2 -> anchors at p = 1, 17, 33
+    // (p <= 64-31=33); doc 3 differs, doc 4 is too short to contribute
+    val base = ("The quick brown fox jumps over the lazy dog near a riverbank" +
+      " at dawn").take(64)
+    assert(base.length == 64)
+    val out = Dedup.substringDup(docs(Seq(
+      (1L, base), (2L, base), (3L, "z" * 64), (4L, "short")))).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === 2L)
+      assert(r.getAs[Long]("min_doc") === 1L)
+      assert(r.getAs[Long]("max_doc") === 2L)
+      assert(r.getAs[String]("gram").length === 32)
+    }
+    val expected = Set(base.substring(0, 32), base.substring(16, 48),
+      base.substring(32, 64))
+    assert(out.map(_.getAs[String]("gram")).toSet === expected)
+  }
+
   test("exactDocs groups normalization-equivalent texts") {
     val d = docs(Seq(
       (1L, "Hello,   World!"), (2L, "hello world"), (3L, "totally different text")))
