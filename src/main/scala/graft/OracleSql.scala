@@ -560,6 +560,37 @@ object OracleSql {
     ng5 AS (SELECT DISTINCT doc_id,
       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS ng FROM ex5)"""
 
+  /** Greedy longest-match WordPiece walk as recursive CTEs (linear in
+    * the DISTINCT dictionary, the q_tokenize device) ending in
+    * `dw(doc_id, w)` + `tok(w, t, u)` — per-word subword-token count
+    * and whole-word-UNK flag. Shared by q_tokenize (per-doc rollup)
+    * and q_vocab_coverage (per-source rollup). Expects WITH RECURSIVE. */
+  private def wpTokCtes: String = {
+    val vocabValues = graft.functions.WordPieceVocab.entries
+      .map(v => s"('$v')").mkString(", ")
+    s"""
+      dw AS (SELECT doc_id, lower(w) AS w
+             FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '[^A-Za-z0-9]+')) AS w
+                   FROM documents)
+             WHERE w <> ''),
+      words AS (SELECT DISTINCT w FROM dw),
+      vocab(v) AS (VALUES $vocabValues),
+      walk(w, pos, n) AS (
+        SELECT w, 1, 0 FROM words
+        UNION ALL
+        SELECT walk.w, walk.pos + max(len(v.v)), walk.n + 1
+        FROM walk JOIN vocab v ON substr(walk.w, walk.pos, len(v.v)) = v.v
+        WHERE walk.pos <= len(walk.w)
+        GROUP BY walk.w, walk.pos, walk.n),
+      fin AS (SELECT w, len(w) AS wl, max(pos) AS mp, max(n) AS mn
+              FROM walk GROUP BY w),
+      tok AS (SELECT w,
+                CASE WHEN mp = wl + 1 THEN mn ELSE 1 END AS t,
+                CASE WHEN mp = wl + 1 THEN 0 ELSE 1 END AS u
+              FROM fin)"""
+  }
+
   /** Sequential left-fold dot product — same op order as the Spark
     * `aggregate(zip_with(...))` fold, so results are bit-identical. */
   private def dotSql(a: String, b: String) =
@@ -815,31 +846,8 @@ object OracleSql {
     // string); a word whose walk stalls before the end is whole-word
     // [UNK]. Distinct-word tokenization + join-back keeps the oracle
     // linear in the dictionary, not the corpus. All-integer counts.
-    "q_tokenize" -> {
-      val vocabValues = graft.functions.WordPieceVocab.entries
-        .map(v => s"('$v')").mkString(", ")
-      s"""
-      WITH RECURSIVE
-      dw AS (SELECT doc_id, lower(w) AS w
-             FROM (SELECT doc_id,
-                     unnest(regexp_split_to_array(text, '[^A-Za-z0-9]+')) AS w
-                   FROM documents)
-             WHERE w <> ''),
-      words AS (SELECT DISTINCT w FROM dw),
-      vocab(v) AS (VALUES $vocabValues),
-      walk(w, pos, n) AS (
-        SELECT w, 1, 0 FROM words
-        UNION ALL
-        SELECT walk.w, walk.pos + max(len(v.v)), walk.n + 1
-        FROM walk JOIN vocab v ON substr(walk.w, walk.pos, len(v.v)) = v.v
-        WHERE walk.pos <= len(walk.w)
-        GROUP BY walk.w, walk.pos, walk.n),
-      fin AS (SELECT w, len(w) AS wl, max(pos) AS mp, max(n) AS mn
-              FROM walk GROUP BY w),
-      tok AS (SELECT w,
-                CASE WHEN mp = wl + 1 THEN mn ELSE 1 END AS t,
-                CASE WHEN mp = wl + 1 THEN 0 ELSE 1 END AS u
-              FROM fin),
+    "q_tokenize" -> s"""
+      WITH RECURSIVE $wpTokCtes,
       pd AS (SELECT dw.doc_id, count(*)::BIGINT AS n_words,
                sum(tok.t)::BIGINT AS n_tokens, sum(tok.u)::BIGINT AS n_unk
              FROM dw JOIN tok USING (w) GROUP BY dw.doc_id)
@@ -851,8 +859,30 @@ object OracleSql {
           THEN round(pd.n_unk::DOUBLE / pd.n_words::DOUBLE + 5e-9, 4)
           ELSE 0.0 END AS oov_rate
       FROM documents d LEFT JOIN pd USING (doc_id)
-      ORDER BY d.doc_id"""
-    },
+      ORDER BY d.doc_id""",
+
+    // per-source tokenizer coverage: the q_tokenize walk aggregated by
+    // source — integer-exact sums, OOV + fertility single-division
+    "q_vocab_coverage" -> s"""
+      WITH RECURSIVE $wpTokCtes,
+      pd AS (SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+               sum(tok.t)::BIGINT AS n_tokens, sum(tok.u)::BIGINT AS n_unk
+             FROM dw JOIN tok USING (w) GROUP BY dw.doc_id)
+      SELECT d.source, count(*)::BIGINT AS n_docs,
+        sum(coalesce(pd.n_words, 0))::BIGINT AS n_words,
+        sum(coalesce(pd.n_tokens, 0))::BIGINT AS n_tokens,
+        sum(coalesce(pd.n_unk, 0))::BIGINT AS n_unk,
+        CASE WHEN sum(coalesce(pd.n_words, 0)) > 0
+          THEN round(sum(coalesce(pd.n_unk, 0))::DOUBLE
+            / sum(coalesce(pd.n_words, 0))::DOUBLE + 5e-9, 4)
+          ELSE 0.0 END AS oov_rate,
+        CASE WHEN sum(coalesce(pd.n_words, 0)) > 0
+          THEN round(sum(coalesce(pd.n_tokens, 0))::DOUBLE
+            / sum(coalesce(pd.n_words, 0))::DOUBLE + 5e-9, 4)
+          ELSE 0.0 END AS fertility
+      FROM documents d LEFT JOIN pd USING (doc_id)
+      GROUP BY d.source
+      ORDER BY d.source""",
 
     "q_text_quality" -> """
       WITH t AS (

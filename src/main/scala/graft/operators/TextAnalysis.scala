@@ -101,6 +101,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-SOURCE tokenizer coverage — the report that decides whether a
+    * vocab fits a corpus before a training run: integer-exact sums of
+    * the per-doc [[tokenize]] stats (words, subword tokens, whole-word
+    * [UNK]s) rolled up by source, with OOV rate and fertility
+    * (tokens/word — the compression the tokenizer achieves) as
+    * single-division ratios. One fused `wp_stats` map pass + one
+    * narrow source-keyed aggregate: no shuffle carries text. */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("source"), expr("wp_stats(text)").as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("s.n_words")).as("n_words"),
+        sum(col("s.n_tokens")).as("n_tokens"),
+        sum(col("s.n_unk")).as("n_unk"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_unk"),
+        when(col("n_words") > 0,
+          round(col("n_unk").cast("double") / col("n_words").cast("double")
+            + lit(5e-9), 4)).otherwise(lit(0.0)).as("oov_rate"),
+        when(col("n_words") > 0,
+          round(col("n_tokens").cast("double") / col("n_words").cast("double")
+            + lit(5e-9), 4)).otherwise(lit(0.0)).as("fertility"))
+      .orderBy(col("source"))
+  }
+
   /** Quality score from length / punctuation / stopword-ratio signals. */
   def quality(docs: DataFrame): DataFrame = {
     val nChars = length(col("text")).cast("long")

@@ -583,4 +583,28 @@ class OpsExtraSpec extends SparkSpec {
     assert(m(3L) === ((0L, 0L, 0L, 0.0)))
     assert(m(4L) === ((0L, 0L, 0L, 0.0)))
   }
+
+  test("vocabCoverage equals the per-doc tokenize stats rolled up by source") {
+    val docs = Tables.documents(spark, sf())
+    val perDoc = TextAnalysis.tokenize(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unk")))
+      .toMap
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val expected = srcOf.groupBy(_._2).map { case (src, ids) =>
+      val st = ids.keys.map(perDoc).toSeq
+      src -> ((ids.size.toLong, st.map(_._1).sum, st.map(_._2).sum, st.map(_._3).sum))
+    }
+    val got = TextAnalysis.vocabCoverage(docs).collect()
+    assert(got.map(_.getAs[String]("source")).toSet === expected.keySet)
+    got.foreach { r =>
+      val (nd, nw, nt, nu) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_words") === nw)
+      assert(r.getAs[Long]("n_tokens") === nt)
+      assert(r.getAs[Long]("n_unk") === nu)
+      assert(r.getAs[Double]("fertility") >= 1.0 || nw == 0L)
+    }
+  }
 }
