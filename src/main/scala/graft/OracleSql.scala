@@ -1121,6 +1121,21 @@ object OracleSql {
           ELSE 0 END)::BIGINT AS duration_ms
       FROM t ORDER BY doc_id""",
 
+    // quarantine verdicts predicted from the corpus-noise formulas
+    // (id%7==3 -> 20-byte truncation, id%7==5 -> flipped magic); the
+    // engine derives the same verdicts from the bytes alone
+    "q_media_quarantine" -> """
+      WITH t AS (SELECT doc_id, strlen(text)::BIGINT AS len FROM documents)
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 5 THEN 'unknown'
+             WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS fmt,
+        (CASE WHEN doc_id % 7 = 3 THEN 20
+              WHEN doc_id % 2 = 0 THEN 44 + len ELSE 54 + len END)::BIGINT AS byte_len,
+        CASE WHEN doc_id % 7 IN (3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        CASE WHEN doc_id % 7 = 3 THEN 'truncated'
+             WHEN doc_id % 7 = 5 THEN 'bad_magic' ELSE 'ok' END AS reason
+      FROM t ORDER BY doc_id""",
+
     "q_train_split" -> """
       WITH t AS (SELECT doc_id,
         CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 4)) AS BIGINT) % 100 AS bucket

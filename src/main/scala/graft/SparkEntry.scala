@@ -235,6 +235,7 @@ object SparkEntry {
     "q_domain_quota" -> ((s, d) => TrainingData.domainQuota(Tables.documents(s, d))),
     // G. multimodal
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
+    "q_media_quarantine" -> ((s, d) => Multimodal.mediaQuarantine(Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
     "q_multimodal_stats" -> ((s, d) => Multimodal.mediaStats(Tables.documents(s, d))),
     // J. semi-structured (JSON props column)

@@ -207,6 +207,64 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  case class MediaVerdict(doc_id: Long, fmt: String, byte_len: Long,
+      status: String, reason: String)
+
+  /** Deterministic corpus noise for the quarantine path: docs with
+    * id ≡ 3 (mod 7) arrive TRUNCATED to 20 bytes (storage short-read),
+    * id ≡ 5 (mod 7) with a flipped magic byte (bit-rot) — the stand-in
+    * for the damaged samples every real media corpus contains. Applied
+    * AFTER [[encodeMedia]], so the G1–G3 decode queries keep their
+    * clean corpus; the formulas let the oracle predict each verdict
+    * while Spark must recover it from the bytes alone. */
+  private[graft] def corruptMedia(id: Long, blob: Array[Byte]): Array[Byte] =
+    if (id % 7 == 3) blob.take(20)
+    else if (id % 7 == 5) { val c = blob.clone(); c(0) = (c(0) ^ 0x7f).toByte; c }
+    else blob
+
+  /** STRICT container validation from bytes alone — the admission gate
+    * a multimodal ingest runs before any codec touches a sample: magic
+    * check, minimum-header check, and declared-size-vs-actual check,
+    * each mapped to a reason code (`truncated` / `bad_magic` /
+    * `size_mismatch` / `ok`). Never throws — a corrupt blob in a
+    * 100 TB corpus must quarantine, not kill the stage. */
+  private[graft] def validateMedia(id: Long, b: Array[Byte]): MediaVerdict = {
+    def u32(off: Int): Long =
+      ((b(off) & 0xff).toLong | ((b(off + 1) & 0xff).toLong << 8) |
+        ((b(off + 2) & 0xff).toLong << 16) | ((b(off + 3) & 0xff).toLong << 24))
+    def tag(off: Int): String =
+      if (off + 4 <= b.length)
+        new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    val n = b.length.toLong
+    if (tag(0) == "RIFF") {
+      if (b.length < 44) MediaVerdict(id, "wav", n, "quarantined", "truncated")
+      else if (tag(8) != "WAVE") MediaVerdict(id, "wav", n, "quarantined", "bad_magic")
+      else if (8L + u32(4) != n) MediaVerdict(id, "wav", n, "quarantined", "size_mismatch")
+      else MediaVerdict(id, "wav", n, "ok", "ok")
+    } else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+      if (b.length < 54) MediaVerdict(id, "bmp", n, "quarantined", "truncated")
+      else if (u32(2) != n) MediaVerdict(id, "bmp", n, "quarantined", "size_mismatch")
+      else MediaVerdict(id, "bmp", n, "ok", "ok")
+    } else MediaVerdict(id, "unknown", n, "quarantined", "bad_magic")
+  }
+
+  /** Corrupt-sample quarantine report: encode (storage stand-in),
+    * apply the deterministic corpus noise, validate every blob from
+    * bytes alone — one verdict row per sample. mapPartitions streams;
+    * no shuffle before the output sort. */
+  def mediaQuarantine(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val in: Dataset[MediaIn] = docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaIn]
+    in.mapPartitions(_.map(r =>
+        validateMedia(r.doc_id, corruptMedia(r.doc_id, encodeMedia(r.doc_id, r.blob)))))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-format corpus statistics over the decoded metadata — the
     * "what's in this media corpus" rollup a multimodal curation run
     * starts with. Composes [[extractMeta]] (the typed decode boundary)

@@ -305,6 +305,48 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("mediaQuarantine: byte-derived verdicts cover every reason code") {
+    import graft.operators.Multimodal
+    val payload = Array.fill[Byte](300)(7)
+    // clean containers validate ok
+    assert(Multimodal.validateMedia(0L, Multimodal.encodeMedia(0L, payload))
+      .status === "ok")
+    assert(Multimodal.validateMedia(33L, Multimodal.encodeMedia(33L, payload))
+      .status === "ok")
+    // truncation: magic survives, header doesn't
+    val tw = Multimodal.validateMedia(10L,
+      Multimodal.corruptMedia(10L, Multimodal.encodeMedia(10L, payload)))
+    assert(tw.fmt === "wav" && tw.reason === "truncated" && tw.byte_len === 20L)
+    val tb = Multimodal.validateMedia(3L,
+      Multimodal.corruptMedia(3L, Multimodal.encodeMedia(3L, payload)))
+    assert(tb.fmt === "bmp" && tb.reason === "truncated")
+    // flipped magic byte -> bad_magic/unknown
+    val bm = Multimodal.validateMedia(5L,
+      Multimodal.corruptMedia(5L, Multimodal.encodeMedia(5L, payload)))
+    assert(bm.fmt === "unknown" && bm.reason === "bad_magic")
+    // size_mismatch: declared size no longer matches actual (the branch
+    // the deterministic corpus never exercises — a trailing garbage byte)
+    val sw = Multimodal.validateMedia(0L,
+      Multimodal.encodeMedia(0L, payload) :+ 0.toByte)
+    assert(sw.fmt === "wav" && sw.reason === "size_mismatch")
+    val sb = Multimodal.validateMedia(33L,
+      Multimodal.encodeMedia(33L, payload) :+ 0.toByte)
+    assert(sb.fmt === "bmp" && sb.reason === "size_mismatch")
+    // RIFF container that is not WAVE -> bad_magic with the wav tag
+    val riffOnly = Multimodal.encodeMedia(0L, payload).clone()
+    riffOnly(8) = 'X'.toByte
+    assert(Multimodal.validateMedia(0L, riffOnly).reason === "bad_magic")
+    // corpus-level: quarantine set = exactly the ids the noise formulas hit
+    val d = Tables.documents(spark, sf())
+    val out = Multimodal.mediaQuarantine(d).collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expect = if (id % 7 == 3) "truncated"
+        else if (id % 7 == 5) "bad_magic" else "ok"
+      assert(r.getAs[String]("reason") === expect, s"doc $id")
+    }
+  }
+
   test("parseMedia recovers WAV/BMP header fields from raw container bytes") {
     import graft.operators.Multimodal
     // hand-built canonical 8 kHz mono 16-bit WAV carrying 16000 sample
