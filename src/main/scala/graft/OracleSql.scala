@@ -1045,6 +1045,29 @@ object OracleSql {
       WITH $minhashPairsCtes
       SELECT doc_a, doc_b FROM p ORDER BY doc_a, doc_b""",
 
+    // asymmetric containment |A∩B|/min(|A|,|B|) over the same banded
+    // candidate pairs; threshold compares the identical exact-integer
+    // division in both engines
+    "q_ngram_containment" -> s"""
+      WITH $minhashPairsCtes,
+      ngm AS MATERIALIZED (SELECT * FROM ng),
+      pm AS MATERIALIZED (SELECT * FROM p),
+      sz AS (SELECT doc_id, count(*) AS n FROM ngm GROUP BY doc_id),
+      ix AS (SELECT pm.doc_a, pm.doc_b, count(*) AS m
+             FROM pm JOIN ngm x ON x.doc_id = pm.doc_a
+                     JOIN ngm y ON y.doc_id = pm.doc_b AND y.ng = x.ng
+             GROUP BY 1, 2),
+      c AS (SELECT pm.doc_a, pm.doc_b, coalesce(ix.m, 0) AS m, sa.n AS na, sb.n AS nb
+            FROM pm JOIN sz sa ON sa.doc_id = pm.doc_a
+                    JOIN sz sb ON sb.doc_id = pm.doc_b
+                    LEFT JOIN ix ON ix.doc_a = pm.doc_a AND ix.doc_b = pm.doc_b)
+      SELECT doc_a, doc_b,
+        round(m::DOUBLE / least(na, nb)::DOUBLE + 5e-9, 4) AS containment,
+        round(m::DOUBLE / (na + nb - m)::DOUBLE + 5e-9, 4) AS jaccard
+      FROM c
+      WHERE least(na, nb) > 0 AND m::DOUBLE / least(na, nb)::DOUBLE >= 0.5
+      ORDER BY doc_a, doc_b""",
+
     // connected components over the LSH pair graph: DuckDB reaches the
     // min-label fixpoint via a recursive transitive closure; the Spark
     // side iterates min-label propagation to the same fixpoint

@@ -76,6 +76,40 @@ object Dedup {
       .orderBy(col("doc_a"))
   }
 
+  /** N-gram CONTAINMENT over the MinHash/LSH candidate pairs — the
+    * asymmetric near-dup measure Jaccard hides: a short doc fully
+    * embedded in a long one (quote farms, concatenated dumps, page
+    * wrappers) scores |A∩B|/min(|A|,|B|) ≈ 1 while its Jaccard stays
+    * low because the union is dominated by the long side. Candidates
+    * come from the SAME banded pair graph as the dedup family (bounded
+    * fan-out); the exact shingle intersection joins only
+    * (doc_id, gram) rows already produced for the signatures. Both
+    * ratios divide the same exact integers in both engines; the
+    * threshold compares the identical double, so the filtered sets
+    * match bit-for-bit. */
+  def ngramContainment(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val ng = wordNgrams(docs)
+    val sizes = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = dedupPairGraph(docs)
+    val inter = pairs
+      .join(ng.select(col("doc_id").as("doc_a"), col("ng")), Seq("doc_a"))
+      .join(ng.select(col("doc_id").as("doc_b"), col("ng")), Seq("doc_b", "ng"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("m"))
+    val mn = least(col("na"), col("nb"))
+    val cont = coalesce(col("m"), lit(0L)).cast("double") / mn.cast("double")
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .filter(mn > 0 && cont >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(cont + lit(5e-9), 4).as("containment"),
+        round(coalesce(col("m"), lit(0L)).cast("double")
+          / (col("na") + col("nb") - coalesce(col("m"), lit(0L))).cast("double")
+          + lit(5e-9), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** k-permutation MinHash signature array per doc, via the ONE fused
     * native aggregate [[graft.functions.MinhashAgg]] (long[k] running
     * minima per group, map-side merge) instead of k separate min

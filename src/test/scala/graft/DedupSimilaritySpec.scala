@@ -45,6 +45,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[String]("gram")).toSet === expected)
   }
 
+  test("ngramContainment: identical docs hit 1.0; containment >= jaccard always") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val out = Dedup.ngramContainment(docs(Seq(
+      (1L, base), (2L, base), (3L, (100 to 140).map(i => s"z$i").mkString(" ")))))
+      .collect()
+    val p12 = out.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(p12.isDefined, "identical docs must be banding candidates")
+    assert(p12.get.getAs[Double]("containment") === 1.0)
+    assert(p12.get.getAs[Double]("jaccard") === 1.0)
+    // real corpus: m/min >= m/union for every emitted pair (the reason
+    // the asymmetric measure exists), and every row clears the threshold
+    val real = Dedup.ngramContainment(Tables.documents(spark, sf())).collect()
+    real.foreach { r =>
+      assert(r.getAs[Double]("containment") >= r.getAs[Double]("jaccard") - 1e-9)
+      assert(r.getAs[Double]("containment") >= 0.5)
+    }
+  }
+
   test("exactDocs groups normalization-equivalent texts") {
     val d = docs(Seq(
       (1L, "Hello,   World!"), (2L, "hello world"), (3L, "totally different text")))
