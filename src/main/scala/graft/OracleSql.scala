@@ -1320,6 +1320,34 @@ object OracleSql {
           ELSE 0 END)::BIGINT AS frame_peak
       FROM g ORDER BY doc_id, frame_idx""",
 
+    // aHash fingerprints: the oracle predicts width/height/payload from
+    // the BMP construction formulas while Spark parses them from bytes;
+    // the bit rule is the exact integer cross-product cs*tc >= ts*cc
+    "q_media_phash" -> """
+      WITH t AS (SELECT doc_id, text, strlen(text)::BIGINT AS len,
+               (16 + doc_id % 32)::BIGINT AS w
+             FROM documents WHERE doc_id % 2 = 1 AND strlen(text) > 0),
+      d AS (SELECT doc_id, w, 1 + len // (3 * w) AS h, len, text FROM t),
+      c AS (SELECT doc_id, w, h,
+              least(7, ((p - 1) // (3 * w)) * 8 // h) AS br,
+              least(7, (((p - 1) % (3 * w)) // 3) * 8 // w) AS bc,
+              ascii(substr(text, p::INT, 1))::BIGINT AS v
+            FROM (SELECT *, unnest(generate_series(1, len::INT)) AS p FROM d)),
+      cells AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h, br, bc,
+                  sum(v)::BIGINT AS cs, count(*)::BIGINT AS cc
+                FROM c GROUP BY doc_id, br, bc),
+      tot AS (SELECT doc_id, sum(cs)::BIGINT AS ts, sum(cc)::BIGINT AS tc
+              FROM cells GROUP BY doc_id),
+      ph AS (SELECT cells.doc_id, any_value(w) AS width, any_value(h) AS height,
+               sum(CASE WHEN br*8+bc >= 32 AND cs * tc >= ts * cc
+                   THEN (1::BIGINT << ((br*8+bc) - 32)) ELSE 0 END)::BIGINT AS phash_hi,
+               sum(CASE WHEN br*8+bc < 32 AND cs * tc >= ts * cc
+                   THEN (1::BIGINT << (br*8+bc)) ELSE 0 END)::BIGINT AS phash_lo
+             FROM cells JOIN tot USING (doc_id) GROUP BY cells.doc_id)
+      SELECT doc_id, width, height, phash_hi, phash_lo,
+        count(*) OVER (PARTITION BY phash_hi, phash_lo)::BIGINT AS n_same
+      FROM ph ORDER BY doc_id""",
+
     "q_stream_window" -> """
       SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start, event_type,
         count(*) AS n_events, round(sum(value) + 5e-9, 4) AS sum_value,
@@ -1863,6 +1891,25 @@ object OracleSql {
       SELECT gram, n_docs, min_doc, max_doc
       FROM a ORDER BY n_docs DESC, gram LIMIT 100""",
 
+    // winnowing fingerprint anchors: the oracle replays the identical
+    // hash/reverse/position lambda walk (rightmost min per w-window)
+    "q_winnow_dup" -> """
+      WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 23),
+      g AS (SELECT doc_id,
+              list_transform(generate_series(1, length(text) - 15),
+                p -> CAST(concat('0x', substr(md5(substr(text, p, 16)), 1, 15)) AS BIGINT)) AS hs
+            FROM t),
+      f AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, len(hs) - 7),
+                i -> hs[i + 8 - list_position(list_reverse(hs[i : i + 7]),
+                                              list_aggregate(hs[i : i + 7], 'min'))])) AS fps
+            FROM g),
+      e AS (SELECT doc_id, unnest(fps) AS h FROM f)
+      SELECT h, count(*)::BIGINT AS n_docs,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM e GROUP BY h HAVING count(*) >= 2
+      ORDER BY n_docs DESC, h LIMIT 100""",
+
     // per-source duplication report over the global exact dedup
     "q_dup_ratio" -> s"""
       WITH t AS (SELECT doc_id, source, md5($normExpr) AS text_hash FROM documents),
@@ -1938,6 +1985,36 @@ object OracleSql {
     // per-source quality quota: top ⌈2n/5⌉ per source by the
     // q_text_quality score (DESC NULLS LAST, doc_id tiebreak); the
     // quota is exact integer ceiling division — no float boundary
+    // DSIR importance weights: the per-bucket ln-ratio freezes to an
+    // integer nano-weight (floor(w*1e9 + 0.5)) so the per-doc sum and
+    // the ranking key are exact BIGINTs in both engines
+    "q_dsir" -> """
+      WITH t AS (SELECT doc_id, lang,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS lw
+             FROM documents),
+      g AS (SELECT doc_id, (lang = 'en') AS is_t,
+              unnest(list_transform(generate_series(1, len(lw) - 1),
+                i -> concat(lw[i], ' ', lw[i + 1]))) AS g
+            FROM t WHERE len(lw) >= 2),
+      f AS (SELECT doc_id, is_t,
+              CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
+            FROM g),
+      bt AS (SELECT bucket, count(*)::BIGINT AS cr,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct
+             FROM f GROUP BY bucket),
+      tot AS (SELECT sum(cr)::BIGINT AS tot_r, sum(ct)::BIGINT AS tot_t FROM bt),
+      w AS (SELECT bucket,
+              CAST(floor((ln((ct + 1)::DOUBLE / (tot_t::DOUBLE + 4096.0))
+                        - ln((cr + 1)::DOUBLE / (tot_r::DOUBLE + 4096.0)))
+                   * 1e9 + 0.5) AS BIGINT) AS w_nano
+            FROM bt, tot),
+      d AS (SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+              sum(w.w_nano)::BIGINT AS log_w_nano
+            FROM f JOIN w USING (bucket) GROUP BY f.doc_id)
+      SELECT doc_id, n_feats, log_w_nano,
+        round(log_w_nano::DOUBLE / 1e9 + 5e-9, 4) AS log_w
+      FROM d ORDER BY log_w_nano DESC, doc_id LIMIT 100""",
+
     "q_domain_quota" -> """
       WITH t AS (
         SELECT doc_id, source,
@@ -2273,6 +2350,41 @@ object OracleSql {
       GROUP BY 1 ORDER BY 1""",
 
     // integer-tf keyword search; top-k selected on (score DESC, doc_id)
+    // BM25: identical expression shape term-by-term (idf, then
+    // tf·(k1+1)/denominator, summed in fixed hash+join+scan order);
+    // the ranking key is the 4dp-rounded score, never the raw double
+    "q_bm25" -> """
+      WITH t AS (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS lw
+             FROM documents),
+      f AS (SELECT doc_id, len(lw)::BIGINT AS dl,
+              len(list_filter(lw, w -> w = 'hash'))::BIGINT AS tf_hash,
+              len(list_filter(lw, w -> w = 'join'))::BIGINT AS tf_join,
+              len(list_filter(lw, w -> w = 'scan'))::BIGINT AS tf_scan
+            FROM t),
+      s AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+              sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END)::BIGINT AS df_hash,
+              sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)::BIGINT AS df_join,
+              sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END)::BIGINT AS df_scan
+            FROM f),
+      sc AS (SELECT f.doc_id, f.dl, f.tf_hash, f.tf_join, f.tf_scan,
+               ln((s.n_docs::DOUBLE - s.df_hash::DOUBLE + 0.5) / (s.df_hash::DOUBLE + 0.5) + 1.0)
+                 * (f.tf_hash::DOUBLE * (1.2 + 1.0))
+                 / (f.tf_hash::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * f.dl::DOUBLE
+                     / (s.sum_dl::DOUBLE / s.n_docs::DOUBLE)))
+               + ln((s.n_docs::DOUBLE - s.df_join::DOUBLE + 0.5) / (s.df_join::DOUBLE + 0.5) + 1.0)
+                 * (f.tf_join::DOUBLE * (1.2 + 1.0))
+                 / (f.tf_join::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * f.dl::DOUBLE
+                     / (s.sum_dl::DOUBLE / s.n_docs::DOUBLE)))
+               + ln((s.n_docs::DOUBLE - s.df_scan::DOUBLE + 0.5) / (s.df_scan::DOUBLE + 0.5) + 1.0)
+                 * (f.tf_scan::DOUBLE * (1.2 + 1.0))
+                 / (f.tf_scan::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * f.dl::DOUBLE
+                     / (s.sum_dl::DOUBLE / s.n_docs::DOUBLE))) AS score
+             FROM f, s
+             WHERE f.tf_hash + f.tf_join + f.tf_scan > 0)
+      SELECT doc_id, dl, round(score + 5e-9, 4) AS score, tf_hash, tf_join, tf_scan
+      FROM sc ORDER BY round(score + 5e-9, 4) DESC, doc_id LIMIT 20""",
+
     "q_keyword_search" -> """
       WITH t AS (SELECT doc_id,
                regexp_split_to_array(trim(lower(text)), '\s+') AS lw
@@ -2471,6 +2583,32 @@ object OracleSql {
             WHERE a.nrm > 0 AND b.nrm > 0)
       SELECT vec_a, vec_b, round(cos + 5e-9, 4) AS cos
       FROM p WHERE cos >= 0.25 ORDER BY vec_a, vec_b""",
+
+    // SemDeDup: the q_ann_ivf assignment CTEs verbatim, then the
+    // md5-rank membership cap and the within-cell pair walk; the
+    // per-victim winner replays Spark's max_by((dup_of,cos),(cos,-b))
+    // as a (cos DESC, vec_b ASC) row_number
+    "q_semdedup" -> s"""
+      WITH $vecCtes,${ivfCentCtes("cents")},
+      a AS (SELECT nv.vec_id, c.cent_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(nv.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+                (p, s) -> p + s) AS d2
+            FROM nv, cents c),
+      cell AS (SELECT vec_id, cent_id AS cell FROM a
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      m AS (SELECT c.vec_id, c.cell, nv.v, nv.nrm
+            FROM cell c JOIN nv USING (vec_id)
+            QUALIFY row_number() OVER (PARTITION BY cell
+              ORDER BY md5(c.vec_id::VARCHAR), c.vec_id) <= 64),
+      p AS (SELECT x.vec_id AS vec_a, x.cell, y.vec_id AS dup_of,
+              ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS cos
+            FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id > y.vec_id
+            WHERE x.nrm > 0 AND y.nrm > 0),
+      r AS (SELECT vec_a AS vec_id, cell, dup_of, cos FROM p WHERE cos >= 0.2
+            QUALIFY row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, dup_of) = 1)
+      SELECT vec_id, cell, dup_of, round(cos + 5e-9, 4) AS cos
+      FROM r ORDER BY vec_id""",
 
     "q_ann_bruteforce" -> {
       import graft.operators.Similarity.QueryCount

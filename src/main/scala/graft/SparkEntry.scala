@@ -148,6 +148,7 @@ object SparkEntry {
       Tables.customer(s, d), Tables.orders(s, d), Tables.nation(s, d))),
     "q_skyline" -> ((s, d) => Relational.skylineParts(Tables.part(s, d))),
     "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(Tables.documents(s, d))),
+    "q_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),
     "q_incremental_ingest" -> ((s, d) => {
       val ev = Tables.events(s, d)
       import org.apache.spark.sql.functions._
@@ -179,10 +180,12 @@ object SparkEntry {
     "q_seg_dedup" -> ((s, d) => Dedup.segDedup(Tables.documents(s, d))),
     "q_intradoc_repeats" -> ((s, d) => Dedup.intradocRepeats(Tables.documents(s, d))),
     "q_substring_dup" -> ((s, d) => Dedup.substringDup(Tables.documents(s, d))),
+    "q_winnow_dup" -> ((s, d) => Dedup.winnowFingerprints(Tables.documents(s, d))),
     "q_minhash_est" -> ((s, d) => Dedup.minhashEstimate(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embedNeardup(Tables.embeddings(s, d))),
+    "q_semdedup" -> ((s, d) => Similarity.semDedup(Tables.embeddings(s, d))),
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.embedNeardupLsh(Tables.embeddings(s, d))),
     // E. similarity search
     "q_ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(Tables.embeddings(s, d))),
@@ -234,9 +237,11 @@ object SparkEntry {
     "q_graph_cc" -> ((s, d) => Dedup.graphCc(Tables.documents(s, d))),
     "q_split_leakage" -> ((s, d) => TrainingData.splitLeakage(Tables.documents(s, d))),
     "q_domain_quota" -> ((s, d) => TrainingData.domainQuota(Tables.documents(s, d))),
+    "q_dsir" -> ((s, d) => TrainingData.dsirWeights(Tables.documents(s, d))),
     // G. multimodal
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
     "q_media_quarantine" -> ((s, d) => Multimodal.mediaQuarantine(Tables.documents(s, d))),
+    "q_media_phash" -> ((s, d) => Multimodal.mediaPhash(Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
     "q_multimodal_stats" -> ((s, d) => Multimodal.mediaStats(Tables.documents(s, d))),
     // J. semi-structured (JSON props column)

@@ -634,6 +634,44 @@ object Dedup {
       .limit(100)
   }
 
+  /** WINNOWING fingerprint anchors (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS sketch) — [[substringDup]]'s arbitrary-alignment extension:
+    * hash EVERY char k-gram, slide a w-window over the hash sequence and
+    * keep the rightmost minimum per window. The kept set is ~2/(w+1) of
+    * positions yet GUARANTEES every shared substring of length
+    * >= k+w-1 produces a shared fingerprint at ANY offset (the stride
+    * sampler only catches stride-aligned repeats).
+    *
+    * Scale shape: gram hashing AND window selection run entirely
+    * map-side as fused higher-order expressions over each row — zero
+    * shuffle until the selected fingerprints explode, so the one
+    * doc-scale exchange carries (doc_id, 8-byte h) at ~22% of gram
+    * density, never text. Hashes are 60-bit md5 prefixes
+    * (engine-reproducible; the oracle replays the identical
+    * transform/reverse/position lambda walk in DuckDB). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame = {
+    val fps = docs
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, length(text) - ${k - 1}),
+              p -> cast(conv(substring(md5(substring(text, p, $k)), 1, 15), 16, 10) as bigint))""")
+        .as("hs"))
+      .select(col("doc_id"), expr(
+        // rightmost argmin of each w-window: position-from-right of the
+        // min in the reversed slice -> 1-based index i + w - posr
+        s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+              i -> element_at(hs, cast(i + $w - array_position(reverse(slice(hs, i, $w)),
+                                                               array_min(slice(hs, i, $w))) as int))))""")
+        .as("fps"))
+    fps.select(col("doc_id"), explode(col("fps")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("h"))
+      .limit(100)
+  }
+
   /** Per-source duplication report: how many of each source's docs a
     * GLOBAL exact dedup (keep-min-doc_id per normalized-text hash)
     * would remove — "which source is padding the corpus". Only the

@@ -265,6 +265,76 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  case class PhashOut(doc_id: Long, width: Long, height: Long,
+      phash_hi: Long, phash_lo: Long)
+
+  /** 8×8 average-hash (aHash, the classic perceptual image fingerprint)
+    * over a BMP's pixel buffer, from BYTES ALONE: pixel-data offset,
+    * width and height come from the parsed header (never the
+    * construction formulas); every payload byte lands in one of 64
+    * (row-band, col-band) cells by integer division; a cell's bit is
+    * set iff its byte average ≥ the global average, compared as the
+    * exact integer cross-product cs·tc ≥ ts·cc — no float, no division
+    * (bounded: 255·len² < 2⁶³ up to ~190 MB per image). Non-BMP or
+    * empty-payload blobs → None (quarantine, not a crash). */
+  private[graft] def parsePhash(id: Long, b: Array[Byte]): Option[PhashOut] = {
+    def u32(off: Int): Long =
+      ((b(off) & 0xff).toLong | ((b(off + 1) & 0xff).toLong << 8) |
+        ((b(off + 2) & 0xff).toLong << 16) | ((b(off + 3) & 0xff).toLong << 24))
+    if (!(b.length >= 54 && b(0) == 'B' && b(1) == 'M')) None
+    else {
+      val off = u32(10).toInt
+      val w = u32(18); val h = u32(22)
+      val len = b.length - off
+      if (len <= 0 || w <= 0 || h <= 0 || off < 0) None
+      else {
+        val stride = 3L * w
+        val cs = new Array[Long](64); val cc = new Array[Long](64)
+        var p = 0
+        while (p < len) {
+          val br = math.min(7L, (p / stride) * 8 / h)
+          val bc = math.min(7L, ((p % stride) / 3) * 8 / w)
+          val cell = (br * 8 + bc).toInt
+          cs(cell) += (b(off + p) & 0xff); cc(cell) += 1
+          p += 1
+        }
+        val ts = cs.sum; val tc = cc.sum
+        var hi = 0L; var lo = 0L
+        var i = 0
+        while (i < 64) {
+          if (cc(i) > 0 && cs(i) * tc >= ts * cc(i)) {
+            if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+          }
+          i += 1
+        }
+        Some(PhashOut(id, w, h, hi, lo))
+      }
+    }
+  }
+
+  /** Perceptual near-dup fingerprints over the image slice of the media
+    * corpus: encode (storage stand-in), compute the aHash by parsing —
+    * see [[parsePhash]] — then count fingerprint collisions (`n_same`)
+    * over the hash-partitioned window. The window partitions on the
+    * 16-byte hash pair, so at 100 TB each partition is one perceptual
+    * bucket (collision-group sized), never a corpus sort; only 5-long
+    * rows reach the exchange — pixels stay inside the map stage. */
+  def mediaPhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val in: Dataset[MediaIn] = docs
+      .filter(col("doc_id") % 2 === 1 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaIn]
+    val ph = in.mapPartitions(_.flatMap(r =>
+        parsePhash(r.doc_id, encodeMedia(r.doc_id, r.blob))))
+      .toDF()
+    val wHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("phash_hi"), col("phash_lo"))
+    ph.withColumn("n_same", count(lit(1)).over(wHash))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-format corpus statistics over the decoded metadata — the
     * "what's in this media corpus" rollup a multimodal curation run
     * starts with. Composes [[extractMeta]] (the typed decode boundary)

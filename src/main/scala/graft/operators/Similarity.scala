@@ -1073,6 +1073,62 @@ object Similarity {
 
   /** Embedding-cosine near-dup pairs in an id-banded candidate window
     * (offset-explode equi-join: b.vec_id = a.vec_id + off, off ∈ 1..10). */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication over embedding clusters — cluster the corpus, compare
+    * only within-cluster members, remove every vector that has a
+    * higher-priority near-duplicate (cosine ≥ τ) in its cluster. The
+    * published recipe's k-means is the [[annIvf]] assignment verbatim
+    * (scale-adaptive K = clamp(⌈√N⌉, 32, 4096) md5-sampled centroids,
+    * O(K) broadcast, map-side-combinable `min_by` — no corpus window);
+    * keep-priority is min vec_id, the engine's deterministic stand-in
+    * for the paper's distance-to-centroid tie-break.
+    *
+    * Scale shape: the N×K assignment stream carries (vec_id, cent_id,
+    * d2) only — vectors rejoin ONCE after the cell is decided (the
+    * narrow-expansion rule measured 15× on the residual ANN variant).
+    * Pair fan-out is bounded by a per-cell membership cap (md5-rank ≤
+    * `cap`, the LSH family's 64-member device): pairs per cell ≤
+    * cap·(cap−1)/2 no matter how skewed the clustering, so the pair join
+    * is O(K·cap²) globally — vectors beyond the cap are admitted
+    * uncompared (a documented recall bound, not a correctness one; at
+    * 100 TB raise K, not the cap). The final per-victim argmax collapses
+    * map-side via `max_by` — no pair-stream window.
+    *
+    * Output: one row per REMOVED vector — (vec_id, cell, dup_of = its
+    * highest-cosine lower-id duplicate, cos 4dp) — deterministic under
+    * (cos DESC, dup_of ASC) tie-break in both engines. */
+  def semDedup(embeddings: DataFrame, tau: Double = 0.2,
+      cap: Int = 64): DataFrame = {
+    val e = withVec(embeddings)
+    val cents = sampledCentroids(e, adaptiveK(e))
+    val assignN = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
+    val wCap = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    val member = assignN
+      .withColumn("rn", row_number().over(wCap)).filter(col("rn") <= cap)
+      .select(col("vec_id"), col("cell"))
+      .join(e, Seq("vec_id")) // vectors rejoin once, after cell + cap
+    val a = member.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"))
+    val b = member.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") > col("vec_b"))
+      .select(col("vec_a"), col("cell"), col("vec_b"),
+        expr("cosine_sim(va, vb)").as("cos"))
+      .filter(col("cos").isNotNull && col("cos") >= tau)
+      .groupBy(col("vec_a"), col("cell"))
+      .agg(max_by(struct(col("vec_b").as("dup_of"), col("cos")),
+        struct(col("cos"), negate(col("vec_b")))).as("best"))
+      .select(col("vec_a").as("vec_id"), col("cell"),
+        col("best.dup_of").as("dup_of"),
+        round(col("best.cos") + lit(5e-9), 4).as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
   def embedNeardup(embeddings: DataFrame, maxOffset: Int = 10,
       threshold: Double = 0.25): DataFrame = {
     val e = withVec(embeddings)

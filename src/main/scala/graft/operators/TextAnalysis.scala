@@ -335,6 +335,53 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 ranking (Robertson/Spärck Jones; the Okapi BM25 the reference's
+    * keyword search would grow into at corpus scale): per-doc score
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    * idf = ln((N−df+0.5)/(df+0.5) + 1), over the same fixed term set and
+    * lowercased whitespace tokens as [[keywordSearch]].
+    *
+    * Scale shape: per-doc (dl, tf_t) is a narrow no-explode projection;
+    * N/avgdl/df_t collapse to ONE one-row aggregate that broadcasts back
+    * (the family's one-row crossJoin device), so scoring is map-only and
+    * the top-k is a TakeOrdered — a single corpus-wide shuffle (the
+    * stats aggregate) regardless of N.
+    *
+    * Float parity: idf/avgdl use ln and division — ulp-class drift —
+    * so the RANKING key is the 4dp-rounded score (+5e-9 edge nudge,
+    * doc_id tiebreak), never the raw double; the three per-term adds
+    * fold in fixed textual order in both engines. */
+  def bm25(docs: DataFrame,
+      terms: Seq[String] = Seq("hash", "join", "scan"), k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lws = split(trim(lower(col("text"))), "\\s+")
+    val tfCols = terms.map(t =>
+      size(filter(col("lw"), w => w === t)).cast("long").as(s"tf_$t"))
+    val base = docs.select(col("doc_id"), lws.as("lw"))
+      .select(col("doc_id") +: size(col("lw")).cast("long").as("dl") +: tfCols: _*)
+    val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"df_$t").cast("double")
+      val idf = log((nD - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+      // (k1 + 1) and (1 − b) fold at runtime in BOTH engines — a Scala-
+      // side constant could land an ulp off the SQL literal on a tie
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(Seq(col("doc_id"), col("dl"),
+        round(score + lit(5e-9), 4).as("score")) ++
+        terms.map(t => col(s"tf_$t")): _*)
+      .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus composition report: doc/char counts by (source, lang) with
     * CUBE subtotals — the mix table a data-curation run reads before
     * weighting sources ([[TrainingData.dataMix]]). Subtotal rows surface

@@ -375,4 +375,56 @@ object TrainingData {
         (col("src_rank") <= expr("(2 * src_docs + 4) div 5")).as("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): rank raw docs by how target-like they are under
+    * hashed n-gram features. Features are word BIGRAMS hashed into
+    * `buckets` buckets (md5-prefix mod, the engine's stable hash); the
+    * target distribution is the `lang = 'en'` slice, the raw
+    * distribution the whole corpus; per-doc importance =
+    * Σ_features [ln p̂_T(bucket) − ln p̂_R(bucket)] with add-one
+    * smoothing over the bucket space.
+    *
+    * Scale shape: features explode to (doc_id, is_target, bucket) — a
+    * 12-byte-wide stream; the bucket model collapses to ≤`buckets` rows
+    * in ONE corpus aggregate (raw count and target count together, no
+    * second pass), totals are a one-row broadcast over it, and the
+    * scored stream joins the ≤4096-row weight table by BROADCAST — so
+    * the whole selection is two narrow shuffles (bucket agg, doc agg)
+    * plus a TakeOrdered, at any corpus size.
+    *
+    * Float parity: the ln-ratio is frozen per BUCKET as an integer
+    * nano-weight (floor(w·1e9 + 0.5), the floor6 device), so the
+    * per-doc sum is an exact BIGINT in both engines — order-free,
+    * and the RANKING key (log_w_nano DESC) never touches a float. */
+  def dsirWeights(docs: DataFrame, buckets: Int = 4096,
+      k: Int = 100): DataFrame = {
+    val lws = split(trim(lower(col("text"))), "\\s+")
+    val grams = expr(
+      """transform(sequence(1, size(lw) - 1),
+           i -> concat(element_at(lw, i), ' ', element_at(lw, i + 1)))""")
+    val feats = docs
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"), lws.as("lw"))
+      .filter(size(col("lw")) >= 2)
+      .select(col("doc_id"), col("is_t"), explode(grams).as("g"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"),
+          lit(buckets.toLong)).as("bucket"))
+    val bt = feats.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"), sum(col("is_t").cast("long")).as("ct"))
+    val tot = bt.agg(sum(col("cr")).as("tot_r"), sum(col("ct")).as("tot_t"))
+    val bd = lit(buckets.toDouble)
+    val w = bt.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        floor((log((col("ct") + lit(1L)).cast("double") / (col("tot_t").cast("double") + bd))
+             - log((col("cr") + lit(1L)).cast("double") / (col("tot_r").cast("double") + bd)))
+            * lit(1e9) + lit(0.5)).as("w_nano"))
+    feats.join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_nano")).as("log_w_nano"))
+      .select(col("doc_id"), col("n_feats"), col("log_w_nano"),
+        round(col("log_w_nano").cast("double") / lit(1e9) + lit(5e-9), 4).as("log_w"))
+      .orderBy(col("log_w_nano").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -45,6 +45,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[String]("gram")).toSet === expected)
   }
 
+  test("winnowFingerprints catches shared substrings at ANY offset") {
+    // 40-char block shared by doc 1 (at offset 0) and doc 2 (at offset 7,
+    // NOT a multiple of the 16-char stride) — substringDup's aligned
+    // anchors miss it, winnowing's guarantee (shared run >= k+w-1 = 23)
+    // must catch it. Doc 3 is unique, doc 4 too short to fingerprint.
+    val shared = "The quick brown fox jumps over a lazy dog at dawn".take(40)
+    assert(shared.length == 40)
+    val in = docs(Seq(
+      (1L, shared), (2L, "PREFIX-" + shared), (3L, "z" * 40), (4L, "tiny")))
+    assert(Dedup.substringDup(in).collect().isEmpty) // stride sampler blind
+    val out = Dedup.winnowFingerprints(in).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === 2L)
+      assert(r.getAs[Long]("min_doc") === 1L)
+      assert(r.getAs[Long]("max_doc") === 2L)
+    }
+  }
+
   test("ngramContainment: identical docs hit 1.0; containment >= jaccard always") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val out = Dedup.ngramContainment(docs(Seq(

@@ -30,7 +30,11 @@ class PlanShapeSpec extends SparkSpec {
     "q_rolling_corr", "q_rolling_corr_seg", "q_incremental_topk",
     "q_cdc_apply", "q_ann_ivf_refine", "q_stream_sessions",
     "q_ann_recall_report", "q_lm_score", "q_profile_approx",
-    "q_ann_graph")
+    "q_ann_graph",
+    // the round-11 tail additions
+    "q_substring_dup", "q_vocab_coverage", "q_media_quarantine",
+    "q_ngram_containment", "q_winnow_dup", "q_semdedup", "q_bm25",
+    "q_dsir", "q_media_phash")
 
   test("a planted unbounded-following frame counts; running frames do not") {
     // Round 7 found gapFill's backfill frame (currentRow ->

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TrainingData}
+
+/** Round-11 tail specs: SemDeDup's within-cluster removal rule, the BM25
+  * closed form vs a Scala replay, and DSIR's target-vs-raw ordering. */
+class Round11OpsSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t, lang) => (id, t, lang, "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("semDedup removes the higher id of an identical pair, within-cell only") {
+    import spark.implicits._
+    // 1≡2 and 5≡6 (cos 1.0, same cell by the (d2, cent_id) tie-break);
+    // 3, 4 are singleton cells. cos(1,5) = 0.6 ≥ τ but the pair spans
+    // cells — SemDeDup compares within clusters only, so it survives.
+    val e = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)), (4L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(0.6f, 0.8f, 0f, 0f)), (6L, Seq(0.6f, 0.8f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(e).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("cos")))
+    assert(out.toSet === Set((2L, 1L, 1.0), (6L, 5L, 1.0)))
+  }
+
+  test("bm25 matches the closed form; non-matching docs are filtered") {
+    val out = TextAnalysis.bm25(docs(Seq(
+      (1L, "hash join scan hash", "en"),
+      (2L, "hash foo bar baz", "en"),
+      (3L, "nothing here at all", "en")))).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    // N=3, avgdl=4, dl=4 for every doc -> denominator tf + k1
+    def idf(df: Long) = math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Long, df: Long) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * 1.0))
+    val exp1 = term(2, 2) + term(1, 1) + term(1, 1)
+    val exp2 = term(1, 2)
+    assert(math.abs(out(0).getAs[Double]("score") - exp1) < 2e-4)
+    assert(math.abs(out(1).getAs[Double]("score") - exp2) < 2e-4)
+    assert(out(0).getAs[Long]("tf_hash") === 2L)
+    assert(out(0).getAs[Long]("dl") === 4L)
+  }
+
+  test("parsePhash: uniform buffer sets every occupied cell; bright row wins") {
+    // doc_id 1 -> width 17, stride 51; 102 payload bytes = 2 pixel rows,
+    // header-declared height 3, so rows 0,1 land in bands 0 and 2
+    val flat = Multimodal.parsePhash(1L,
+      Multimodal.encodeMedia(1L, Array.fill[Byte](102)(100))).get
+    assert(flat.width === 17L && flat.height === 3L)
+    // every byte equals the mean -> all 16 occupied cells (row bands
+    // 0 and 2 x col bands 0..7) set, nothing else
+    assert(flat.phash_lo === 0xFF00FFL && flat.phash_hi === 0L)
+    val split = Multimodal.parsePhash(1L, Multimodal.encodeMedia(1L,
+      (Array.fill[Byte](51)(200.toByte) ++ Array.fill[Byte](51)(10)))).get
+    // bright row 0 (avg 200 >= global 105) sets band 0; dim row 1 doesn't
+    assert(split.phash_lo === 0xFFL && split.phash_hi === 0L)
+    // WAV (even id) containers are not images
+    assert(Multimodal.parsePhash(2L,
+      Multimodal.encodeMedia(2L, Array.fill[Byte](64)(1))).isEmpty)
+  }
+
+  test("mediaPhash: identical texts at the same width collide, n_same = 2") {
+    // ids 1 and 65 share width (65 % 32 = 1); id 3 differs, id 2 is WAV
+    val out = Multimodal.mediaPhash(docs(Seq(
+      (1L, "A" * 120, "en"), (65L, "A" * 120, "en"),
+      (3L, "zq" * 60, "en"), (2L, "A" * 120, "en")))).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 3L, 65L))
+    val bySame = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_same")).toMap
+    assert(bySame(1L) === 2L && bySame(65L) === 2L && bySame(3L) === 1L)
+  }
+
+  test("dsirWeights ranks target-like docs first; n_feats = bigram count") {
+    // target (en) speaks "x y" bigrams, raw-only (fr) speaks "p q";
+    // doc 10 reuses the target bigrams, doc 11 the raw-only ones
+    val out = TrainingData.dsirWeights(docs(Seq(
+      (1L, "x y x y x", "en"), (2L, "x y x", "en"),
+      (3L, "p q p q p", "fr"), (4L, "p q p", "fr"),
+      (10L, "x y x y", "fr"), (11L, "p q p q", "en")))).collect()
+    assert(out.length === 6)
+    val w = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("log_w_nano")).toMap
+    val nf = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_feats")).toMap
+    assert(nf(1L) === 4L && nf(10L) === 3L && nf(11L) === 3L)
+    // target-bigram docs outrank raw-only docs regardless of their lang
+    assert(w(10L) > w(11L))
+    assert(w(1L) > w(3L))
+    // output is sorted by the exact integer key, descending
+    val keys = out.map(_.getAs[Long]("log_w_nano")).toSeq
+    assert(keys === keys.sortBy(-_))
+  }
+}
