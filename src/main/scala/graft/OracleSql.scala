@@ -792,6 +792,32 @@ object OracleSql {
       FROM documents docs LEFT JOIN d ON d.doc_id = docs.doc_id, t
       ORDER BY docs.doc_id""",
 
+    // CCNet terciles over the q_lm_score CTEs: exact integer rank cut
+    // ((rk-1)*3)//n over the (rounded lm_score, doc_id) order
+    "q_ccnet_buckets" -> """
+      WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                 FROM documents WHERE length(trim(text)) > 0),
+      v AS (SELECT w, count(*)::BIGINT AS c FROM w GROUP BY w),
+      t AS (SELECT sum(c)::BIGINT AS t FROM v),
+      d AS (SELECT w.doc_id, count(*)::BIGINT AS n_tokens,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(ln(v.c::DOUBLE) ORDER BY w.w)), (p, s) -> p + s) AS sl
+            FROM w JOIN v ON v.w = w.w GROUP BY w.doc_id),
+      s AS (SELECT d.doc_id, docs.lang, d.n_tokens,
+              round(ln(t.t::DOUBLE) - d.sl / d.n_tokens::DOUBLE + 5e-9, 4) AS lm_score
+            FROM d JOIN documents docs ON docs.doc_id = d.doc_id, t
+            WHERE d.n_tokens > 0),
+      r AS (SELECT lang, n_tokens, lm_score,
+              ((row_number() OVER (PARTITION BY lang ORDER BY lm_score, doc_id) - 1) * 3)
+                // (count(*) OVER (PARTITION BY lang)) AS bucket
+            FROM s)
+      SELECT lang, bucket::BIGINT AS bucket,
+        CASE WHEN bucket = 0 THEN 'head' WHEN bucket = 1 THEN 'middle'
+          ELSE 'tail' END AS bucket_name,
+        count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+        min(lm_score) AS min_lm, max(lm_score) AS max_lm
+      FROM r GROUP BY lang, bucket ORDER BY lang, bucket""",
+
     // deterministic 20% stratified sample: md5 order + integer ceiling
     // division, no float thresholds
     "q_stratified_sample" -> """
@@ -1741,6 +1767,33 @@ object OracleSql {
       SELECT l_orderkey, round(rev_exact, 2)::DOUBLE AS revenue,
         o_orderdate, o_orderpriority
       FROM r ORDER BY revenue DESC, l_orderkey""",
+
+    // TPC-H Q8 national market share: conditional + total DECIMAL sums
+    // in one aggregate; the share is the lone double division
+    "q_market_share" -> """
+      SELECT year(o_orderdate)::BIGINT AS o_year,
+        round(sum(CASE WHEN sn.n_name = 'NATION_2'
+            THEN CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,6))
+            ELSE CAST(0 AS DECIMAL(18,6)) END), 2)::DOUBLE AS nation_revenue,
+        round(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount)
+            AS DECIMAL(18,6))), 2)::DOUBLE AS total_revenue,
+        round(sum(CASE WHEN sn.n_name = 'NATION_2'
+            THEN CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,6))
+            ELSE CAST(0 AS DECIMAL(18,6)) END)::DOUBLE
+          / sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount)
+            AS DECIMAL(18,6)))::DOUBLE + 5e-9, 4) AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY 1 ORDER BY o_year""",
 
     // GROUPING SETS — the shape rollup/cube cannot express
     "q_grouping_sets" -> """

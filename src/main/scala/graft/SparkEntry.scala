@@ -129,6 +129,10 @@ object SparkEntry {
       Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_large_orders" -> ((s, d) => Relational.largeOrderCustomers(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_market_share" -> ((s, d) => Relational.marketShare(
+      Tables.part(s, d), Tables.supplier(s, d), Tables.lineitem(s, d),
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d),
+      Tables.region(s, d))),
     // C-ext. correlated-subquery decorrelation shapes
     "q_small_qty_orders" -> ((s, d) => Relational.smallQtyOrders(
       Tables.lineitem(s, d), Tables.part(s, d))),
@@ -232,6 +236,7 @@ object SparkEntry {
     "q_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(Tables.documents(s, d))),
     "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(Tables.documents(s, d))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
+    "q_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
     "q_dup_ratio" -> ((s, d) => Dedup.dupRatioBySource(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => Dedup.crossSourceOverlap(Tables.documents(s, d))),
     "q_graph_cc" -> ((s, d) => Dedup.graphCc(Tables.documents(s, d))),

@@ -369,6 +369,51 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q8 shape — national market share: one nation's suppliers'
+    * revenue share per year inside one region's market for one part
+    * type. Every dimension (part filtered to the type, supplier,
+    * customer-side nation, region) BROADCASTS next to lineitem; the
+    * orders date filter reaches its scan, so the only corpus-scale
+    * shuffle is lineitem⋈orders on orderkey — the same skeleton as Q5,
+    * with the share computed from two exact DECIMAL sums in one
+    * aggregate (a conditional numerator, never a second pass). The
+    * share itself is the lone double: one division of the two exact
+    * sums, 4dp+nudge rounded. */
+  def marketShare(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame, partType: String = "PROMO",
+      regionName: String = "EUROPE", supplierNation: String = "NATION_2",
+      from: String = "1996-01-01 00:00:00",
+      until: String = "1999-01-01 00:00:00"): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    val sn = nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === partType)),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === supplierNation, rev)
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("nation_rev"),
+        sum(rev).as("total_rev"))
+      .select(col("o_year"),
+        round(col("nation_rev"), 2).cast("double").as("nation_revenue"),
+        round(col("total_rev"), 2).cast("double").as("total_revenue"),
+        round(col("nation_rev").cast("double") / col("total_rev").cast("double")
+          + lit(5e-9), 4).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
   /** TPC-H Q18 shape — large-volume orders: orders whose line quantities
     * sum past a threshold, with their customers. The heavy side
     * collapses FIRST (map-side partial sum per orderkey, exact

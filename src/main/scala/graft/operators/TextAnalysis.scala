@@ -75,6 +75,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet head/middle/tail buckets (Wenzek et al. 2020): per-language
+    * terciles of the [[lmScore]] perplexity proxy — the published
+    * recipe sorts each language by LM perplexity and keeps the "head"
+    * (most fluent) third for training. Buckets come from exact integer
+    * rank math — bucket = ((rank−1)·3) div n over the (lm_score,
+    * doc_id) order — never ntile or a float quantile, so both engines
+    * cut identically; the ordering key is the already-4dp-rounded
+    * score with the doc_id tiebreak (the log-parity ranking rule).
+    *
+    * Scale shape: the per-lang rank is one window over the
+    * lang-partitioned (doc_id, n_tokens, lm_score) projection — narrow
+    * rows, text never enters. A language IS a corpus-scale partition
+    * (CCNet's own shape); at 100 TB the exact sort becomes the
+    * documented skew point and the production move is approximate
+    * quantile cuts per lang — the report's integer contract is the
+    * oracle for that approximation. Output is ≤ 3·|langs| rows. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .filter(col("n_tokens") > 0)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lm_score"), col("doc_id"))
+    val n = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .withColumn("bucket", expr("((rk - 1) * 3) div n").cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("lm_score")).as("min_lm"),
+        max(col("lm_score")).as("max_lm"))
+      .select(col("lang"), col("bucket"),
+        when(col("bucket") === 0, "head").when(col("bucket") === 1, "middle")
+          .otherwise("tail").as("bucket_name"),
+        col("n_docs"), col("total_tokens"), col("min_lm"), col("max_lm"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   /** Real subword tokenization: greedy longest-match (WordPiece-style)
     * encoding against the declared [[graft.functions.WordPieceVocab]],
     * via the native fused [[graft.functions.WpStats]] expression —

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TrainingData}
+import graft.operators.{Multimodal, Relational, Similarity, TextAnalysis, TrainingData}
 
 /** Round-11 tail specs: SemDeDup's within-cluster removal rule, the BM25
   * closed form vs a Scala replay, and DSIR's target-vs-raw ordering. */
@@ -46,6 +46,58 @@ class Round11OpsSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("score") - exp2) < 2e-4)
     assert(out(0).getAs[Long]("tf_hash") === 2L)
     assert(out(0).getAs[Long]("dl") === 4L)
+  }
+
+  test("marketShare: planted two-supplier year, exact conditional share") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("1996-06-01 00:00:00")
+    val part = Seq((1L, "p", "b", "PROMO", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val supplier = Seq((10L, "s10", 0L, 0.0), (20L, "s20", 1L, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nation = Seq((0L, "NATION_2", 0L), (1L, "NATION_OTHER", 0L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0L, "EUROPE")).toDF("r_regionkey", "r_name")
+    val customer = Seq((100L, "c", 0L, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq((1000L, 100L, "O", 1.0, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    // NATION_2's supplier bills 100 @ 10% off = 90; the other 200 net
+    val lineitem = Seq(
+      (1000L, 1L, 10L, 1L, 1.0, 100.0, 0.1, 0.0, "N", "O", ts),
+      (1000L, 1L, 20L, 2L, 1.0, 200.0, 0.0, 0.0, "N", "O", ts))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val out = Relational.marketShare(part, supplier, lineitem, orders,
+      customer, nation, region).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("o_year") === 1996L)
+    assert(out(0).getAs[Double]("nation_revenue") === 90.0)
+    assert(out(0).getAs[Double]("total_revenue") === 290.0)
+    assert(out(0).getAs[Double]("mkt_share") === 0.3103) // 90/290 4dp
+  }
+
+  test("ccnetBuckets: per-lang terciles are balanced and score-ordered") {
+    import spark.implicits._
+    val rows = for (lang <- Seq("en", "fr"); i <- 1 to 7) yield
+      (lang.hashCode.toLong * 100 + i,
+        (Seq.fill(i)("common").mkString(" ")) + s" rare_${lang}_$i", lang)
+    val out = TextAnalysis.ccnetBuckets(docs(rows.map { case (id, t, l) =>
+      (id, t, l) })).collect()
+    Seq("en", "fr").foreach { lang =>
+      val b = out.filter(_.getAs[String]("lang") == lang)
+        .sortBy(_.getAs[Long]("bucket"))
+      assert(b.map(_.getAs[Long]("bucket")).toSeq === Seq(0L, 1L, 2L))
+      assert(b.map(_.getAs[String]("bucket_name")).toSeq ===
+        Seq("head", "middle", "tail"))
+      val sizes = b.map(_.getAs[Long]("n_docs"))
+      assert(sizes.sum === 7L && sizes.max - sizes.min <= 1L)
+      // tercile boundaries respect the score order (ties allowed)
+      assert(b(0).getAs[Double]("max_lm") <= b(1).getAs[Double]("min_lm"))
+      assert(b(1).getAs[Double]("max_lm") <= b(2).getAs[Double]("min_lm"))
+    }
   }
 
   test("parsePhash: uniform buffer sets every occupied cell; bright row wins") {
