@@ -1768,6 +1768,24 @@ object OracleSql {
         o_orderdate, o_orderpriority
       FROM r ORDER BY revenue DESC, l_orderkey""",
 
+    // TPC-H Q7 two-nation shipping volume: textbook disjunctive pair
+    // predicate; Spark's semi-reduced plan must match it exactly
+    "q_nation_volume" -> """
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        year(l_shipdate)::BIGINT AS l_year,
+        round(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount)
+          AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
+        count(*)::BIGINT AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_8')
+         OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_2')
+      GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""",
+
     // TPC-H Q8 national market share: conditional + total DECIMAL sums
     // in one aggregate; the share is the lone double division
     "q_market_share" -> """
@@ -2675,6 +2693,31 @@ object OracleSql {
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c)
       SELECT q_id, nn_id, round(cos + 5e-9, 4) + 0.0 AS cos, rk
       FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
+    },
+
+    // kNN majority vote over the brute top-k: argmax replays Spark's
+    // max_by((label,votes),(votes,-label)) as (votes DESC, label ASC)
+    "q_knn_classify" -> {
+      import graft.operators.Similarity.QueryCount
+      s"""
+      WITH $vecCtes,
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < $QueryCount),
+      c AS (SELECT q.q_id, nv.vec_id AS nn_id,
+              ${dotSql("nv.v", "q.qv")} / (q.qn * nv.nrm) AS cos
+            FROM nv, q WHERE nv.vec_id <> q.q_id AND nv.nrm > 0 AND q.qn > 0),
+      r AS (SELECT q_id, nn_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rk FROM c),
+      v AS (SELECT r.q_id, e2.label::BIGINT AS nn_label, count(*)::BIGINT AS votes
+            FROM r JOIN embeddings e2 ON e2.vec_id = r.nn_id
+            WHERE r.rk <= 5 GROUP BY 1, 2),
+      p AS (SELECT q_id, nn_label AS pred_label, votes,
+              sum(votes) OVER (PARTITION BY q_id)::BIGINT AS n_neighbors,
+              row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, nn_label) AS pr
+            FROM v)
+      SELECT p.q_id, e3.label::BIGINT AS own_label, p.pred_label, p.votes,
+        p.n_neighbors, (e3.label::BIGINT = p.pred_label) AS correct
+      FROM p JOIN embeddings e3 ON e3.vec_id = p.q_id
+      WHERE p.pr = 1 ORDER BY p.q_id"""
     },
 
     "q_ann_lsh" -> lshOracleSql(probed = false),

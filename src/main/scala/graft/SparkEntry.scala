@@ -129,6 +129,9 @@ object SparkEntry {
       Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_large_orders" -> ((s, d) => Relational.largeOrderCustomers(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_nation_volume" -> ((s, d) => Relational.nationVolume(
+      Tables.supplier(s, d), Tables.lineitem(s, d), Tables.orders(s, d),
+      Tables.customer(s, d), Tables.nation(s, d))),
     "q_market_share" -> ((s, d) => Relational.marketShare(
       Tables.part(s, d), Tables.supplier(s, d), Tables.lineitem(s, d),
       Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d),
@@ -190,6 +193,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embedNeardup(Tables.embeddings(s, d))),
     "q_semdedup" -> ((s, d) => Similarity.semDedup(Tables.embeddings(s, d))),
+    "q_knn_classify" -> ((s, d) => Similarity.knnClassify(Tables.embeddings(s, d))),
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.embedNeardupLsh(Tables.embeddings(s, d))),
     // E. similarity search
     "q_ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(Tables.embeddings(s, d))),

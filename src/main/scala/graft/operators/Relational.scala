@@ -414,6 +414,43 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** TPC-H Q7 shape — volume shipping between two nations: revenue per
+    * (supplier nation, customer nation, ship year) where the supplier
+    * sits in one of the two nations and the customer in the other.
+    * Supplier is SEMI-REDUCED to the two nations BEFORE touching
+    * lineitem (a broadcast join that prunes the fact stream early);
+    * the pair predicate then only has to drop the A→A / B→B
+    * combinations after the customer side resolves. The two corpus
+    * shuffles are lineitem⋈orders and ⋈customer on their keys; both
+    * nation roles and the filtered supplier broadcast. Exact DECIMAL
+    * revenue, year from l_shipdate. */
+  def nationVolume(supplier: DataFrame, lineitem: DataFrame,
+      orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      nationA: String = "NATION_2", nationB: String = "NATION_8"): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    val sn = nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val cn = nation.select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"))
+    val supp2 = supplier
+      .join(broadcast(sn.filter(col("supp_nation").isin(nationA, nationB))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    lineitem
+      .join(broadcast(supp2), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn.filter(col("cust_nation").isin(nationA, nationB))),
+        col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(rev), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** TPC-H Q18 shape — large-volume orders: orders whose line quantities
     * sum past a threshold, with their customers. The heavy side
     * collapses FIRST (map-side partial sum per orderkey, exact

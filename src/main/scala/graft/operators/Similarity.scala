@@ -1073,6 +1073,39 @@ object Similarity {
 
   /** Embedding-cosine near-dup pairs in an id-banded candidate window
     * (offset-explode equi-join: b.vec_id = a.vec_id + off, off ∈ 1..10). */
+  /** kNN majority-vote classification over the `label` column — the
+    * standard embedding-quality eval (a good embedding space puts
+    * same-label points together): each bounded query's k exact nearest
+    * neighbours ([[annBruteforce]], the recall ceiling) vote with their
+    * labels; prediction = (votes DESC, label ASC) argmax via map-side
+    * `max_by`, compared against the query's own label.
+    *
+    * Scale shape: inherits the brute scan's one-corpus-pass cost (the
+    * documented bounded crossJoin); everything after it is |Q|·k rows,
+    * and the label join back to the corpus BROADCASTS the |Q|-row
+    * prediction table — the corpus-sized label projection is never
+    * shuffled. Swap [[annBruteforce]] for any indexed variant to eval
+    * the index's end-task cost, not just its recall. */
+  def knnClassify(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val lbl = embeddings.select(col("vec_id"), col("label").cast("long"))
+    val pred = lbl.toDF("nn_id", "nn_label")
+      .join(broadcast(annBruteforce(embeddings, k)), Seq("nn_id"))
+      .groupBy(col("q_id"), col("nn_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("q_id"))
+      .agg(max_by(struct(col("nn_label"), col("votes")),
+        struct(col("votes"), negate(col("nn_label")))).as("best"),
+        sum(col("votes")).as("n_neighbors"))
+      .select(col("q_id"), col("best.nn_label").as("pred_label"),
+        col("best.votes").as("votes"), col("n_neighbors"))
+    lbl.toDF("q_id", "own_label")
+      .join(broadcast(pred), Seq("q_id"))
+      .select(col("q_id"), col("own_label"), col("pred_label"), col("votes"),
+        col("n_neighbors"),
+        (col("own_label") === col("pred_label")).as("correct"))
+      .orderBy(col("q_id"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
     * deduplication over embedding clusters — cluster the corpus, compare
     * only within-cluster members, remove every vector that has a

@@ -100,6 +100,51 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("nationVolume: pair volume keeps A->B and B->A, drops same-nation") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("1997-03-01 00:00:00")
+    val nation = Seq((2L, "NATION_2", 0L), (8L, "NATION_8", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((10L, "s10", 2L, 0.0), (20L, "s20", 8L, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val customer = Seq((100L, "cA", 2L, 0.0, "B"), (200L, "cB", 8L, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq((1L, 100L, "O", 1.0, ts, "p"), (2L, 200L, "O", 1.0, ts, "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val lineitem = Seq(
+      (1L, 1L, 20L, 1L, 1.0, 100.0, 0.0, 0.0, "N", "O", ts), // 8 -> 2: 100
+      (2L, 1L, 10L, 1L, 1.0, 50.0, 0.1, 0.0, "N", "O", ts),  // 2 -> 8: 45
+      (1L, 1L, 10L, 2L, 1.0, 77.0, 0.0, 0.0, "N", "O", ts))  // 2 -> 2: dropped
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val out = Relational.nationVolume(supplier, lineitem, orders, customer, nation)
+      .collect().map(r => (r.getAs[String]("supp_nation"),
+        r.getAs[String]("cust_nation"), r.getAs[Long]("l_year"),
+        r.getAs[Double]("revenue")))
+    assert(out.toSet === Set(("NATION_2", "NATION_8", 1997L, 45.0),
+      ("NATION_8", "NATION_2", 1997L, 100.0)))
+  }
+
+  test("knnClassify: planted clusters vote their own label at k=3") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(1f, 0f, 0f, 0f), 0), (3L, Seq(0f, 1f, 0f, 0f), 1),
+      (4L, Seq(0f, 1f, 0f, 0f), 1), (5L, Seq(0f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(e, k = 3).collect()
+    assert(out.length === 6)
+    out.foreach { r =>
+      // 2 same-cluster votes beat the 1 cross-cluster tie-break vote
+      assert(r.getAs[Long]("votes") === 2L)
+      assert(r.getAs[Long]("n_neighbors") === 3L)
+      assert(r.getAs[Long]("pred_label") === r.getAs[Long]("own_label"))
+      assert(r.getAs[Boolean]("correct"))
+    }
+  }
+
   test("parsePhash: uniform buffer sets every occupied cell; bright row wins") {
     // doc_id 1 -> width 17, stride 51; 102 payload bytes = 2 pixel rows,
     // header-declared height 3, so rows 0,1 land in bands 0 and 2
