@@ -1963,12 +1963,16 @@ object OracleSql {
       FROM a ORDER BY n_docs DESC, gram LIMIT 100""",
 
     // winnowing fingerprint anchors: the oracle replays the identical
-    // hash/reverse/position lambda walk (rightmost min per w-window)
+    // per-gram (acc*31 + ascii) % 2^32 fold and the rightmost-min-per-
+    // window lambda walk of the native winnow_fps kernel
     "q_winnow_dup" -> """
       WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 23),
       g AS (SELECT doc_id,
               list_transform(generate_series(1, length(text) - 15),
-                p -> CAST(concat('0x', substr(md5(substr(text, p, 16)), 1, 15)) AS BIGINT)) AS hs
+                p -> list_reduce(list_prepend(0::BIGINT,
+                       list_transform(generate_series(p, p + 15),
+                         q -> ascii(substr(text, q, 1))::BIGINT)),
+                     (acc, c) -> (acc * 31 + c) % 4294967296)) AS hs
             FROM t),
       f AS (SELECT doc_id,
               list_distinct(list_transform(generate_series(1, len(hs) - 7),

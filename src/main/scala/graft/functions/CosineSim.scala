@@ -97,6 +97,11 @@ object GraftFunctions {
         "ngram_join", exprs => NgramJoin(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "poly_hash", exprs => PolyHash(exprs(0)), "built-in")
+      // k and w must be foldable literals — they shape the kernel
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "winnow_fps", exprs => WinnowFps(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue,
+          exprs(2).eval().asInstanceOf[Number].intValue), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "lsh_buckets", exprs => LshBuckets(exprs(0)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

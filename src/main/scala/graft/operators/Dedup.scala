@@ -642,27 +642,21 @@ object Dedup {
     * >= k+w-1 produces a shared fingerprint at ANY offset (the stride
     * sampler only catches stride-aligned repeats).
     *
-    * Scale shape: gram hashing AND window selection run entirely
-    * map-side as fused higher-order expressions over each row — zero
-    * shuffle until the selected fingerprints explode, so the one
-    * doc-scale exchange carries (doc_id, 8-byte h) at ~22% of gram
-    * density, never text. Hashes are 60-bit md5 prefixes
-    * (engine-reproducible; the oracle replays the identical
-    * transform/reverse/position lambda walk in DuckDB). */
+    * Scale shape: gram hashing AND window selection run in ONE fused
+    * O(n) map-side pass per document — the native
+    * [[graft.functions.WinnowFps]] kernel (rolling base-31 mod-2³²
+    * gram hashes + monotonic-deque rightmost minima; the original
+    * higher-order md5 formulation ran interpreted and allocated two
+    * arrays per window — minutes at sf1.0 where the kernel takes
+    * seconds). Zero shuffle until the selected fingerprints explode,
+    * so the one doc-scale exchange carries (doc_id, 8-byte h) at
+    * ~2/(w+1) of gram density, never text. The oracle replays the
+    * identical per-gram fold and rightmost-argmin walk in DuckDB. */
   def winnowFingerprints(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val fps = docs
       .filter(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(1, length(text) - ${k - 1}),
-              p -> cast(conv(substring(md5(substring(text, p, $k)), 1, 15), 16, 10) as bigint))""")
-        .as("hs"))
-      .select(col("doc_id"), expr(
-        // rightmost argmin of each w-window: position-from-right of the
-        // min in the reversed slice -> 1-based index i + w - posr
-        s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
-              i -> element_at(hs, cast(i + $w - array_position(reverse(slice(hs, i, $w)),
-                                                               array_min(slice(hs, i, $w))) as int))))""")
-        .as("fps"))
+      .select(col("doc_id"), expr(s"winnow_fps(text, $k, $w)").as("fps"))
     fps.select(col("doc_id"), explode(col("fps")).as("h"))
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n_docs"),

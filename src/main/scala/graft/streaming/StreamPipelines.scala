@@ -363,6 +363,32 @@ object StreamPipelines {
         col("c_ts"), col("p_ts"), col("p_value"))
   }
 
+  /** LEFT-OUTER stream-stream join — [[clickAttribution]]'s join with
+    * the purchase side PRESERVED: matched rows emit immediately;
+    * an unmatched purchase emits with null click columns only once the
+    * watermark passes its join window's upper bound, because state-store
+    * eviction is the streaming proof that no future click can ever
+    * match it. Same bounded state as the inner form (both sides
+    * watermarked, range-conditioned); the null-extension is pure
+    * bookkeeping at eviction time, so the 100 TB state bound is
+    * unchanged — this is the join a funnel pipeline needs when
+    * "purchase with no preceding click" is itself the signal. */
+  def clickAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"),
+      "leftOuter")
+      .select(col("p_user").as("user_id"), col("c_event"), col("p_event"),
+        col("c_ts"), col("p_ts"), col("p_value"))
+  }
+
   case class BarIn(symbol: String, bar_ts: java.sql.Timestamp, close: Double)
   case class EmaState(e12: Double, e26: Double, sig: Double, started: Boolean)
   case class MacdOut(symbol: String, bar_ts: java.sql.Timestamp,

@@ -407,6 +407,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("p_value") === 99.0)
   }
 
+  test("left-outer stream-stream join emits unmatched purchases after watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val q = StreamPipelines.clickAttributionOuter(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("attr_outer")
+      .start()
+    mem.addData(
+      RawEv(1, ts("2024-01-01 10:00:00"), 7, "click", 0.0),
+      RawEv(2, ts("2024-01-01 10:10:00"), 7, "purchase", 99.0), // matches
+      RawEv(4, ts("2024-01-01 10:05:00"), 8, "purchase", 5.0))  // no click
+    q.processAllAvailable()
+    // advance BOTH watermarks far past 10:05 + 30m + 1h so user 8's
+    // purchase is provably unmatchable; outer rows emit on eviction
+    mem.addData(
+      RawEv(9, ts("2024-01-01 20:00:00"), 9, "click", 0.0),
+      RawEv(10, ts("2024-01-01 20:00:00"), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    mem.addData(RawEv(11, ts("2024-01-02 09:00:00"), 9, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("attr_outer").collect()
+    val matched = rows.filter(_.getAs[java.lang.Long]("c_event") != null)
+    val unmatched = rows.filter(_.getAs[java.lang.Long]("c_event") == null)
+    assert(matched.exists(r => r.getAs[Long]("user_id") == 7L &&
+      r.getAs[Double]("p_value") == 99.0))
+    assert(unmatched.exists(r => r.getAs[Long]("user_id") == 8L &&
+      r.getAs[Double]("p_value") == 5.0), "unmatched purchase must null-emit")
+    // the inner form never emits user 8 on the same feed (sanity tie)
+    assert(!matched.exists(_.getAs[Long]("user_id") == 8L))
+  }
+
   test("batch last-touch attribution = argmax of the stream-join candidate set") {
     // clickAttribution (stream-stream join) emits EVERY click within the
     // window per purchase; Relational.attribution keeps the last touch.
