@@ -1813,6 +1813,16 @@ object OracleSql {
         AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
       GROUP BY 1 ORDER BY o_year""",
 
+    // approx-quantile contract: exact anchors (n, dyadic-interpolated
+    // exact p50) + a verdict the engine must prove TRUE from its own
+    // sketch (profile_approx pattern — the oracle cannot replay the
+    // sketch, it pins the anchors and expects the contract held)
+    "q_quantiles_approx" -> """
+      SELECT l_returnflag, count(*)::BIGINT AS n,
+        round(quantile_cont(l_quantity, 0.5) + 5e-9, 4) AS p50_exact,
+        TRUE AS approx_in_band
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // GROUPING SETS — the shape rollup/cube cannot express
     "q_grouping_sets" -> """
       SELECT l_returnflag, l_linestatus,

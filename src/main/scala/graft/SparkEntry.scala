@@ -129,6 +129,8 @@ object SparkEntry {
       Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_large_orders" -> ((s, d) => Relational.largeOrderCustomers(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_quantiles_approx" -> ((s, d) => Relational.quantilesApproxContract(
+      Tables.lineitem(s, d))),
     "q_nation_volume" -> ((s, d) => Relational.nationVolume(
       Tables.supplier(s, d), Tables.lineitem(s, d), Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d))),

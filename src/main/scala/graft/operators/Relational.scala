@@ -470,6 +470,37 @@ object Relational {
       .limit(k)
   }
 
+  /** Approximate-quantile CONTRACT query — the production path for
+    * percentiles at 100 TB (exact `percentile` sorts every group;
+    * `percentile_approx` is a bounded-memory KLL/GK-style mergeable
+    * sketch) gated the q_profile_approx way: the output carries EXACT
+    * anchors (n, exact p50 — dyadic interpolation, bit-exact
+    * cross-engine) plus a boolean VERDICT the oracle expects literally
+    * TRUE — the approx median's exact rank interval [count(<x),
+    * count(<=x)] must intersect the accuracy band [0.49n, 0.51n]
+    * (percentile_approx(accuracy=100) guarantees ≤1/100 rank error),
+    * checked by integer cross-multiplication so no float touches the
+    * boundary. Two narrow shuffles: the per-group sketch+anchors, then
+    * the rank recount against the broadcast approx values. */
+  def quantilesApproxContract(lineitem: DataFrame): DataFrame = {
+    val g = lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(l_quantity, 0.5D)").as("p50_exact_raw"),
+        expr("percentile_approx(l_quantity, 0.5D, 100)").as("p50_approx"))
+    val ranks = lineitem
+      .join(broadcast(g.select(col("l_returnflag"), col("p50_approx"))),
+        Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("l_quantity") < col("p50_approx"), 1L).otherwise(0L)).as("rank_lo"),
+        sum(when(col("l_quantity") <= col("p50_approx"), 1L).otherwise(0L)).as("rank_hi"))
+    g.join(ranks, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("p50_exact_raw") + lit(5e-9), 4).as("p50_exact"),
+        (col("rank_lo") * 100 <= col("n") * 51 &&
+          col("rank_hi") * 100 >= col("n") * 49).as("approx_in_band"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** GROUPING SETS aggregate — the shape ROLLUP/CUBE can't express:
     * ((returnflag, linestatus), (returnflag), (linestatus)) with
     * GROUPING markers distinguishing the levels. Partial-aggregatable

@@ -145,6 +145,19 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("quantilesApproxContract: exact anchors + verdict on a planted group") {
+    import spark.implicits._
+    val li = (1 to 100).map(i => ("N", i.toDouble)) ++ Seq(("R", 7.0))
+    val out = Relational.quantilesApproxContract(
+      li.toDF("l_returnflag", "l_quantity")).collect()
+    val n = out.find(_.getAs[String]("l_returnflag") == "N").get
+    assert(n.getAs[Long]("n") === 100L)
+    assert(n.getAs[Double]("p50_exact") === 50.5) // dyadic interpolation
+    assert(n.getAs[Boolean]("approx_in_band"))
+    val r = out.find(_.getAs[String]("l_returnflag") == "R").get
+    assert(r.getAs[Double]("p50_exact") === 7.0 && r.getAs[Boolean]("approx_in_band"))
+  }
+
   test("parsePhash: uniform buffer sets every occupied cell; bright row wins") {
     // doc_id 1 -> width 17, stride 51; 102 payload bytes = 2 pixel rows,
     // header-declared height 3, so rows 0,1 land in bands 0 and 2
