@@ -1813,6 +1813,30 @@ object OracleSql {
         AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
       GROUP BY 1 ORDER BY o_year""",
 
+    // SQL-text surface twins: the oracle is the IDENTICAL portable
+    // statement the engine ran via spark.sql over registered views
+    "q_sql_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+        count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_sql_region_rev" -> """
+      SELECT r_name, n_name,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""",
+
     // approx-quantile contract: exact anchors (n, dyadic-interpolated
     // exact p50) + a verdict the engine must prove TRUE from its own
     // sketch (profile_approx pattern — the oracle cannot replay the

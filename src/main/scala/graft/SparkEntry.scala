@@ -131,6 +131,8 @@ object SparkEntry {
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_quantiles_approx" -> ((s, d) => Relational.quantilesApproxContract(
       Tables.lineitem(s, d))),
+    "q_sql_pricing" -> ((s, d) => SqlSurface.pricingSummarySql(s, d)),
+    "q_sql_region_rev" -> ((s, d) => SqlSurface.regionRevenueSql(s, d)),
     "q_nation_volume" -> ((s, d) => Relational.nationVolume(
       Tables.supplier(s, d), Tables.lineitem(s, d), Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d))),

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** SQL-TEXT surface: the reference is a SQL-warehouse user
+  * (bigquery_loader.py builds its analytics as SQL strings), so the
+  * engine must accept ANSI SQL text over the same tables — not only
+  * the DataFrame API. Views register per (session, dir) and Catalyst
+  * treats a view exactly like the DataFrame lineage underneath it:
+  * filter pushdown, column pruning, and broadcast planning all survive
+  * the SQL path (PLANS.md rows for the q_sql_* queries show the SAME
+  * pushdown/BHJ shape as their DataFrame twins — the gate that the
+  * text surface costs nothing at 100 TB).
+  *
+  * The q_sql_* queries intentionally mirror existing DataFrame-API
+  * queries family-by-family; their DuckDB oracles are byte-for-byte
+  * the portable subset of the same statement, so the pair proves both
+  * the surface AND cross-dialect semantics. */
+object SqlSurface {
+
+  private val TableNames = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every corpus table as a temp view over `dir` (idempotent;
+    * re-registration just repoints the view). Events go through
+    * [[Tables.events]] so the timestamp normalization the DataFrame
+    * path gets also protects raw SQL. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    TableNames.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, dir)
+               else Tables.table(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
+
+  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(sql)
+  }
+
+  /** TPC-H Q1 pricing summary as raw SQL text — the DataFrame twin is
+    * q1_agg; DECIMAL sums for cross-engine exactness, 4dp+nudge edges. */
+  def pricingSummarySql(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+        count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+
+  /** Dimension-joined revenue rollup as raw SQL text: the planner must
+    * broadcast nation/region through the view layer exactly as the
+    * DataFrame path does (PLANS row asserts the BHJs + scan pushdown). */
+  def regionRevenueSql(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT r_name, n_name,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""")
+}

@@ -35,7 +35,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_substring_dup", "q_vocab_coverage", "q_media_quarantine",
     "q_ngram_containment", "q_winnow_dup", "q_semdedup", "q_bm25",
     "q_dsir", "q_media_phash", "q_market_share", "q_ccnet_buckets",
-    "q_nation_volume", "q_knn_classify", "q_quantiles_approx")
+    "q_nation_volume", "q_knn_classify", "q_quantiles_approx",
+    "q_sql_pricing", "q_sql_region_rev")
 
   test("a planted unbounded-following frame counts; running frames do not") {
     // Round 7 found gapFill's backfill frame (currentRow ->

@@ -158,6 +158,17 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("p50_exact") === 7.0 && r.getAs[Boolean]("approx_in_band"))
   }
 
+  test("SQL-text surface: pushdown and broadcast survive the view layer") {
+    import graft.operators.SqlSurface
+    val plan = SqlSurface.regionRevenueSql(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast via SQL")
+    val scanPlan = SqlSurface.pricingSummarySql(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      "the shipdate filter must reach the parquet scan through the view")
+  }
+
   test("parsePhash: uniform buffer sets every occupied cell; bright row wins") {
     // doc_id 1 -> width 17, stride 51; 102 payload bytes = 2 pixel rows,
     // header-declared height 3, so rows 0,1 land in bands 0 and 2
