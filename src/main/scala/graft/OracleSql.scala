@@ -344,6 +344,19 @@ object OracleSql {
         round(max(rng) + 5e-9, 4) AS max_range
       FROM r GROUP BY 1, 2 ORDER BY symbol, week_start""",
 
+    // day-of-week seasonality: per-symbol totals derive from the dow
+    // partials (nested DECIMAL sums stay exact), one bars pass
+    "q_seasonality" -> s"""
+      WITH $barsCte,
+      d AS (SELECT symbol, dayname(bar_ts) AS day_name,
+              sum(CAST(close AS DECIMAL(18,6))) AS sd, count(*)::BIGINT AS nd
+            FROM bars GROUP BY 1, 2),
+      s AS (SELECT symbol, sum(sd) AS sa, sum(nd)::BIGINT AS na FROM d GROUP BY 1)
+      SELECT d.symbol, d.day_name, d.nd AS n_bars,
+        round(sd::DOUBLE / nd + 5e-9, 4) AS avg_close,
+        round(sd::DOUBLE / nd - sa::DOUBLE / na + 5e-9, 4) AS dow_effect
+      FROM d JOIN s USING (symbol) ORDER BY d.symbol, d.day_name""",
+
     "q_volume_heatmap" -> s"""
       WITH $barsCte
       SELECT dayname(bar_ts) AS day_name, hour(bar_ts)::BIGINT AS hour,

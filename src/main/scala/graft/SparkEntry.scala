@@ -64,6 +64,7 @@ object SparkEntry {
     "q_summary_stats" -> ((s, d) => Indicators.summaryStats(bars(s, d))),
     "q_weekly_range" -> ((s, d) => Indicators.weeklyRange(bars(s, d))),
     "q_volume_heatmap" -> ((s, d) => Indicators.volumeHeatmap(bars(s, d))),
+    "q_seasonality" -> ((s, d) => Indicators.seasonality(bars(s, d))),
     "q_volume_pivot" -> ((s, d) => Indicators.volumePivot(bars(s, d))),
     "q_volume_unpivot" -> ((s, d) => Indicators.volumeUnpivot(bars(s, d))),
     "q_latest_metrics" -> ((s, d) => Indicators.latestMetrics(bars(s, d))),

@@ -249,6 +249,29 @@ object Indicators {
         sum(col("volume")).as("total_volume"))
       .orderBy(col("day_name"), col("hour"))
 
+  /** Day-of-week SEASONALITY per symbol — the calendar-effect report a
+    * dashboard reads next to the hour heat-map: average close per
+    * (symbol, weekday) and its deviation from the symbol's overall
+    * mean. ONE bars scan: the per-symbol totals derive from the
+    * (symbol, dow) partials (sum of DECIMAL sums stays exact), so the
+    * second aggregate runs over dictionary×7 rows, and the totals join
+    * back symbol-keyed — both aggregates map-side combinable, output
+    * ≤ 7·|symbols| rows. The deviation is two divisions of exact
+    * decimals subtracted in one fixed expression (4dp+nudge). */
+  def seasonality(bars: DataFrame): DataFrame = {
+    val d = bars.groupBy(col("symbol"), dayName)
+      .agg(sum(col("close").cast("decimal(18,6)")).as("sd"),
+        count(lit(1)).as("nd"))
+    val s = d.groupBy(col("symbol"))
+      .agg(sum(col("sd")).as("sa"), sum(col("nd")).as("na"))
+    d.join(s, Seq("symbol"))
+      .select(col("symbol"), col("day_name"), col("nd").as("n_bars"),
+        round(col("sd").cast("double") / col("nd") + lit(5e-9), 4).as("avg_close"),
+        round(col("sd").cast("double") / col("nd")
+          - col("sa").cast("double") / col("na") + lit(5e-9), 4).as("dow_effect"))
+      .orderBy(col("symbol"), col("day_name"))
+  }
+
   /** Volume pivot: one row per day-of-week, one column per hour — the
     * reference dashboard's `pivot_table` heat-map shape as a true pivot
     * (static 0-23 hour list keeps the schema deterministic). */

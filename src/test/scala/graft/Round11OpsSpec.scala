@@ -158,6 +158,22 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("p50_exact") === 7.0 && r.getAs[Boolean]("approx_in_band"))
   }
 
+  test("seasonality: dow effect = dow mean minus overall mean, exact") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday; X: Mon 10, 20 / Tue 30 -> overall 20
+    val bars = Seq(
+      ("X", t("2024-01-01 10:00:00"), 10.0), ("X", t("2024-01-01 10:05:00"), 20.0),
+      ("X", t("2024-01-02 10:00:00"), 30.0))
+      .toDF("symbol", "bar_ts", "close")
+    val out = graft.operators.Indicators.seasonality(bars).collect()
+      .map(r => r.getAs[String]("day_name") ->
+        (r.getAs[Long]("n_bars"), r.getAs[Double]("avg_close"),
+          r.getAs[Double]("dow_effect"))).toMap
+    assert(out("Monday") === ((2L, 15.0, -5.0)))
+    assert(out("Tuesday") === ((1L, 30.0, 10.0)))
+  }
+
   test("SQL-text surface: pushdown and broadcast survive the view layer") {
     import graft.operators.SqlSurface
     val plan = SqlSurface.regionRevenueSql(spark, sf())
