@@ -3473,6 +3473,26 @@ object OracleSql {
     // daily per-user dimension snapshot: collapse to (user, day) first,
     // dense day grid, forward-fill — the oracle states the same set via
     // rank-1 latest-event rows and IGNORE NULLS last_value
+    // SCD2 snapshot diff: DuckDB's arg_max has no struct ordering, so
+    // each as-of state is the family's QUALIFY row_number argmax
+    "q_snapshot_diff" -> """
+      WITH a AS (SELECT user_id, event_type AS state_a FROM events
+            WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+            QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) = 1),
+      b AS (SELECT user_id, event_type AS state_b FROM events
+            WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+            QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) = 1),
+      u AS (SELECT DISTINCT user_id FROM events)
+      SELECT u.user_id, a.state_a, b.state_b,
+        CASE WHEN a.state_a IS NULL AND b.state_b IS NULL THEN 'none'
+             WHEN a.state_a IS NULL THEN 'added'
+             WHEN a.state_a = b.state_b THEN 'same'
+             ELSE 'changed' END AS change
+      FROM u LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id)
+      ORDER BY u.user_id""",
+
     "q_dim_snapshot" -> """
       WITH pd AS (
         SELECT user_id, CAST(ts AS DATE) AS day, event_type

@@ -107,6 +107,7 @@ object SparkEntry {
     "q_incremental_topk" -> ((s, d) => Temporal.incrementalTopk(Tables.events(s, d))),
     "q_cdc_apply" -> ((s, d) => Temporal.cdcApply(Tables.events(s, d))),
     "q_dim_snapshot" -> ((s, d) => Temporal.dimSnapshot(Tables.events(s, d))),
+    "q_snapshot_diff" -> ((s, d) => Temporal.snapshotDiff(Tables.events(s, d))),
     "q_cluster_sources" -> ((s, d) => Similarity.clusterSourceProfile(
       Tables.embeddings(s, d), Tables.documents(s, d))),
     // C. relational core

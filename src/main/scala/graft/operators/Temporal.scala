@@ -291,6 +291,33 @@ object Temporal {
     * bounds (global max day is a one-row broadcast), and state rolls
     * forward with a running `last(ignoreNulls)` — per-user partitions
     * bounded by the calendar length, never by event volume. */
+  /** SCD2 snapshot DIFF — "what changed between two as-of dates", the
+    * audit a warehouse runs after a backfill: per user, the dimension
+    * state (last event_type at-or-before the cutoff, (ts, event_id)
+    * deterministic order) at t1 and at t2, classified added / changed /
+    * same (a state never disappears — last() persists — so 'removed'
+    * cannot occur and 'none' marks users whose first event postdates
+    * both cutoffs). ONE aggregate pass: both as-of states are filtered
+    * `max_by`s in the same map-side-combinable groupBy — never two
+    * grid materializations diffed (the naive [[dimSnapshot]]-twice
+    * plan pays O(users·days) rows for a users-sized answer). */
+  def snapshotDiff(events: DataFrame,
+      t1: String = "2024-01-10 00:00:00",
+      t2: String = "2024-01-20 00:00:00"): DataFrame = {
+    val d = events.groupBy(col("user_id"))
+      .agg(
+        expr(s"max_by(event_type, struct(ts, event_id)) FILTER (WHERE ts <= TIMESTAMP '$t1')")
+          .as("state_a"),
+        expr(s"max_by(event_type, struct(ts, event_id)) FILTER (WHERE ts <= TIMESTAMP '$t2')")
+          .as("state_b"))
+    d.select(col("user_id"), col("state_a"), col("state_b"),
+        when(col("state_a").isNull && col("state_b").isNull, "none")
+          .when(col("state_a").isNull, "added")
+          .when(col("state_a") === col("state_b"), "same")
+          .otherwise("changed").as("change"))
+      .orderBy(col("user_id"))
+  }
+
   def dimSnapshot(events: DataFrame): DataFrame = {
     val perDay = events
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))

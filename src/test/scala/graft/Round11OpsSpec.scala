@@ -174,6 +174,21 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("Tuesday") === ((1L, 30.0, 10.0)))
   }
 
+  test("snapshotDiff classifies changed/added/none/same from one pass") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-05 00:00:00"), 1L, "click", 0.0),
+      (2L, t("2024-01-15 00:00:00"), 1L, "purchase", 0.0), // changed
+      (3L, t("2024-01-12 00:00:00"), 2L, "view", 0.0),     // added
+      (4L, t("2024-01-25 00:00:00"), 3L, "view", 0.0),     // none
+      (5L, t("2024-01-03 00:00:00"), 4L, "view", 0.0))     // same
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.Temporal.snapshotDiff(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("change")).toMap
+    assert(out === Map(1L -> "changed", 2L -> "added", 3L -> "none", 4L -> "same"))
+  }
+
   test("SQL-text surface: pushdown and broadcast survive the view layer") {
     import graft.operators.SqlSurface
     val plan = SqlSurface.regionRevenueSql(spark, sf())
