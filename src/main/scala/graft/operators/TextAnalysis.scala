@@ -101,7 +101,9 @@ object TextAnalysis {
     scored
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(n))
-      .withColumn("bucket", expr("((rk - 1) * 3) div n").cast("long"))
+      // rk is an INT row_number: widen before *3 — a >715M-row language
+      // (nothing at 100 TB rules it out) would overflow the int product
+      .withColumn("bucket", expr("((cast(rk as bigint) - 1) * 3) div n").cast("long"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
