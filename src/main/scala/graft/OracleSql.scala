@@ -1838,6 +1838,14 @@ object OracleSql {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
 
+    "q_sql_window" -> """
+      SELECT * FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+          CAST(row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        FROM orders JOIN customer ON o_custkey = c_custkey) t
+      WHERE rk <= 5 ORDER BY c_mktsegment, rk""",
+
     "q_sql_region_rev" -> """
       SELECT r_name, n_name,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

@@ -52,6 +52,21 @@ object SqlSurface {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""")
 
+  /** Window function through the text surface: top-5 orders per market
+    * segment via `row_number()` in raw SQL — Spark rewrites the rank
+    * filter to WindowGroupLimit (map-side AND final top-k retention)
+    * exactly as it does for the DataFrame dialect, so a hot segment's
+    * candidates never co-reside (the PLANS row gates it). Spark has no
+    * QUALIFY, so the portable form is the subquery filter. */
+  def segmentTopOrdersSql(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT * FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+          CAST(row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        FROM orders JOIN customer ON o_custkey = c_custkey) t
+      WHERE rk <= 5 ORDER BY c_mktsegment, rk""")
+
   /** Dimension-joined revenue rollup as raw SQL text: the planner must
     * broadcast nation/region through the view layer exactly as the
     * DataFrame path does (PLANS row asserts the BHJs + scan pushdown). */

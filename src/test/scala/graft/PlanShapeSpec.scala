@@ -36,7 +36,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_ngram_containment", "q_winnow_dup", "q_semdedup", "q_bm25",
     "q_dsir", "q_media_phash", "q_market_share", "q_ccnet_buckets",
     "q_nation_volume", "q_knn_classify", "q_quantiles_approx",
-    "q_sql_pricing", "q_sql_region_rev", "q_seasonality",
+    "q_sql_pricing", "q_sql_region_rev", "q_sql_window", "q_seasonality",
     "q_snapshot_diff")
 
   test("a planted unbounded-following frame counts; running frames do not") {

@@ -198,6 +198,10 @@ class Round11OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(scanPlan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
       "the shipdate filter must reach the parquet scan through the view")
+    val winPlan = SqlSurface.segmentTopOrdersSql(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(winPlan.contains("WindowGroupLimit"),
+      "the SQL rank filter must rewrite to WindowGroupLimit")
   }
 
   test("parsePhash: uniform buffer sets every occupied cell; bright row wins") {
