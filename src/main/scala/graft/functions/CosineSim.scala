@@ -83,6 +83,29 @@ object GraftFunctions {
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
+  /** Builder-time guard for kernel-shaping arguments: they must be
+    * foldable integer literals (they size buffers / unroll loops inside
+    * the compiled expression), and the arity must match — without this
+    * check a miscalled `winnow_fps(text, some_col, 8)` dies in an opaque
+    * ClassCastException/IndexOutOfBounds during analysis instead of an
+    * error naming the requirement. */
+  private def litInt(fn: String, exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      arity: Int, pos: Int): Int = {
+    if (exprs.length != arity)
+      throw new IllegalArgumentException(
+        s"$fn requires exactly $arity arguments, got ${exprs.length}")
+    val e = exprs(pos)
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn argument ${pos + 1} must be a foldable integer literal " +
+          s"(it shapes the compiled kernel), got: ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${pos + 1} must be an integer literal, got: $other")
+    }
+  }
+
   /** Idempotent per-session registration; after this,
     * `expr("cosine_sim(a, b)")` resolves to the native expression. */
   def register(spark: SparkSession): Unit = registered.synchronized {
@@ -100,8 +123,8 @@ object GraftFunctions {
       // k and w must be foldable literals — they shape the kernel
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "winnow_fps", exprs => WinnowFps(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue,
-          exprs(2).eval().asInstanceOf[Number].intValue), "built-in")
+          litInt("winnow_fps", exprs, 3, 1),
+          litInt("winnow_fps", exprs, 3, 2)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "lsh_buckets", exprs => LshBuckets(exprs(0)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -117,7 +140,7 @@ object GraftFunctions {
       // k must be a foldable literal — it sizes the signature buffer
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "minhash_agg", exprs => MinhashAgg(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+          litInt("minhash_agg", exprs, 2, 1)), "built-in")
     }
   }
 }

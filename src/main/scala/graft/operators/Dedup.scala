@@ -609,9 +609,12 @@ object Dedup {
     * `gramLen`-char gram per `stride` chars, and a gram present in ≥2
     * distinct docs is a cross-doc exact-substring anchor (full-doc
     * dups and shared boilerplate light up immediately). Stride
-    * sampling is the scale trade — 2 anchor rows per 32 chars instead
-    * of one suffix per char, so the shuffle carries ~2·L/S ≈ 12% of
-    * corpus bytes as (doc_id, gram) pairs; fixed-stride anchors catch
+    * sampling is the scale trade — ~L/S anchor ROWS per doc (2 per 32
+    * chars here) instead of one suffix per char; each row carries a
+    * gramLen-char gram, so shuffle BYTES are ~(gramLen/stride)·L ≈ 2×
+    * corpus text before the distinct() collapse — the row-count
+    * reduction is what matters (the suffix-array alternative shuffles
+    * L rows), not a byte reduction; fixed-stride anchors catch
     * ALIGNED repeats (content-defined winnowing is the production
     * extension for arbitrary-offset repeats). Both aggregations are
     * map-side combinable; output is the top 100 most-shared anchors

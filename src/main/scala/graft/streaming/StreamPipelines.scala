@@ -281,7 +281,8 @@ object StreamPipelines {
     * changelog itself is never retained. At warehouse scale the same
     * body runs against a MERGE-capable table format; the generation
     * chain is what plain parquet needs to make the upsert idempotent. */
-  def cdcMergeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+  def cdcMergeBatch(batch: DataFrame, batchId: Long, outDir: String,
+      retainGens: Int = 4): Unit = {
     val spark = batch.sparkSession
     val root = s"$outDir/state"
     val delta = batch.groupBy(col("user_id"))
@@ -305,6 +306,17 @@ object StreamPipelines {
         // orders by the struct's leading (ts, event_id) — last writer wins
         greatest(col("p_last"), col("d_last")).as("last"))
       .write.mode("overwrite").parquet(s"$root/gen=$batchId")
+    // prune generations older than the replay-rewrite window AFTER the
+    // new generation landed: without this the chain grows
+    // O(batches × keys) in storage and cdcGens lists every directory on
+    // each batch. `retainGens` bounds how far back a replayed batch can
+    // reach — a micro-batch replay only ever rewrites ITS OWN id against
+    // the newest gen < id, so any retention ≥ 1 preserves idempotency;
+    // the default keeps a few extra for manual state inspection.
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cdcGens(spark, root).filter(_ < batchId - retainGens)
+      .foreach(g => fs.delete(new org.apache.hadoop.fs.Path(s"$root/gen=$g"), true))
   }
 
   /** The streaming query driving [[cdcMergeBatch]] under a checkpoint. */

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bars, Ema}
+
+/** Round-12 specs: the affineScan no-clone invariant under an in-place-
+  * mutating step (the documented Spark-internal dependency made loud),
+  * and kernel-builder argument guards. */
+class Round12OpsSpec extends SparkSpec {
+
+  private def bars001 = Bars.ohlcv(Tables.events(spark, sf()))
+
+  test("affineScan: an in-place-mutating step still yields per-row values") {
+    import spark.implicits._
+    val bars = bars001
+    // The no-clone emit depends on SerializeFromObject deep-copying the
+    // shared scratch array before the iterator's next element mutates
+    // it. This spec PLANTS a step that mutates its input in place (the
+    // worst case the affineScan contract allows) — if a Spark upgrade
+    // or an inserted object-space operator ever broke the invariant,
+    // every row in a chunk would carry the chunk's FINAL state and the
+    // per-row assertions below fail loudly (ADVICE r11, Ema.scala:780).
+    val scanned = Ema.affineScan(bars,
+      Array(0.7, 0.7, -0.06, 0.2 * 0.7 + 0.8), Array(0.3, 0.06),
+      init = x => Array(x, 0.0),
+      step = (e, x) => {
+        val l1 = 0.3 * x + 0.7 * (e(0) + e(1))
+        val b1 = 0.2 * (l1 - e(0)) + 0.8 * e(1)
+        e(0) = l1; e(1) = b1
+        e // same array instance — deliberate in-place mutation
+      },
+      Seq("level", "trend"), chunkBars = 64)
+    val got = scanned.select("symbol", "bar_ts", "level", "trend")
+      .as[(String, java.sql.Timestamp, Double, Double)]
+      .collect().groupBy(_._1)
+    assert(got.nonEmpty)
+    val closes = bars.select("symbol", "bar_ts", "close")
+      .as[(String, java.sql.Timestamp, Double)].collect().groupBy(_._1)
+    closes.foreach { case (sym, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      val gotRows = got(sym).sortBy(_._2.getTime)
+      var l = 0.0; var b = 0.0
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (i == 0) { l = r._3; b = 0.0 }
+        else {
+          val l1 = 0.3 * r._3 + 0.7 * (l + b)
+          b = 0.2 * (l1 - l) + 0.8 * b; l = l1
+        }
+        assert(math.abs(gotRows(i)._3 - l) < 1e-9,
+          s"$sym level row $i — per-row state was overwritten by a later mutation")
+        assert(math.abs(gotRows(i)._4 - b) < 1e-9, s"$sym trend row $i")
+      }
+    }
+    Ema.unpersistAll()
+  }
+
+  test("kernel-shaping args are guarded: wrong arity / non-literal fail with a named error") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "hello world of winnowing tests")).toDF("doc_id", "text")
+    // wrong arity
+    val e1 = intercept[Exception] {
+      df.select(expr("winnow_fps(text, 8)")).collect()
+    }
+    assert(e1.getMessage.contains("winnow_fps requires exactly 3 arguments"),
+      s"got: ${e1.getMessage}")
+    // non-foldable kernel argument
+    val e2 = intercept[Exception] {
+      df.select(expr("winnow_fps(text, doc_id, 8)")).collect()
+    }
+    assert(e2.getMessage.contains("foldable integer literal"), s"got: ${e2.getMessage}")
+    // minhash_agg shares the guard
+    val e3 = intercept[Exception] {
+      df.select(expr("minhash_agg(doc_id)")).collect()
+    }
+    assert(e3.getMessage.contains("minhash_agg requires exactly 2 arguments"),
+      s"got: ${e3.getMessage}")
+    // the guarded happy path still runs
+    assert(df.select(expr("winnow_fps(text, 8, 4)")).count() === 1L)
+  }
+}

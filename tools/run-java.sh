@@ -11,4 +11,7 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
   OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
 done
 CP="$(ls /opt/spark/jars/*.jar | tr '\n' ':')/root/repo/target/scala-2.13/classes"
-exec java $OPENS -cp "$CP" "${MEM:--Xmx12g}" "$@"
+# MEM may hold several JVM flags ("-Xmx4g -XX:+UseG1GC") — word-split it
+# into an array so each flag reaches the JVM as its own argument
+read -ra MEM_FLAGS <<< "${MEM:--Xmx12g}"
+exec java $OPENS -cp "$CP" "${MEM_FLAGS[@]}" "$@"
