@@ -1846,6 +1846,44 @@ object OracleSql {
         FROM orders JOIN customer ON o_custkey = c_custkey) t
       WHERE rk <= 5 ORDER BY c_mktsegment, rk""",
 
+    // CTE + correlated EXISTS / IN-subquery / UNION ALL text twins: the
+    // oracle is byte-identical to the statement the engine ran
+    "q_sql_exists" -> """
+      WITH recent_orders AS (
+        SELECT o_orderkey, o_orderpriority
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00')
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM recent_orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q_sql_in" -> """
+      SELECT n_name, count(*) AS n_suppliers
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem
+                          JOIN part ON l_partkey = p_partkey
+                          WHERE p_type = 'PROMO')
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q_sql_union" -> """
+      SELECT src, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM (
+        SELECT 'high' AS src, o_totalprice FROM orders
+        WHERE o_totalprice >= 400000
+        UNION ALL
+        SELECT 'returned' AS src, o_totalprice FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_returnflag = 'R')) t
+      GROUP BY src
+      ORDER BY src""",
+
     "q_sql_region_rev" -> """
       SELECT r_name, n_name,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

@@ -67,6 +67,65 @@ object SqlSurface {
         FROM orders JOIN customer ON o_custkey = c_custkey) t
       WHERE rk <= 5 ORDER BY c_mktsegment, rk""")
 
+  /** CTE + correlated EXISTS through the text surface — the textbook
+    * form of the TPC-H Q4 shape (q_priority_returns is the decorrelated
+    * DataFrame twin). Catalyst rewrites the per-row EXISTS into a LEFT
+    * SEMI join during analysis (RewritePredicateSubquery), so the text
+    * form plans EXACTLY like the hand-decorrelated one — no per-row
+    * subquery execution exists in the engine at all; the spec gates the
+    * semi-join shape. The CTE is inlined (it has one reference), so no
+    * materialization barrier appears either. */
+  def priorityReturnsSql(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      WITH recent_orders AS (
+        SELECT o_orderkey, o_orderpriority
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00')
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM recent_orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+
+  /** IN-subquery through the text surface: nations ranked by suppliers
+    * who shipped a PROMO part. The uncorrelated IN plans as a left semi
+    * join whose right side is the distinct subquery result — never a
+    * broadcast-collected value list — so a billion-row subquery is just
+    * a join side; part broadcasts under the dimension-size threshold
+    * exactly as the DataFrame dialect would. */
+  def promoSuppliersSql(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT n_name, count(*) AS n_suppliers
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem
+                          JOIN part ON l_partkey = p_partkey
+                          WHERE p_type = 'PROMO')
+      GROUP BY n_name
+      ORDER BY n_name""")
+
+  /** UNION ALL through the text surface: one revenue rollup over two
+    * differently-filtered order slices (high-value orders; orders with a
+    * returned item via an IN semi join). UNION ALL is a physical Union —
+    * zero shuffle, both children stream into the same aggregate, and
+    * partial aggregation runs map-side across both branches; only the
+    * final 2-row group exchange moves data. */
+  def orderSlicesUnionSql(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT src, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM (
+        SELECT 'high' AS src, o_totalprice FROM orders
+        WHERE o_totalprice >= 400000
+        UNION ALL
+        SELECT 'returned' AS src, o_totalprice FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_returnflag = 'R')) t
+      GROUP BY src
+      ORDER BY src""")
+
   /** Dimension-joined revenue rollup as raw SQL text: the planner must
     * broadcast nation/region through the view layer exactly as the
     * DataFrame path does (PLANS row asserts the BHJs + scan pushdown). */

@@ -55,6 +55,33 @@ class Round12OpsSpec extends SparkSpec {
     Ema.unpersistAll()
   }
 
+  test("SQL-text EXISTS/IN decorrelate to semi joins — no per-row subquery survives") {
+    import graft.operators.SqlSurface
+    // correlated EXISTS through spark.sql: the physical plan must be a
+    // LEFT SEMI join (RewritePredicateSubquery), with zero subquery
+    // nodes left anywhere — the proof the text surface costs nothing
+    // over the hand-decorrelated DataFrame twin (q_priority_returns)
+    val exists = SqlSurface.priorityReturnsSql(spark, sf())
+    val existsPlan = exists.queryExecution.executedPlan.toString
+    assert(existsPlan.contains("LeftSemi"), s"no semi join in:\n$existsPlan")
+    assert(!existsPlan.contains("InSubquery") && !existsPlan.toLowerCase.contains("existence"),
+      s"per-row subquery survived:\n$existsPlan")
+    // and the result equals the DataFrame twin bit-for-bit
+    val twin = graft.operators.Relational.priorityReturns(
+      Tables.table(spark, sf(), "orders"), Tables.table(spark, sf(), "lineitem"))
+    assert(exists.exceptAll(twin).isEmpty && twin.exceptAll(exists).isEmpty,
+      "q_sql_exists disagrees with q_priority_returns")
+    // uncorrelated IN: also a semi join, never a collected value list
+    val in = SqlSurface.promoSuppliersSql(spark, sf())
+    val inPlan = in.queryExecution.executedPlan.toString
+    assert(inPlan.contains("LeftSemi"), s"no semi join in:\n$inPlan")
+    // UNION ALL: a physical Union feeding one partial aggregate
+    val un = SqlSurface.orderSlicesUnionSql(spark, sf())
+    val unPlan = un.queryExecution.executedPlan.toString
+    assert(unPlan.contains("Union"), s"no Union in:\n$unPlan")
+    assert(un.count() > 0)
+  }
+
   test("kernel-shaping args are guarded: wrong arity / non-literal fail with a named error") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
