@@ -2183,6 +2183,32 @@ object OracleSql {
         round(log_w_nano::DOUBLE / 1e9 + 5e-9, 4) AS log_w
       FROM d ORDER BY log_w_nano DESC, doc_id LIMIT 100""",
 
+    // LSH (b,r) S-curve grid: powers fold by repeated multiplication
+    // (list_reduce over a 1.0-prepended constant list ≡ Spark's
+    // aggregate fold — one fixed IEEE multiply order, no pow() in the
+    // probability path); chosen = argmin (dist, r) via scalar subqueries
+    "q_lsh_tuning" -> """
+      WITH grid AS (SELECT (64 // r)::BIGINT AS b, r::BIGINT AS r
+                    FROM (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS r) t),
+      c AS (SELECT b, r,
+              round(pow(1.0::DOUBLE / b, 1.0::DOUBLE / r) + 5e-9, 4) AS threshold,
+              list_reduce(list_prepend(1.0::DOUBLE,
+                list_transform(range(1, r::INTEGER + 1), i -> 0.2::DOUBLE)),
+                (acc, x) -> acc * x) AS tpr
+            FROM grid),
+      c2 AS (SELECT b, r, threshold, 1.0::DOUBLE - tpr AS s1 FROM c),
+      c3 AS (SELECT b, r, threshold,
+               round(1.0::DOUBLE - list_reduce(list_prepend(1.0::DOUBLE,
+                 list_transform(range(1, b::INTEGER + 1), i -> s1)),
+                 (acc, x) -> acc * x) + 5e-9, 4) AS p_at_tau,
+               abs(threshold - 0.2::DOUBLE) AS dist
+             FROM c2),
+      m AS (SELECT min(dist) AS d FROM c3)
+      SELECT b, r, threshold, p_at_tau,
+        (dist = (SELECT d FROM m)
+          AND r = (SELECT min(r) FROM c3, m WHERE dist = d)) AS chosen
+      FROM c3 ORDER BY r""",
+
     "q_domain_quota" -> """
       WITH t AS (
         SELECT doc_id, source,

@@ -199,6 +199,9 @@ object SparkEntry {
     "q_substring_dup" -> ((s, d) => Dedup.substringDup(Tables.documents(s, d))),
     "q_winnow_dup" -> ((s, d) => Dedup.winnowFingerprints(Tables.documents(s, d))),
     "q_minhash_est" -> ((s, d) => Dedup.minhashEstimate(Tables.documents(s, d))),
+    // parameter selection is data-independent by design (it configures
+    // the corpus pass; it doesn't read one) — the dir is ignored
+    "q_lsh_tuning" -> ((s, _) => Dedup.lshTuning(s)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.embedNeardup(Tables.embeddings(s, d))),

@@ -181,6 +181,63 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH (b, r) parameter-selection contract: for signature budget
+    * k = b·r, the banding scheme's S-curve — a pair with Jaccard s
+    * collides with probability 1 − (1 − s^r)^b, and the scheme's
+    * threshold (the similarity where collision probability crosses ~1/2)
+    * is ≈ (1/b)^(1/r) (Leskovec/Rajaraman/Ullman, "Mining of Massive
+    * Datasets" §3.4.2 — public). This query surfaces the whole (b, r)
+    * grid for k so a user tuning [[minhashLshPairs]] for a target
+    * Jaccard τ has a gated knob: per row the threshold, the collision
+    * probability AT τ, and a `chosen` flag marking the grid point whose
+    * threshold lands closest to τ (tie → smaller r = higher recall).
+    *
+    * Float parity: the powers s^r and (1−s^r)^b fold by REPEATED
+    * MULTIPLICATION in one fixed order on both engines (pow()'s last
+    * ulp is libm-specific; a chain of IEEE multiplies is not), and the
+    * chosen flag compares distances of 4dp-ROUNDED thresholds whose
+    * gaps are ≥ 10⁻² — far beyond ulp drift. The argmin is a one-row
+    * min(struct) aggregate broadcast back (7 rows total) — no global
+    * window, keeping the PlanShapeSpec zero-global-window contract.
+    *
+    * Data-independent by design (it reads no corpus table): parameter
+    * selection happens BEFORE the 100 TB pass it configures. */
+  def lshTuning(spark: org.apache.spark.sql.SparkSession, k: Int = 64,
+      tau: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val rs = (0 to 30).map(1 << _).filter(r => r <= k && k % r == 0)
+    val grid = rs.map(r => (k / r, r)).toDF("b", "r")
+      .select(col("b").cast("long").as("b"), col("r").cast("long").as("r"))
+    val scored = grid
+      .withColumn("tpr", expr(
+        s"aggregate(sequence(1L, r), cast(1.0 as double), (acc, i) -> acc * ${tau}D)"))
+      .withColumn("s1", lit(1.0) - col("tpr"))
+      .withColumn("p_raw", lit(1.0) - expr(
+        "aggregate(sequence(1L, b), cast(1.0 as double), (acc, i) -> acc * s1)"))
+      .select(col("b"), col("r"),
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")) + lit(5e-9), 4)
+          .as("threshold"),
+        round(col("p_raw") + lit(5e-9), 4).as("p_at_tau"))
+      .withColumn("dist", abs(col("threshold") - lit(tau)))
+    val mn = scored.agg(min(struct(col("dist"), col("r"))).as("mn"))
+    scored.crossJoin(broadcast(mn))
+      .select(col("b"), col("r"), col("threshold"), col("p_at_tau"),
+        (struct(col("dist"), col("r")) === col("mn")).as("chosen"))
+      .orderBy(col("r"))
+  }
+
+  /** Driver-side twin of [[lshTuning]]'s argmin: the (b, r) for budget
+    * `k` whose banding threshold is closest to `tau` — the value a
+    * pipeline passes straight into [[minhashLshPairs]]. */
+  def lshChoose(k: Int = 64, tau: Double = 0.2): (Int, Int) = {
+    val rs = (0 to 30).map(1 << _).filter(r => r <= k && k % r == 0)
+    rs.map { r =>
+      val b = k / r
+      val threshold = math.floor((math.pow(1.0 / b, 1.0 / r) + 5e-9) * 1e4 + 0.5) / 1e4
+      (math.abs(threshold - tau), r, b)
+    }.min match { case (_, r, b) => (b, r) }
+  }
+
   /** Connected-component dedup clusters over the MinHash/LSH candidate
     * pair graph: each doc gets `cluster_id` = the smallest doc_id
     * reachable through near-dup pairs, the canonical representative a

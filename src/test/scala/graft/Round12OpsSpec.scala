@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bars, Ema}
+import graft.operators.{Bars, Dedup, Ema}
 
 /** Round-12 specs: the affineScan no-clone invariant under an in-place-
   * mutating step (the documented Spark-internal dependency made loud),
@@ -80,6 +80,36 @@ class Round12OpsSpec extends SparkSpec {
     val unPlan = un.queryExecution.executedPlan.toString
     assert(unPlan.contains("Union"), s"no Union in:\n$unPlan")
     assert(un.count() > 0)
+  }
+
+  test("lshChoose(τ=0.2) wires into minhashLshPairs and beats fixed 16×4 recall") {
+    import spark.implicits._
+    // the chosen grid point matches the gated query's chosen row
+    val (b, r) = Dedup.lshChoose(64, 0.2)
+    assert((b, r) === (32, 2))
+    val chosenRow = Dedup.lshTuning(spark).filter(col("chosen")).collect()
+    assert(chosenRow.length === 1)
+    assert(chosenRow(0).getLong(0) === b.toLong && chosenRow(0).getLong(1) === r.toLong)
+    // 40 planted near-dup pairs at shingle Jaccard ≈ 0.27 (every 5th
+    // word replaced): the τ=0.2 banding (32 bands of 2) must recover
+    // strictly more of them than the fixed 16×4 (threshold 0.5) —
+    // S-curve prediction: ~0.91 vs ~0.08 collision probability
+    val docs = (0 until 40).flatMap { p =>
+      val base = (0 until 40).map(i => s"p${p}w$i")
+      val mod = base.zipWithIndex.map { case (w, i) =>
+        if (i % 5 == 0) s"p${p}x$i" else w }
+      Seq((p.toLong * 2, base.mkString(" ")), (p.toLong * 2 + 1, mod.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val planted = (0 until 40).map(p => (p.toLong * 2, p.toLong * 2 + 1)).toSet
+    def recall(pairs: org.apache.spark.sql.DataFrame): Double = {
+      val found = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      planted.count(found.contains).toDouble / planted.size
+    }
+    val rChosen = recall(Dedup.minhashLshPairs(docs, b, r))
+    val rFixed = recall(Dedup.minhashLshPairs(docs, 16, 4))
+    assert(rChosen > rFixed,
+      s"chosen ($b,$r) recall $rChosen <= fixed 16x4 recall $rFixed")
+    assert(rChosen >= 0.5, s"chosen recall unexpectedly low: $rChosen")
   }
 
   test("kernel-shaping args are guarded: wrong arity / non-literal fail with a named error") {
