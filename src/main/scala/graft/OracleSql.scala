@@ -2156,6 +2156,52 @@ object OracleSql {
     // DSIR importance weights: the per-bucket ln-ratio freezes to an
     // integer nano-weight (floor(w*1e9 + 0.5)) so the per-doc sum and
     // the ranking key are exact BIGINTs in both engines
+    // fastText-style frozen linear classifier: identical feature hash
+    // as q_dsir, weight table declared literally (the trained model IS
+    // data); exact BIGINT nano-sums, one rounded display column
+    "q_quality_classifier" -> """
+      WITH t AS (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS lw
+             FROM documents),
+      g AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(lw) - 1),
+                i -> concat(lw[i], ' ', lw[i + 1]))) AS g
+            FROM t WHERE len(lw) >= 2),
+      f AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
+            FROM g),
+      w(bucket, w_nano) AS (VALUES
+        (6, -1000000), (96, -1000000), (264, -500000), (306, 500000),
+        (439, 500000), (459, -1000000), (471, 500000), (557, 500000),
+        (655, -1000000), (673, -1000000), (725, 500000), (752, -1000000),
+        (776, -1000000), (826, 500000), (875, 500000), (880, 500000),
+        (897, 500000), (908, 500000), (930, 500000), (977, 500000),
+        (984, -1000000), (1031, -1000000), (1180, 500000), (1270, 500000),
+        (1354, 500000), (1365, 500000), (1411, 500000), (1562, 500000),
+        (1565, 500000), (1747, -1000000), (1759, -1000000), (1796, 500000),
+        (1812, -1000000), (1954, 500000), (1980, 500000), (2119, -1000000),
+        (2121, -1000000), (2147, 500000), (2323, -1000000), (2355, 500000),
+        (2367, 500000), (2441, 500000), (2455, -1000000), (2463, 500000),
+        (2465, 500000), (2596, -1000000), (2638, -1000000),
+        (2755, -1000000), (2768, -1000000), (2779, 500000), (2807, 500000),
+        (2808, 500000), (2834, 500000), (2878, -1000000), (2884, 500000),
+        (2922, 500000), (2938, -1000000), (2986, 500000), (3005, 500000),
+        (3019, 500000), (3085, 500000), (3099, 500000), (3117, 500000),
+        (3174, 500000), (3176, 500000), (3224, -1000000), (3243, 500000),
+        (3333, 500000), (3421, 500000), (3429, 500000), (3481, 500000),
+        (3516, 500000), (3549, -500000), (3579, -1000000), (3624, 500000),
+        (3632, 500000), (3638, -1000000), (3756, 500000), (3759, -1000000),
+        (3828, 500000), (3845, 500000), (3877, 500000), (3920, -1000000),
+        (3921, -1000000), (3957, -1000000), (3974, 500000), (4025, 500000)),
+      d AS (SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+              sum(coalesce(w.w_nano, 0))::BIGINT AS score_nano
+            FROM f LEFT JOIN w USING (bucket) GROUP BY f.doc_id)
+      SELECT doc_id, coalesce(n_feats, 0)::BIGINT AS n_feats,
+        coalesce(score_nano, 0)::BIGINT AS score_nano,
+        round(coalesce(score_nano, 0)::DOUBLE / 1e9 + 5e-9, 4) AS score,
+        (coalesce(score_nano, 0) > 0) AS pred_keep
+      FROM documents LEFT JOIN d USING (doc_id) ORDER BY doc_id""",
+
     "q_dsir" -> """
       WITH t AS (SELECT doc_id, lang,
                regexp_split_to_array(trim(lower(text)), '\s+') AS lw

@@ -260,6 +260,7 @@ object SparkEntry {
     "q_split_leakage" -> ((s, d) => TrainingData.splitLeakage(Tables.documents(s, d))),
     "q_domain_quota" -> ((s, d) => TrainingData.domainQuota(Tables.documents(s, d))),
     "q_dsir" -> ((s, d) => TrainingData.dsirWeights(Tables.documents(s, d))),
+    "q_quality_classifier" -> ((s, d) => TrainingData.qualityClassifier(Tables.documents(s, d))),
     // G. multimodal
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
     "q_media_quarantine" -> ((s, d) => Multimodal.mediaQuarantine(Tables.documents(s, d))),

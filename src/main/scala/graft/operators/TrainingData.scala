@@ -376,6 +376,89 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+
+  /** fastText-style quality classifier scoring (Joulin et al. 2016,
+    * arXiv:1607.01759 — the linear bag-of-hashed-ngrams classifier
+    * CCNet uses as its quality filter beside the LM score): per doc,
+    * score = Σ_bigrams w[bucket(bigram)] over word bigrams hashed into
+    * the same 4096-bucket md5 space as [[dsirWeights]]. The model is
+    * TRAINED OFFLINE and declared as DATA ([[QualityClassifierWeights]]
+    * — frozen integer nano-weights: repeated-word bigrams negative, the
+    * function-word-led bigrams positive; buckets not in the table weigh
+    * 0), so scoring is pure inference — the deployment shape of a real
+    * fastText filter, where training happened elsewhere and the engine
+    * only evaluates the frozen linear model at corpus scale.
+    *
+    * Float parity: scores are exact BIGINT nano-sums (the q_dsir
+    * device) — order-free addition, no float until the rounded display
+    * column. Scale shape: features explode to (doc_id, bucket) 12-byte
+    * rows; the ≤4096-row weight table BROADCASTS; one doc-keyed
+    * aggregate is the only corpus-scale shuffle. */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = QualityClassifierWeights.toDF("bucket", "w_nano")
+    val lws = split(trim(lower(col("text"))), "\\s+")
+    val grams = expr(
+      """transform(sequence(1, size(lw) - 1),
+           i -> concat(element_at(lw, i), ' ', element_at(lw, i + 1)))""")
+    val feats = docs
+      .select(col("doc_id"), lws.as("lw"))
+      .filter(size(col("lw")) >= 2)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"),
+        pmod(expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"),
+          lit(4096L)).as("bucket"))
+    val scored = feats.join(broadcast(w), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w_nano"), lit(0L))).as("score_nano"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score_nano"), lit(0L)).as("score_nano"),
+        round(coalesce(col("score_nano"), lit(0L)).cast("double") / lit(1e9)
+          + lit(5e-9), 4).as("score"),
+        (coalesce(col("score_nano"), lit(0L)) > 0L).as("pred_keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The frozen quality-classifier model: (md5-bucket, nano-weight)
+    * rows, declared as data (see [[qualityClassifier]]). Two marker
+    * families trained offline: every repeated-word bigram "w w" of the
+    * corpus vocabulary at −10⁶ nano (repetition = the Gopher spam
+    * signal), every "the w" / "a w" bigram at +5·10⁵ (function-word
+    * fluency); colliding buckets carry the summed weight. The oracle
+    * declares the identical VALUES table. */
+  val QualityClassifierWeights: Seq[(Long, Long)] = Seq(
+    (6L, -1000000L), (96L, -1000000L), (264L, -500000L), (306L, 500000L),
+    (439L, 500000L), (459L, -1000000L), (471L, 500000L), (557L, 500000L),
+    (655L, -1000000L), (673L, -1000000L), (725L, 500000L),
+    (752L, -1000000L), (776L, -1000000L), (826L, 500000L), (875L, 500000L),
+    (880L, 500000L), (897L, 500000L), (908L, 500000L), (930L, 500000L),
+    (977L, 500000L), (984L, -1000000L), (1031L, -1000000L),
+    (1180L, 500000L), (1270L, 500000L), (1354L, 500000L), (1365L, 500000L),
+    (1411L, 500000L), (1562L, 500000L), (1565L, 500000L),
+    (1747L, -1000000L), (1759L, -1000000L), (1796L, 500000L),
+    (1812L, -1000000L), (1954L, 500000L), (1980L, 500000L),
+    (2119L, -1000000L), (2121L, -1000000L), (2147L, 500000L),
+    (2323L, -1000000L), (2355L, 500000L), (2367L, 500000L),
+    (2441L, 500000L), (2455L, -1000000L), (2463L, 500000L),
+    (2465L, 500000L), (2596L, -1000000L), (2638L, -1000000L),
+    (2755L, -1000000L), (2768L, -1000000L), (2779L, 500000L),
+    (2807L, 500000L), (2808L, 500000L), (2834L, 500000L),
+    (2878L, -1000000L), (2884L, 500000L), (2922L, 500000L),
+    (2938L, -1000000L), (2986L, 500000L), (3005L, 500000L),
+    (3019L, 500000L), (3085L, 500000L), (3099L, 500000L), (3117L, 500000L),
+    (3174L, 500000L), (3176L, 500000L), (3224L, -1000000L),
+    (3243L, 500000L), (3333L, 500000L), (3421L, 500000L), (3429L, 500000L),
+    (3481L, 500000L), (3516L, 500000L), (3549L, -500000L),
+    (3579L, -1000000L), (3624L, 500000L), (3632L, 500000L),
+    (3638L, -1000000L), (3756L, 500000L), (3759L, -1000000L),
+    (3828L, 500000L), (3845L, 500000L), (3877L, 500000L),
+    (3920L, -1000000L), (3921L, -1000000L), (3957L, -1000000L),
+    (3974L, 500000L), (4025L, 500000L))
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): rank raw docs by how target-like they are under
     * hashed n-gram features. Features are word BIGRAMS hashed into

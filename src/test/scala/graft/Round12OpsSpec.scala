@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bars, Dedup, Ema}
+import graft.operators.{Bars, Dedup, Ema, TrainingData}
 
 /** Round-12 specs: the affineScan no-clone invariant under an in-place-
   * mutating step (the documented Spark-internal dependency made loud),
@@ -110,6 +110,22 @@ class Round12OpsSpec extends SparkSpec {
     assert(rChosen > rFixed,
       s"chosen ($b,$r) recall $rChosen <= fixed 16x4 recall $rFixed")
     assert(rChosen >= 0.5, s"chosen recall unexpectedly low: $rChosen")
+  }
+
+  test("qualityClassifier: planted fluent doc keeps, repetitive doc drops, unknown scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      // function-word-led bigrams (6 positive markers, offline score +3e6)
+      (1L, "the fast a small the data a value the batch a merge"),
+      // repeated-word bigrams (4 negative markers, offline score -4e6)
+      (2L, "batch batch batch batch window window window slow slow"),
+      // out-of-model bigrams — every bucket unweighted, score exactly 0
+      (3L, "x1 x2 x3 x4")).toDF("doc_id", "text")
+    val r = TrainingData.qualityClassifier(docs).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).getLong(2) === 3000000L && r(1L).getBoolean(4))
+    assert(r(2L).getLong(2) === -4000000L && !r(2L).getBoolean(4))
+    assert(r(3L).getLong(2) === 0L && !r(3L).getBoolean(4))
   }
 
   test("kernel-shaping args are guarded: wrong arity / non-literal fail with a named error") {
