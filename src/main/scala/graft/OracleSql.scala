@@ -712,7 +712,69 @@ object OracleSql {
           (coalesce(rep.dup_word_frac, 0.0) > 0.4 OR coalesce(rep.top_bigram_frac, 0.0) > 0.3) AS repetitive
         FROM qr JOIN rep ON rep.doc_id = qr.doc_id)"""
 
+  /** BPE merge-learning oracle: k unrolled rounds of (pair-count CTE →
+    * 1-row argmax CTE → merge-application CTE), each the exact twin of
+    * the engine's per-round jobs ([[graft.operators.Bpe.bpeMerges]]).
+    * seg CTEs are MATERIALIZED — each is referenced twice (next round's
+    * counts + next segmentation) and DuckDB re-inlines bare CTEs per
+    * reference, which would re-run the whole prefix per round. Plain
+    * string concat (no interpolator) so regex/replacement backslashes
+    * survive verbatim. */
+  private val bpeRounds = 8
+
+  private val bpeOracleSql: String = {
+    val head = """
+      WITH wf AS MATERIALIZED (
+        SELECT w AS word, count(*)::BIGINT AS freq
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM documents) t
+        GROUP BY w),
+      seg0 AS MATERIALIZED (
+        SELECT word, freq, '|' || regexp_replace(word, '(.)', '\1|', 'g') AS seg
+        FROM wf)"""
+    val pcTemplate = """,
+      pcI AS (
+        SELECT split_part(pr, ' ', 1) AS l, split_part(pr, ' ', 2) AS r,
+               sum(freq)::BIGINT AS c
+        FROM (SELECT freq,
+                unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS pr
+              FROM (SELECT freq,
+                      list_filter(string_split(seg, '|'), t -> t <> '') AS toks
+                    FROM segP) t
+              WHERE len(toks) >= 2) t2
+        GROUP BY 1, 2),
+      mI AS (SELECT l, r, c FROM pcI ORDER BY c DESC, l, r LIMIT 1)"""
+    val segTemplate = """,
+      segI AS MATERIALIZED (
+        SELECT word, freq,
+          list_reduce(
+            list_prepend('|', list_filter(string_split(seg, '|'), t -> t <> '')),
+            (acc, t) -> CASE WHEN t = m.r AND ends_with(acc, '|' || m.l || '|')
+              THEN substr(acc, 1, length(acc) - length(m.l) - 1)
+                     || m.l || m.r || '|'
+              ELSE acc || t || '|' END) AS seg
+        FROM segP, mI m)"""
+    val rounds = (1 to bpeRounds).map { i =>
+      val pc = pcTemplate.replace("pcI", "pc" + i).replace("mI", "m" + i)
+        .replace("segP", "seg" + (i - 1))
+      val sg = if (i < bpeRounds)
+        segTemplate.replace("segI", "seg" + i).replace("mI", "m" + i)
+          .replace("segP", "seg" + (i - 1))
+      else ""
+      pc + sg
+    }.mkString
+    val union = (1 to bpeRounds).map { i =>
+      "SELECT " + i + "::BIGINT AS merge_rank, l AS t_left, r AS t_right, " +
+        "l || r AS merged, c AS pair_count FROM m" + i
+    }.mkString("\n        UNION ALL ")
+    head + rounds + "\n      SELECT * FROM (\n        " + union +
+      ") u ORDER BY merge_rank"
+  }
+
   private val textOps: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeOracleSql,
+
     // dedup ROI: cluster-size histogram over the same recursive-CTE
     // fixpoint as q_dedup_clusters
     "q_cluster_stats" -> s"""

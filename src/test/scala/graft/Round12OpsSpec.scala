@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bars, Dedup, Ema, TrainingData}
+import graft.operators.{Bars, Bpe, Dedup, Ema, TrainingData}
 
 /** Round-12 specs: the affineScan no-clone invariant under an in-place-
   * mutating step (the documented Spark-internal dependency made loud),
@@ -110,6 +110,32 @@ class Round12OpsSpec extends SparkSpec {
     assert(rChosen > rFixed,
       s"chosen ($b,$r) recall $rChosen <= fixed 16x4 recall $rFixed")
     assert(rChosen >= 0.5, s"chosen recall unexpectedly low: $rChosen")
+  }
+
+  test("bpeMerges learns the textbook merges; bpeSegment tokenizes with them") {
+    import spark.implicits._
+    // Sennrich et al. 2016's running example: {low×5, lower×2,
+    // newest×6, widest×3}. Hand-derived merge sequence under the
+    // (count DESC, pair ASC) tie-break:
+    //   es(9) est(9) lo(7) low(7) ew(6) ewest(6)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Bpe.bpeMerges(docs, 6)
+      .select("t_left", "t_right", "pair_count")
+      .as[(String, String, Long)].collect().toSeq
+    assert(merges === Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L),
+      ("lo", "w", 7L), ("e", "w", 6L), ("ew", "est", 6L)))
+    // feed the LEARNED vocabulary into tokenization: BPE-proper
+    // inference replays the merges in order on an unseen word
+    val seg = Bpe.bpeSegment(Seq("lowest", "newer", "low").toDF("word"),
+      merges.map(m => (m._1, m._2)))
+      .as[(String, Seq[String], Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(seg("lowest") === Seq("low", "est"))
+    assert(seg("newer") === Seq("n", "ew", "e", "r"))
+    assert(seg("low") === Seq("low"))
   }
 
   test("qualityClassifier: planted fluent doc keeps, repetitive doc drops, unknown scores 0") {
