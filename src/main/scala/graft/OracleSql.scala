@@ -629,10 +629,11 @@ object OracleSql {
       $name AS (SELECT cent_id, cv FROM ivfcr, ivfkk WHERE rn <= ivfkk.k)"""
   }
 
-  /** CTE chain ending in `p(doc_a, doc_b)`: the MinHash/LSH banding
-    * candidate pairs (16 bands × r=4, md5 band keys, 64-member bucket
-    * cap) — shared by q_dedup_minhash_pairs and q_dedup_clusters. */
-  private val minhashPairsCtes: String = {
+  /** CTE text from a given `h(doc_id, h)` 32-bit-hash CTE to the
+    * banding candidate pairs `p(doc_a, doc_b)` (16 bands × r=4, md5
+    * band keys, 64-member bucket cap) — the shared tail of every
+    * minhash-pair consumer. */
+  private val minhashPairsTail: String = {
     import graft.operators.Dedup.MinhashPrime
     val mh = (0 until 64).map(j =>
       s"min((h * ${2L * j + 1} + $j) % $MinhashPrime) AS mh$j").mkString(",\n        ")
@@ -640,9 +641,7 @@ object OracleSql {
       val key = (0 until 4).map(i => s"mh${b * 4 + i}::VARCHAR").mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
     }.mkString("\n        UNION ALL ")
-    s"""$ngramCtes,
-      h AS (SELECT doc_id, CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT) AS h FROM ng),
-      sig AS (SELECT doc_id,
+    s"""sig AS (SELECT doc_id,
         $mh
        FROM h GROUP BY doc_id),
       bands AS ($bandSelects),
@@ -652,6 +651,14 @@ object OracleSql {
             FROM capped l JOIN capped r
               ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)"""
   }
+
+  /** CTE chain ending in `p(doc_a, doc_b)`: the MinHash/LSH banding
+    * candidate pairs — shared by q_dedup_minhash_pairs and
+    * q_dedup_clusters. */
+  private val minhashPairsCtes: String =
+    s"""$ngramCtes,
+      h AS (SELECT doc_id, CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT) AS h FROM ng),
+      $minhashPairsTail"""
 
   /** CTE chain ending in `lab(doc_id, cluster_id)`: connected components
     * (the unique min-label fixpoint) over the minhash pair graph via a
@@ -1148,15 +1155,32 @@ object OracleSql {
 
     // asymmetric containment |A∩B|/min(|A|,|B|) over the same banded
     // candidate pairs; threshold compares the identical exact-integer
-    // division in both engines
+    // division in both engines. Scale hygiene (the sf10 DuckDB wall):
+    // the 250M-row shingle DISTINCT runs exactly ONCE, collapsed to the
+    // 32-char md5 (the q_source_overlap device, collision-approximate
+    // at 2^-128) and MATERIALIZED — the signature hash is its 32-bit
+    // prefix (identical to md5(raw gram)'s prefix, so the pair graph is
+    // unchanged) and the intersection joins the pair-doc SLICE of the
+    // same materialization. The previous form ran the raw-gram distinct
+    // twice (sig chain + intersection) and spilled past the box's disk;
+    // counts are unchanged, so the engine side needs no edit and the
+    // hashes still match
     "q_ngram_containment" -> s"""
-      WITH $minhashPairsCtes,
-      ngm AS MATERIALIZED (SELECT * FROM ng),
+      WITH $ngramCtes,
+      ngh AS MATERIALIZED (SELECT doc_id, md5(ng) AS mh FROM ng),
+      h AS (SELECT doc_id, CAST(concat('0x', substr(mh, 1, 8)) AS BIGINT) AS h FROM ngh),
+      $minhashPairsTail,
       pm AS MATERIALIZED (SELECT * FROM p),
-      sz AS (SELECT doc_id, count(*) AS n FROM ngm GROUP BY doc_id),
+      pdocs AS (SELECT DISTINCT doc_id FROM (
+                  SELECT doc_a AS doc_id FROM pm
+                  UNION ALL SELECT doc_b FROM pm) u),
+      ngp AS MATERIALIZED (
+        SELECT n.doc_id, n.mh
+        FROM ngh n JOIN pdocs USING (doc_id)),
+      sz AS (SELECT doc_id, count(*) AS n FROM ngp GROUP BY doc_id),
       ix AS (SELECT pm.doc_a, pm.doc_b, count(*) AS m
-             FROM pm JOIN ngm x ON x.doc_id = pm.doc_a
-                     JOIN ngm y ON y.doc_id = pm.doc_b AND y.ng = x.ng
+             FROM pm JOIN ngp x ON x.doc_id = pm.doc_a
+                     JOIN ngp y ON y.doc_id = pm.doc_b AND y.mh = x.mh
              GROUP BY 1, 2),
       c AS (SELECT pm.doc_a, pm.doc_b, coalesce(ix.m, 0) AS m, sa.n AS na, sb.n AS nb
             FROM pm JOIN sz sa ON sa.doc_id = pm.doc_a

@@ -430,35 +430,39 @@ object Similarity {
     * — no id locality assumed), with the dedup family's bucket-size cap
     * bounding hot buckets, then exact cosine ≥ threshold.
     *
-    * Pair generation and cosine are SPLIT: the bucket self-join carries
-    * only (t, bucket, vec_id) — never the 64-double vector — and a pair
-    * sharing several tables is collapsed to ONE row by the id-pair
-    * `distinct` BEFORE the vectors are joined back and the cosine runs
-    * once per distinct pair. (The first cut computed the cosine per
-    * shared table and deduped after — up to `LshTables`× redundant
-    * arithmetic and, worse, `LshTables`× shuffle amplification of the
-    * full vectors through the join.) */
+    * The vectors ride INTO the bucket join and the fused cosine +
+    * threshold filter run BUCKET-LOCALLY on each candidate, so only
+    * SURVIVORS reach the id-pair `distinct`. The cost trade is
+    * T·N·|v| (vectors through the one reused bucket exchange) versus
+    * P·|v| (distinct pairs through two re-join exchanges, the previous
+    * shape) — and at corpus density the candidate-pair count P grows
+    * quadratically in per-bucket occupancy while T·N stays linear: the
+    * sf10 exercise measured P = 130.9M distinct pairs against
+    * T·N = 2.4M bucket rows, i.e. the re-join shape shuffled ~69 GB of
+    * vectors where this one moves 1.3 GB (149 → 5.8 s wall). Cross-table
+    * duplicate candidates cost only redundant fused-kernel arithmetic
+    * (bounded by T× worst-case, measured 1.007× here — near-dup pairs
+    * that agree on many tables are exactly the ones the threshold
+    * keeps, and those dedup AFTER the filter); the cosine is a pure
+    * function of the pair, so duplicates carry bit-identical doubles
+    * and the post-filter distinct collapses them exactly. */
   def embedNeardupLsh(embeddings: DataFrame,
       threshold: Double = NeardupThreshold,
       maxBucket: Int = NeardupMaxBucket): DataFrame = {
     val e = withVec(embeddings)
     val bk = corpusBuckets(e)
-      .select(col("vec_id"), col("t"), col("bucket"))
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy(col("t"), col("bucket"))))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
-    val pairs = bk.as("l")
+    bk.as("l")
       .join(bk.as("r"),
         col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
-      .distinct()
-    pairs
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"), expr("cosine_sim(va, vb)").as("cos"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        expr("cosine_sim(l.v, r.v)").as("cos"))
       .filter(col("cos").isNotNull && col("cos") >= threshold)
+      .distinct()
       .select(col("vec_a"), col("vec_b"),
         round(col("cos") + lit(5e-9), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))

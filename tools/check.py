@@ -44,6 +44,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # Bound DuckDB so a heavy oracle at sf1/sf10 spills to disk instead
+    # of being OOM-killed (a killed process silently loses every
+    # remaining query in the invocation). Override via GRAFT_DUCKDB_MEM.
+    import os as _os
+    con.execute(f"SET memory_limit='{_os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     import os
     for t in TABLES:
         # driver-generated tables are single files; DataGen-scaled ones
