@@ -2675,6 +2675,76 @@ object OracleSql {
                           AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       GROUP BY 1 ORDER BY 1""",
 
+    // TPC-H Q13 shape: outer-join order counts per customer (zeros
+    // preserved), rolled into a distribution; the ON-clause predicate
+    // is right-side-only so it matches the engine's pre-filtered join
+    "q_order_count_dist" -> """
+      SELECT c_count, count(*)::BIGINT AS custdist
+      FROM (SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY 1)
+      GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+
+    // TPC-H Q19 shape: OR-of-conjunctions across both join sides;
+    // per-brand rollup keeps the output deterministic and >1 row
+    "q_disjunctive_revenue" -> """
+      SELECT p_brand, count(*)::BIGINT AS n_lines,
+        round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+      GROUP BY 1 ORDER BY 1""",
+
+    // join-key skew profile: top-10 heavy hitters with exact ppm
+    // shares + the global per-key-count distribution on every row
+    "q_skew_profile" -> """
+      WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt
+                 FROM events GROUP BY 1),
+      s AS (SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows,
+              max(cnt)::BIGINT AS max_cnt,
+              quantile_cont(cnt, 0.5) AS p50_raw,
+              quantile_cont(cnt, 0.99) AS p99_raw
+            FROM c)
+      SELECT user_id, cnt, (cnt * 1000000) // n_rows AS share_ppm,
+        n_keys, n_rows, max_cnt,
+        round(p50_raw + 5e-9, 4) AS p50_cnt,
+        round(p99_raw + 5e-9, 4) AS p99_cnt,
+        round(max_cnt::DOUBLE / p50_raw + 5e-9, 4) AS skew_ratio
+      FROM c CROSS JOIN s
+      ORDER BY cnt DESC, user_id LIMIT 10""",
+
+    // Z-order locality report: exact integer quantize + 16-term bit
+    // interleave, per-cell envelopes (oracle mirrors the arithmetic)
+    "q_zorder_layout" -> {
+      val terms = (0 until 8).flatMap { i =>
+        Seq(s"(((sx >> $i) & 1) << ${2 * i})",
+          s"(((sy >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      s"""
+      WITH b AS (SELECT p_partkey, p_size::BIGINT AS sz,
+                   CAST(round(p_retailprice * 10) AS BIGINT) AS pr
+                 FROM part),
+      st AS (SELECT min(sz) AS sz_min, max(sz) AS sz_max,
+               min(pr) AS pr_min, max(pr) AS pr_max FROM b),
+      q AS (SELECT sz, pr,
+              ((sz - sz_min) * 255) // greatest(sz_max - sz_min, 1) AS sx,
+              ((pr - pr_min) * 255) // greatest(pr_max - pr_min, 1) AS sy
+            FROM b CROSS JOIN st),
+      z AS (SELECT sz, pr, $terms AS zval FROM q)
+      SELECT zval // 256 AS cell, count(*)::BIGINT AS n_parts,
+        min(zval) AS z_lo, max(zval) AS z_hi,
+        min(sz) AS size_lo, max(sz) AS size_hi,
+        min(pr)::DOUBLE / 10.0 AS price_lo,
+        max(pr)::DOUBLE / 10.0 AS price_hi
+      FROM z GROUP BY 1 ORDER BY 1"""
+    },
+
     // integer-tf keyword search; top-k selected on (score DESC, doc_id)
     // BM25: identical expression shape term-by-term (idf, then
     // tf·(k1+1)/denominator, summed in fixed hash+join+scan order);

@@ -163,6 +163,12 @@ object SparkEntry {
       Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_idle_customers" -> ((s, d) => Relational.idleCustomers(
       Tables.customer(s, d), Tables.orders(s, d), Tables.nation(s, d))),
+    "q_order_count_dist" -> ((s, d) => Relational.orderCountDistribution(
+      Tables.customer(s, d), Tables.orders(s, d))),
+    "q_disjunctive_revenue" -> ((s, d) => Relational.disjunctiveRevenue(
+      Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_skew_profile" -> ((s, d) => Skew.skewProfile(Tables.events(s, d))),
+    "q_zorder_layout" -> ((s, d) => Layout.zorderLayout(Tables.part(s, d))),
     "q_skyline" -> ((s, d) => Relational.skylineParts(Tables.part(s, d))),
     "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(Tables.documents(s, d))),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),

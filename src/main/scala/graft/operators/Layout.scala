@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering.
+  *
+  * At 100 TB a table sorted on ONE column prunes files only for that
+  * column's predicates; interleaving the bits of two (or more)
+  * quantized sort keys gives every file a tight min/max envelope on
+  * BOTH raw dimensions, so range predicates on either prune files.
+  * The technique is public knowledge (Morton 1966; Delta Lake's
+  * OPTIMIZE ZORDER BY); the reference's analytics layer
+  * (`bigquery_loader.py`) leans on the warehouse's own clustering —
+  * this operator is the explicit, engine-side form of that layout
+  * decision.
+  *
+  * Production use: `parts.withColumn("zval", ...)` then
+  * `repartitionByRange(col("zval")).sortWithinPartitions("zval")
+  * .write` — the range partitioner's sampled bounds spread cells
+  * evenly and every written file covers a compact Z-range. The gated
+  * query instead PROVES the locality property the layout buys: per
+  * Z-cell (top 8 of 16 interleaved bits), the span of each raw
+  * dimension inside the cell is a bounded fraction of its global
+  * range.
+  *
+  * Everything is exact integer arithmetic: prices (1dp in this data)
+  * are scaled to tenths via round-to-long before quantization, both
+  * quantizers are (v - min) * 255 floor-div (max - min), and the
+  * interleave is 16 shift/mask/add terms — bit-identical in any
+  * engine. The global min/max frame is ONE row, computed in one
+  * partial-aggregatable pass and broadcast; the quantize + interleave
+  * is a narrow projection (no shuffle); the per-cell rollup is a
+  * 256-group hash aggregate. */
+object Layout {
+
+  /** `zval` column over quantized `sx`/`sy` (both 0..255): bit i of sx
+    * lands at position 2i, bit i of sy at 2i+1. */
+  private def interleave16: String =
+    (0 until 8).flatMap { i =>
+      Seq(s"shiftleft(shiftright(sx, $i) & 1, ${2 * i})",
+        s"shiftleft(shiftright(sy, $i) & 1, ${2 * i + 1})")
+    }.mkString(" + ")
+
+  /** Per-Z-cell locality report over parts quantized on
+    * (p_size, p_retailprice). ~256 output rows; each carries the
+    * cell's population and the raw-dimension envelope a file written
+    * from that cell would advertise in its footer stats. */
+  def zorderLayout(part: DataFrame): DataFrame = {
+    val pr = expr("CAST(round(p_retailprice * 10) AS BIGINT)")
+    val base = part.select(col("p_partkey"), col("p_size").cast("long").as("sz"),
+      pr.as("pr"))
+    val stats = base.agg(
+      min(col("sz")).as("sz_min"), max(col("sz")).as("sz_max"),
+      min(col("pr")).as("pr_min"), max(col("pr")).as("pr_max"))
+    base.crossJoin(broadcast(stats))
+      .select(col("sz"), col("pr"),
+        expr("(sz - sz_min) * 255 DIV greatest(sz_max - sz_min, 1L)").as("sx"),
+        expr("(pr - pr_min) * 255 DIV greatest(pr_max - pr_min, 1L)").as("sy"))
+      .withColumn("zval", expr(interleave16))
+      .withColumn("cell", expr("zval DIV 256"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("zval")).as("z_lo"), max(col("zval")).as("z_hi"),
+        min(col("sz")).as("size_lo"), max(col("sz")).as("size_hi"),
+        (min(col("pr")).cast("double") / 10.0).as("price_lo"),
+        (max(col("pr")).cast("double") / 10.0).as("price_hi"))
+      .orderBy(col("cell"))
+  }
+}

@@ -1017,6 +1017,62 @@ object Relational {
       .orderBy(col("returned_revenue").desc, col("c_custkey"))
   }
 
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    * join customers to a predicate-filtered orders side (the predicate
+    * lives on the join's right side only, so pre-filtering orders before
+    * the outer join is exactly the ON-clause semantics of the textbook
+    * form), count orders per customer INCLUDING the zero-order
+    * customers the outer join preserves, then roll the per-customer
+    * counts into a distribution. Physically: the outer join and the
+    * first aggregate share the custkey hash partitioning (one exchange,
+    * reused — Catalyst sees the groupBy key equals the join key), and
+    * the second aggregate's domain is order-counts-per-customer, a few
+    * hundred distinct values at any scale, so it collapses map-side to
+    * a dictionary-sized result. The sort (custdist DESC, c_count DESC)
+    * is deterministic: c_count is unique within the distribution. */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame,
+      excludePriority: String = "4-NOT SPECIFIED"): DataFrame = {
+    val perCust = customer.select(col("c_custkey"))
+      .join(orders.filter(col("o_orderpriority") =!= excludePriority)
+          .select(col("o_custkey").as("c_custkey"), col("o_orderkey")),
+        Seq("c_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q19 shape — disjunctive-predicate revenue: an OR of
+    * per-branch (brand, size-band, quantity-band) conjunctions spanning
+    * BOTH join sides. The optimizer story is the point: Catalyst
+    * derives the implied single-side disjunctions by CNF conversion —
+    * the brand/size union reaches the part scan and the quantity
+    * envelope reaches the lineitem scan as PushedFilters — so at 100 TB
+    * neither side reads rows no branch could accept; the residual OR
+    * evaluates once post-join inside codegen. Part is the
+    * dictionary-sized dimension and broadcasts; the join is
+    * shuffle-free. Revenue follows the DECIMAL(18,6)-sum /
+    * round-2 / double-cast house discipline. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    val branch = (col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#7" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(rev), 2).cast("double").as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Sole-late-supplier ranking — the TPC-H Q21 shape (the hardest
     * multi-EXISTS decorrelation in the benchmark), adapted to this
     * schema: "late" = shipped more than 60 days after the order date

@@ -178,4 +178,78 @@ class Round12OpsSpec extends SparkSpec {
     // the guarded happy path still runs
     assert(df.select(expr("winnow_fps(text, 8, 4)")).count() === 1L)
   }
+
+  test("orderCountDistribution: zero-order customers survive the outer join") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val customer = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val orders = Seq(
+      (101L, 1L, "1-URGENT"), (102L, 1L, "5-LOW"),
+      (103L, 2L, "4-NOT SPECIFIED"), // excluded -> cust 2 counts as zero
+      (104L, 3L, "2-HIGH"), (105L, 3L, "3-MEDIUM"), (106L, 3L, "1-URGENT")
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val got = Relational.orderCountDistribution(customer, orders)
+      .as[(Long, Long)].collect().toSeq
+    // counts per customer: 1->2, 2->0, 3->3, 4->0
+    // distribution sorted custdist DESC, c_count DESC: (0,2),(3,1),(2,1)
+    assert(got === Seq((0L, 2L), (3L, 1L), (2L, 1L)))
+  }
+
+  test("disjunctiveRevenue: each OR branch contributes, non-matches don't") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val part = Seq(
+      (1L, "Brand#12", 3, 950.0), (2L, "Brand#23", 8, 950.0),
+      (3L, "Brand#7", 12, 950.0), (4L, "Brand#12", 40, 950.0) // size out
+    ).toDF("p_partkey", "p_brand", "p_size", "p_retailprice")
+    val lineitem = Seq(
+      (1L, 5.0, 1000.0, 0.1),  // branch 1: qty in [1,11]
+      (1L, 15.0, 1000.0, 0.1), // branch 1 qty out -> dropped
+      (2L, 15.0, 2000.0, 0.0), // branch 2
+      (3L, 25.0, 3000.0, 0.5), // branch 3
+      (4L, 5.0, 9999.0, 0.0)   // part size out -> dropped
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val got = Relational.disjunctiveRevenue(lineitem, part)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("Brand#12", 1L, 900.0), ("Brand#23", 1L, 2000.0),
+      ("Brand#7", 1L, 1500.0)))
+  }
+
+  test("skewProfile: exact counts, ppm shares and distribution stats") {
+    import spark.implicits._
+    import graft.operators.Skew
+    val events = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("user_id")
+    val got = Skew.skewProfile(events, "user_id", k = 2).collect()
+    assert(got.length === 2)
+    val top = got.head
+    assert(top.getAs[String]("user_id") === "a")
+    assert(top.getAs[Long]("cnt") === 5L)
+    assert(top.getAs[Long]("share_ppm") === 500000L) // floor(5e6/10)
+    assert(top.getAs[Long]("n_keys") === 4L)
+    assert(top.getAs[Long]("n_rows") === 10L)
+    assert(top.getAs[Long]("max_cnt") === 5L)
+    // counts sorted: [1,1,3,5] -> p50 interpolated = 2.0, p99 = 4.94
+    assert(top.getAs[Double]("p50_cnt") === 2.0)
+    assert(top.getAs[Double]("p99_cnt") === 4.94)
+    assert(top.getAs[Double]("skew_ratio") === 2.5)
+    assert(got(1).getAs[String]("user_id") === "b")
+    assert(got(1).getAs[Long]("share_ppm") === 300000L)
+  }
+
+  test("zorderLayout: corner points interleave to the exact Morton codes") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // sizes span 0..255 and price-tenths span 0..255, so the quantizers
+    // are identity and the four corners hit the exact Morton extremes
+    val part = Seq(
+      (1L, 0, 0.0), (2L, 255, 0.0), (3L, 0, 25.5), (4L, 255, 25.5)
+    ).toDF("p_partkey", "p_size", "p_retailprice")
+    val got = Layout.zorderLayout(part)
+      .select("cell", "z_lo", "z_hi", "n_parts").as[(Long, Long, Long, Long)]
+      .collect().toSeq
+    // (sx,sy)=(0,0)->0; (255,0)->0x5555; (0,255)->0xAAAA; (255,255)->0xFFFF
+    assert(got === Seq((0L, 0L, 0L, 1L), (85L, 21845L, 21845L, 1L),
+      (170L, 43690L, 43690L, 1L), (255L, 65535L, 65535L, 1L)))
+  }
 }
