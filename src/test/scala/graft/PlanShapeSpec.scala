@@ -37,7 +37,11 @@ class PlanShapeSpec extends SparkSpec {
     "q_dsir", "q_media_phash", "q_market_share", "q_ccnet_buckets",
     "q_nation_volume", "q_knn_classify", "q_quantiles_approx",
     "q_sql_pricing", "q_sql_region_rev", "q_sql_window", "q_seasonality",
-    "q_snapshot_diff")
+    "q_snapshot_diff",
+    // the round-12 additions (same rule: newest code stays gated)
+    "q_sql_exists", "q_sql_in", "q_sql_union", "q_lsh_tuning",
+    "q_quality_classifier", "q_bpe_merges", "q_order_count_dist",
+    "q_disjunctive_revenue", "q_skew_profile", "q_zorder_layout")
 
   test("a planted unbounded-following frame counts; running frames do not") {
     // Round 7 found gapFill's backfill frame (currentRow ->
