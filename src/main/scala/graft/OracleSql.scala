@@ -2745,6 +2745,48 @@ object OracleSql {
       FROM z GROUP BY 1 ORDER BY 1"""
     },
 
+    // Hilbert layout: same quantized grid, the order-8 curve via 8
+    // unrolled reflect+swap rounds (every intermediate stays in
+    // [0,255] so integer // and % agree across engines)
+    "q_hilbert_layout" -> {
+      // fresh x/y/d names per round: DuckDB's lateral column aliases
+      // would otherwise rebind same-named references mid-SELECT.
+      // Nesting is textual: first round emitted = OUTERMOST select, so
+      // emit bit 0 (producing d0) first and bit 7 (reading q's x8) last.
+      val rounds = (0 to 7).map { bit =>
+        val s = 1L << bit
+        val l = bit + 1; val m = bit
+        s"""(SELECT sz, pr,
+              CASE WHEN (y$l // $s) % 2 = 1 THEN x$l
+                   WHEN (x$l // $s) % 2 = 1 THEN 255 - y$l ELSE y$l END AS x$m,
+              CASE WHEN (y$l // $s) % 2 = 1 THEN y$l
+                   WHEN (x$l // $s) % 2 = 1 THEN 255 - x$l ELSE x$l END AS y$m,
+              d$l + $s * $s * (3 * ((x$l // $s) % 2)
+                + ((y$l // $s) % 2) * (1 - 2 * ((x$l // $s) % 2))) AS d$m
+            FROM"""
+      }
+      val opens = rounds.mkString(" ")
+      val closes = ")" * 8
+      s"""
+      WITH b AS (SELECT p_partkey, p_size::BIGINT AS sz,
+                   CAST(round(p_retailprice * 10) AS BIGINT) AS pr
+                 FROM part),
+      st AS (SELECT min(sz) AS sz_min, max(sz) AS sz_max,
+               min(pr) AS pr_min, max(pr) AS pr_max FROM b),
+      q AS (SELECT sz, pr,
+              ((sz - sz_min) * 255) // greatest(sz_max - sz_min, 1) AS x8,
+              ((pr - pr_min) * 255) // greatest(pr_max - pr_min, 1) AS y8,
+              CAST(0 AS BIGINT) AS d8
+            FROM b CROSS JOIN st)
+      SELECT d0 // 256 AS cell, count(*)::BIGINT AS n_parts,
+        min(d0) AS h_lo, max(d0) AS h_hi,
+        min(sz) AS size_lo, max(sz) AS size_hi,
+        min(pr)::DOUBLE / 10.0 AS price_lo,
+        max(pr)::DOUBLE / 10.0 AS price_hi
+      FROM $opens q$closes
+      GROUP BY 1 ORDER BY 1"""
+    },
+
     // integer-tf keyword search; top-k selected on (score DESC, doc_id)
     // BM25: identical expression shape term-by-term (idf, then
     // tf·(k1+1)/denominator, summed in fixed hash+join+scan order);

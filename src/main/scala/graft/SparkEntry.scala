@@ -169,6 +169,7 @@ object SparkEntry {
       Tables.lineitem(s, d), Tables.part(s, d))),
     "q_skew_profile" -> ((s, d) => Skew.skewProfile(Tables.events(s, d))),
     "q_zorder_layout" -> ((s, d) => Layout.zorderLayout(Tables.part(s, d))),
+    "q_hilbert_layout" -> ((s, d) => Layout.hilbertLayout(Tables.part(s, d))),
     "q_skyline" -> ((s, d) => Relational.skylineParts(Tables.part(s, d))),
     "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(Tables.documents(s, d))),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),

@@ -42,11 +42,9 @@ object Layout {
         s"shiftleft(shiftright(sy, $i) & 1, ${2 * i + 1})")
     }.mkString(" + ")
 
-  /** Per-Z-cell locality report over parts quantized on
-    * (p_size, p_retailprice). ~256 output rows; each carries the
-    * cell's population and the raw-dimension envelope a file written
-    * from that cell would advertise in its footer stats. */
-  def zorderLayout(part: DataFrame): DataFrame = {
+  /** Quantize parts onto the 256×256 grid shared by both layouts:
+    * (sz, pr) raw integer dims plus (sx, sy) 0..255 quantized. */
+  private def quantized(part: DataFrame): DataFrame = {
     val pr = expr("CAST(round(p_retailprice * 10) AS BIGINT)")
     val base = part.select(col("p_partkey"), col("p_size").cast("long").as("sz"),
       pr.as("pr"))
@@ -57,14 +55,62 @@ object Layout {
       .select(col("sz"), col("pr"),
         expr("(sz - sz_min) * 255 DIV greatest(sz_max - sz_min, 1L)").as("sx"),
         expr("(pr - pr_min) * 255 DIV greatest(pr_max - pr_min, 1L)").as("sy"))
-      .withColumn("zval", expr(interleave16))
-      .withColumn("cell", expr("zval DIV 256"))
+  }
+
+  /** Per-cell locality rollup shared by both layouts: population plus
+    * the raw-dimension envelope a file written from that cell would
+    * advertise in its footer stats. */
+  private def cellReport(df: DataFrame, ord: String): DataFrame =
+    df.withColumn("cell", expr(s"$ord DIV 256"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_parts"),
-        min(col("zval")).as("z_lo"), max(col("zval")).as("z_hi"),
+        min(col(ord)).as(s"${ord(0)}_lo"), max(col(ord)).as(s"${ord(0)}_hi"),
         min(col("sz")).as("size_lo"), max(col("sz")).as("size_hi"),
         (min(col("pr")).cast("double") / 10.0).as("price_lo"),
         (max(col("pr")).cast("double") / 10.0).as("price_hi"))
       .orderBy(col("cell"))
+
+  /** Per-Z-cell locality report over parts quantized on
+    * (p_size, p_retailprice). ~256 output rows. */
+  def zorderLayout(part: DataFrame): DataFrame =
+    cellReport(quantized(part).withColumn("zval", expr(interleave16)), "zval")
+
+  /** Hilbert-curve layout (Hilbert 1891; the clustering order modern
+    * lakehouse OPTIMIZE prefers over Z-order): same 256×256 quantized
+    * grid as [[zorderLayout]], but cells ordered along the order-8
+    * Hilbert curve — consecutive curve positions are always GRID
+    * NEIGHBORS, so consecutive written files share an envelope edge
+    * instead of jumping across the Z seam (the Morton order's
+    * worst-case discontinuity spans half the grid every 2^k cells).
+    *
+    * The (x, y) → d transform is the textbook 8-round descent: at
+    * scale s each round reads one bit per dim (`rx`, `ry`), adds
+    * s²·quadrant (quadrant = 3rx + ry·(1−2rx), the branch-free form
+    * of (3·rx) XOR ry for bits), and applies the reflect+swap rotation
+    * (255−v reflections keep every intermediate in [0,255] — no
+    * negative operands, so integer DIV/% semantics agree across
+    * engines). Eight chained projections of +/−/DIV/% on longs:
+    * bit-identical in any engine, one narrow codegen'd pass, no
+    * shuffle before the 256-group rollup. */
+  def hilbertLayout(part: DataFrame): DataFrame = {
+    var df = quantized(part)
+      .withColumn("hx", col("sx")).withColumn("hy", col("sy"))
+      .withColumn("hval", lit(0L))
+    for (bit <- 7 to 0 by -1) {
+      val s = 1L << bit
+      df = df
+        .withColumn("rx", expr(s"(hx DIV $s) % 2"))
+        .withColumn("ry", expr(s"(hy DIV $s) % 2"))
+        .withColumn("hval",
+          expr(s"hval + $s * $s * (3 * rx + ry * (1 - 2 * rx))"))
+        // ry=0: reflect (iff rx=1) then swap; ry=1: identity
+        .withColumn("nx",
+          expr("CASE WHEN ry = 1 THEN hx WHEN rx = 1 THEN 255 - hy ELSE hy END"))
+        .withColumn("ny",
+          expr("CASE WHEN ry = 1 THEN hy WHEN rx = 1 THEN 255 - hx ELSE hx END"))
+        .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+        .drop("rx", "ry", "nx", "ny")
+    }
+    cellReport(df, "hval")
   }
 }

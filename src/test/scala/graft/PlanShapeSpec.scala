@@ -41,7 +41,8 @@ class PlanShapeSpec extends SparkSpec {
     // the round-12 additions (same rule: newest code stays gated)
     "q_sql_exists", "q_sql_in", "q_sql_union", "q_lsh_tuning",
     "q_quality_classifier", "q_bpe_merges", "q_order_count_dist",
-    "q_disjunctive_revenue", "q_skew_profile", "q_zorder_layout")
+    "q_disjunctive_revenue", "q_skew_profile", "q_zorder_layout",
+    "q_hilbert_layout")
 
   test("a planted unbounded-following frame counts; running frames do not") {
     // Round 7 found gapFill's backfill frame (currentRow ->

@@ -237,6 +237,38 @@ class Round12OpsSpec extends SparkSpec {
     assert(got(1).getAs[Long]("share_ppm") === 300000L)
   }
 
+  test("hilbertLayout: corners pin the curve's endpoints; the full grid " +
+      "rolls to exact 16x16 subsquares") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // corner check: identity quantizers as in the Morton spec; the
+    // order-8 curve starts at (0,0), ends at (255,0), and visits the
+    // other corners at exactly 1/3 and 2/3 of its length
+    val corners = Seq(
+      (1L, 0, 0.0), (2L, 255, 0.0), (3L, 0, 25.5), (4L, 255, 25.5)
+    ).toDF("p_partkey", "p_size", "p_retailprice")
+    val got = Layout.hilbertLayout(corners)
+      .select("cell", "h_lo", "n_parts").as[(Long, Long, Long)]
+      .collect().toSeq
+    // (sx,sy)=(0,0)->0; (0,255)->21845; (255,255)->43690; (255,0)->65535
+    assert(got === Seq((0L, 0L, 1L), (85L, 21845L, 1L),
+      (170L, 43690L, 1L), (255L, 65535L, 1L)))
+    // structural check over ALL 65536 grid points: every aligned run of
+    // 256 curve positions is one complete 16x16 subsquare (h-range
+    // exactly [cell*256, cell*256+255], both raw spans exactly 15) —
+    // the locality guarantee a file written per cell inherits
+    val grid = spark.range(65536).selectExpr("id AS p_partkey",
+      "CAST(id DIV 256 AS INT) AS p_size", "(id % 256) / 10.0 AS p_retailprice")
+    val cells = Layout.hilbertLayout(grid)
+      .selectExpr("count(*) AS n_cells",
+        "count_if(n_parts = 256) AS full",
+        "count_if(h_lo = cell * 256 AND h_hi = cell * 256 + 255) AS contig",
+        "count_if(size_hi - size_lo = 15) AS sz_ok",
+        "count_if(round((price_hi - price_lo) * 10) = 15) AS pr_ok")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(cells === ((256L, 256L, 256L, 256L, 256L)))
+  }
+
   test("zorderLayout: corner points interleave to the exact Morton codes") {
     import spark.implicits._
     import graft.operators.Layout
