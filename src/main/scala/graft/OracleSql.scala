@@ -2787,6 +2787,24 @@ object OracleSql {
       GROUP BY 1 ORDER BY 1"""
     },
 
+    // compaction plan: per-month declared-estimator byte totals,
+    // ceil-div file counts at the 4 KB test-scale target
+    "q_compaction_plan" -> """
+      WITH per AS (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+               count(*)::BIGINT AS n_rows,
+               sum(32 + length(o_orderstatus) + length(o_orderpriority))::BIGINT
+                 AS est_bytes
+             FROM orders GROUP BY 1),
+      tot AS (SELECT sum(est_bytes)::BIGINT AS tot_bytes FROM per),
+      f AS (SELECT ym, n_rows, est_bytes,
+              (est_bytes + 4095) // 4096 AS n_files, tot_bytes
+            FROM per CROSS JOIN tot)
+      SELECT ym, n_rows, est_bytes, n_files,
+        (n_rows + n_files - 1) // n_files AS rows_per_file,
+        (est_bytes * 1000000) // tot_bytes AS share_ppm,
+        est_bytes * 4 < 4096 AS merge_candidate
+      FROM f ORDER BY ym""",
+
     // integer-tf keyword search; top-k selected on (score DESC, doc_id)
     // BM25: identical expression shape term-by-term (idf, then
     // tf·(k1+1)/denominator, summed in fixed hash+join+scan order);

@@ -170,6 +170,10 @@ object SparkEntry {
     "q_skew_profile" -> ((s, d) => Skew.skewProfile(Tables.events(s, d))),
     "q_zorder_layout" -> ((s, d) => Layout.zorderLayout(Tables.part(s, d))),
     "q_hilbert_layout" -> ((s, d) => Layout.hilbertLayout(Tables.part(s, d))),
+    // 4 KB test-scale target (production default 128 MB) so the plan is
+    // multi-file at every gate SF
+    "q_compaction_plan" -> ((s, d) => Layout.compactionPlan(
+      Tables.orders(s, d), targetBytes = 4096L)),
     "q_skyline" -> ((s, d) => Relational.skylineParts(Tables.part(s, d))),
     "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(Tables.documents(s, d))),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),

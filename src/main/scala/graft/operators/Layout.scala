@@ -113,4 +113,44 @@ object Layout {
     }
     cellReport(df, "hval")
   }
+
+  /** Small-files compaction plan — the write-side layout decision every
+    * 100 TB table faces: per date partition (year·100+month), how many
+    * files should the writer emit so each lands near `targetBytes`?
+    * Too many small files poisons every downstream scan (one task +
+    * one footer fetch per file); one giant file serializes the
+    * partition's writers. The reference's loader delegates this to the
+    * warehouse; this is the explicit engine-side form.
+    *
+    * Per-row bytes use a DECLARED deterministic estimator (32 bytes of
+    * fixed-width columns + the two varchar lengths) so the plan is
+    * exact integer arithmetic, not a sampled guess: `n_files` =
+    * ceil(est_bytes / target) via (a+t−1) DIV t, `rows_per_file` =
+    * ceil(n_rows / n_files), `share_ppm` the partition's exact share
+    * of total bytes, and `merge_candidate` flags partitions under a
+    * quarter target — the ones a compactor should coalesce with
+    * neighbors instead of writing alone.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the fact scan
+    * (months are dictionary-sized at any corpus), a one-row total
+    * broadcast, no other shuffle. Production: feed `n_files` into
+    * `repartitionByRange(sum(n_files), partCol, bucketCol)` before the
+    * write. */
+  def compactionPlan(orders: DataFrame,
+      targetBytes: Long = 128L << 20): DataFrame = {
+    val per = orders
+      .select(expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)").as("ym"),
+        expr("32L + length(o_orderstatus) + length(o_orderpriority)").as("b"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("b")).as("est_bytes"))
+    val tot = per.agg(sum(col("est_bytes")).as("tot_bytes"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("n_files",
+        expr(s"(est_bytes + ${targetBytes - 1}L) DIV ${targetBytes}L"))
+      .select(col("ym"), col("n_rows"), col("est_bytes"), col("n_files"),
+        expr("(n_rows + n_files - 1) DIV n_files").as("rows_per_file"),
+        expr("(est_bytes * 1000000L) DIV tot_bytes").as("share_ppm"),
+        (col("est_bytes") * lit(4L) < lit(targetBytes)).as("merge_candidate"))
+      .orderBy(col("ym"))
+  }
 }

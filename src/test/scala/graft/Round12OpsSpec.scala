@@ -269,6 +269,25 @@ class Round12OpsSpec extends SparkSpec {
     assert(cells === ((256L, 256L, 256L, 256L, 256L)))
   }
 
+  test("compactionPlan: ceil-div file counts, byte shares, merge flags") {
+    import spark.implicits._
+    import graft.operators.Layout
+    import java.sql.Timestamp
+    // declared estimator: 32 + len("O") + len("1-URGENT") = 41 bytes/row
+    val mk = (n: Int, month: String) => Seq.tabulate(n)(i =>
+      (i.toLong, Timestamp.valueOf(s"$month-05 00:00:00"), "O", "1-URGENT"))
+    val orders = (mk(3, "2024-01") ++ mk(100, "2024-02"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority")
+    val got = Layout.compactionPlan(orders, targetBytes = 4096L)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // Jan: 123 B -> 1 file, 3 rows/file, merge candidate (123*4 < 4096)
+    // Feb: 4100 B -> ceil = 2 files, 50 rows/file, not a candidate
+    val tot = 123L + 4100L
+    assert(got === Seq(
+      (202401L, 3L, 123L, 1L, 3L, 123L * 1000000L / tot, true),
+      (202402L, 100L, 4100L, 2L, 50L, 4100L * 1000000L / tot, false)))
+  }
+
   test("zorderLayout: corner points interleave to the exact Morton codes") {
     import spark.implicits._
     import graft.operators.Layout
