@@ -2787,6 +2787,47 @@ object OracleSql {
       GROUP BY 1 ORDER BY 1"""
     },
 
+    // prune simulation: Z-cells as files, per-dimension predicate
+    // verdicts off the cell envelopes (integer tenths for price)
+    "q_prune_sim" -> {
+      val terms = (0 until 8).flatMap { i =>
+        Seq(s"(((sx >> $i) & 1) << ${2 * i})",
+          s"(((sy >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      s"""
+      WITH b AS (SELECT p_partkey, p_size::BIGINT AS sz,
+                   CAST(round(p_retailprice * 10) AS BIGINT) AS pr
+                 FROM part),
+      st AS (SELECT min(sz) AS sz_min, max(sz) AS sz_max,
+               min(pr) AS pr_min, max(pr) AS pr_max FROM b),
+      q AS (SELECT sz, pr,
+              ((sz - sz_min) * 255) // greatest(sz_max - sz_min, 1) AS sx,
+              ((pr - pr_min) * 255) // greatest(pr_max - pr_min, 1) AS sy
+            FROM b CROSS JOIN st),
+      z AS (SELECT sz, pr, $terms AS zval FROM q),
+      cells AS (SELECT zval // 256 AS cell, count(*)::BIGINT AS n_rows,
+                  min(sz) AS s_lo, max(sz) AS s_hi,
+                  min(pr) AS p_lo, max(pr) AS p_hi
+                FROM z GROUP BY 1),
+      tot AS (SELECT sum(n_rows)::BIGINT AS tot_rows FROM cells),
+      u AS (SELECT 'size' AS dim,
+              CASE WHEN s_hi < 10 OR s_lo > 20 THEN 'pruned'
+                   WHEN s_lo >= 10 AND s_hi <= 20 THEN 'full'
+                   ELSE 'scan' END AS verdict, n_rows
+            FROM cells
+            UNION ALL
+            SELECT 'price' AS dim,
+              CASE WHEN p_hi < 12000 OR p_lo > 14000 THEN 'pruned'
+                   WHEN p_lo >= 12000 AND p_hi <= 14000 THEN 'full'
+                   ELSE 'scan' END AS verdict, n_rows
+            FROM cells)
+      SELECT dim, verdict, count(*)::BIGINT AS n_cells,
+        sum(n_rows)::BIGINT AS n_rows,
+        (sum(n_rows) * 1000000) // tot_rows AS rows_ppm
+      FROM u CROSS JOIN tot
+      GROUP BY dim, verdict, tot_rows ORDER BY dim, verdict"""
+    },
+
     // compaction plan: per-month declared-estimator byte totals,
     // ceil-div file counts at the 4 KB test-scale target
     "q_compaction_plan" -> """

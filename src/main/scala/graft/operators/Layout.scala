@@ -114,6 +114,52 @@ object Layout {
     cellReport(df, "hval")
   }
 
+  /** File-prune simulation — the PAYOFF of the multi-dim layout, as a
+    * gated number: treat each Z-cell as one written file advertising
+    * its min/max footer envelope, and classify every file against a
+    * range predicate on EACH raw dimension — `pruned` (envelope
+    * disjoint from the predicate: the scan never opens the file),
+    * `full` (envelope contained: no row-level filter needed), `scan`
+    * (overlap: open and filter). The report carries exact cell/row
+    * counts and ppm row shares per verdict — on a single-column sort
+    * only that column's predicate prunes; on the Z-layout BOTH
+    * dimensions show nonzero `pruned` shares, which is the claim C42
+    * exists to buy.
+    *
+    * In production the envelopes come from the table's file-footer
+    * metadata (one row per file, no corpus scan); here they derive
+    * from the corpus so the query is self-contained and oracle-able.
+    * Price bounds are integer TENTHS so every comparison is integer.
+    * The 256-row cell frame feeds both dimension branches (exchange
+    * reuse); verdict rollup output is ≤6 rows. */
+  def pruneSimulation(part: DataFrame,
+      sizeLo: Long = 10, sizeHi: Long = 20,
+      priceTenthsLo: Long = 12000, priceTenthsHi: Long = 14000): DataFrame = {
+    val cells = quantized(part).withColumn("zval", expr(interleave16))
+      .withColumn("cell", expr("zval DIV 256"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("sz")).as("s_lo"), max(col("sz")).as("s_hi"),
+        min(col("pr")).as("p_lo"), max(col("pr")).as("p_hi"))
+    def verdict(lc: String, hc: String, lo: Long, hi: Long) =
+      expr(s"""CASE WHEN $hc < $lo OR $lc > $hi THEN 'pruned'
+                    WHEN $lc >= $lo AND $hc <= $hi THEN 'full'
+                    ELSE 'scan' END""")
+    val bySize = cells.select(lit("size").as("dim"),
+      verdict("s_lo", "s_hi", sizeLo, sizeHi).as("verdict"), col("n_rows"))
+    val byPrice = cells.select(lit("price").as("dim"),
+      verdict("p_lo", "p_hi", priceTenthsLo, priceTenthsHi).as("verdict"),
+      col("n_rows"))
+    val tot = cells.agg(sum(col("n_rows")).as("tot_rows"))
+    bySize.unionAll(byPrice)
+      .groupBy(col("dim"), col("verdict"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_rows")).as("n_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("dim"), col("verdict"), col("n_cells"), col("n_rows"),
+        expr("(n_rows * 1000000L) DIV tot_rows").as("rows_ppm"))
+      .orderBy(col("dim"), col("verdict"))
+  }
+
   /** Small-files compaction plan — the write-side layout decision every
     * 100 TB table faces: per date partition (year·100+month), how many
     * files should the writer emit so each lands near `targetBytes`?

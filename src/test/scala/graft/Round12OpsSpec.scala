@@ -288,6 +288,23 @@ class Round12OpsSpec extends SparkSpec {
       (202402L, 100L, 4100L, 2L, 50L, 4100L * 1000000L / tot, false)))
   }
 
+  test("pruneSimulation: corner cells classify pruned/full on both dims") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // identity quantizers; each corner is its own single-point cell
+    val part = Seq(
+      (1L, 0, 0.0), (2L, 255, 0.0), (3L, 0, 25.5), (4L, 255, 25.5)
+    ).toDF("p_partkey", "p_size", "p_retailprice")
+    // size pred [0,100]: sz=0 cells full, sz=255 cells pruned;
+    // price pred [0,127] tenths: pr=0 full, pr=255 pruned
+    val got = Layout.pruneSimulation(part, sizeLo = 0, sizeHi = 100,
+        priceTenthsLo = 0, priceTenthsHi = 127)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("price", "full", 2L, 2L, 500000L), ("price", "pruned", 2L, 2L, 500000L),
+      ("size", "full", 2L, 2L, 500000L), ("size", "pruned", 2L, 2L, 500000L)))
+  }
+
   test("zorderLayout: corner points interleave to the exact Morton codes") {
     import spark.implicits._
     import graft.operators.Layout
