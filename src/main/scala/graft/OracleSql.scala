@@ -2787,6 +2787,15 @@ object OracleSql {
       GROUP BY 1 ORDER BY 1"""
     },
 
+    // approx-distinct contract: exact anchors + a verdict the engine
+    // must prove from its own HLL sketch (estimates are engine-specific
+    // so the estimate itself is never compared)
+    "q_distinct_approx" -> """
+      SELECT event_type, count(*)::BIGINT AS n,
+        count(DISTINCT user_id)::BIGINT AS d_exact,
+        TRUE AS approx_in_band
+      FROM events GROUP BY 1 ORDER BY 1""",
+
     // prune simulation: Z-cells as files, per-dimension predicate
     // verdicts off the cell envelopes (integer tenths for price)
     "q_prune_sim" -> {

@@ -501,6 +501,29 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Approximate-distinct CONTRACT — C37's twin for cardinality: at
+    * 100 TB `count(DISTINCT key)` is a full key shuffle per group,
+    * while HyperLogLog++ (`approx_count_distinct`) is one mergeable
+    * ~KB sketch per group, combinable map-side like any sum. The
+    * sketch is engine-specific (Spark's HLL++ and DuckDB's HLL give
+    * different estimates), so the gated output carries EXACT anchors
+    * (n, d_exact) plus a VERDICT the engine must prove from its own
+    * sketch: the estimate sits within 3σ of the requested 5% rsd
+    * (|est − exact|·100 ≤ exact·15, integer cross-multiplication — no
+    * float touches the boundary). The oracle pins the anchors and
+    * expects the verdict literally TRUE. One hash aggregate; the
+    * exact-distinct recount is the correctness ceiling the production
+    * query drops. */
+  def distinctApproxContract(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("d_exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("d_approx"))
+      .select(col("event_type"), col("n"), col("d_exact"),
+        (abs(col("d_approx") - col("d_exact")) * lit(100L) <=
+          col("d_exact") * lit(15L)).as("approx_in_band"))
+      .orderBy(col("event_type"))
+
   /** GROUPING SETS aggregate — the shape ROLLUP/CUBE can't express:
     * ((returnflag, linestatus), (returnflag), (linestatus)) with
     * GROUPING markers distinguishing the levels. Partial-aggregatable

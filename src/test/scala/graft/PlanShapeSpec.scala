@@ -42,7 +42,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_sql_exists", "q_sql_in", "q_sql_union", "q_lsh_tuning",
     "q_quality_classifier", "q_bpe_merges", "q_order_count_dist",
     "q_disjunctive_revenue", "q_skew_profile", "q_zorder_layout",
-    "q_hilbert_layout", "q_compaction_plan", "q_prune_sim")
+    "q_hilbert_layout", "q_compaction_plan", "q_prune_sim",
+    "q_distinct_approx")
 
   test("a planted unbounded-following frame counts; running frames do not") {
     // Round 7 found gapFill's backfill frame (currentRow ->

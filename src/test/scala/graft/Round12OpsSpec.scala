@@ -305,6 +305,19 @@ class Round12OpsSpec extends SparkSpec {
       ("size", "full", 2L, 2L, 500000L), ("size", "pruned", 2L, 2L, 500000L)))
   }
 
+  test("distinctApproxContract: exact anchors, sketch verdict holds") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // type a: 3 distinct users over 6 rows; type b: 1 distinct over 2
+    val events = Seq(
+      ("a", 1L), ("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("a", 3L),
+      ("b", 9L), ("b", 9L)
+    ).toDF("event_type", "user_id")
+    val got = Relational.distinctApproxContract(events)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("a", 6L, 3L, true), ("b", 2L, 1L, true)))
+  }
+
   test("zorderLayout: corner points interleave to the exact Morton codes") {
     import spark.implicits._
     import graft.operators.Layout
