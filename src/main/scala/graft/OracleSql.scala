@@ -1947,6 +1947,27 @@ object OracleSql {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 
+    // byte-identical to SqlSurface.reachabilitySql (S7)
+    "q_sql_recursive" -> """
+      WITH RECURSIVE edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst
+        FROM (SELECT event_type,
+                lag(event_type, 1) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type
+              FROM events) l
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type),
+      reach(event_type, depth) AS (
+        SELECT 'signup', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT e.dst, r.depth + 1
+        FROM reach r JOIN edges e ON e.src = r.event_type
+        WHERE r.depth < 3)
+      SELECT event_type, min(depth) AS min_depth,
+        CAST(count(*) AS BIGINT) AS n_paths
+      FROM reach
+      GROUP BY event_type
+      ORDER BY event_type""",
+
     "q_sql_in" -> """
       SELECT n_name, count(*) AS n_suppliers
       FROM supplier

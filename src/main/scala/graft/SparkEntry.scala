@@ -139,6 +139,7 @@ object SparkEntry {
     "q_sql_exists" -> ((s, d) => SqlSurface.priorityReturnsSql(s, d)),
     "q_sql_in" -> ((s, d) => SqlSurface.promoSuppliersSql(s, d)),
     "q_sql_union" -> ((s, d) => SqlSurface.orderSlicesUnionSql(s, d)),
+    "q_sql_recursive" -> ((s, d) => SqlSurface.reachabilitySql(s, d)),
     "q_nation_volume" -> ((s, d) => Relational.nationVolume(
       Tables.supplier(s, d), Tables.lineitem(s, d), Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d))),

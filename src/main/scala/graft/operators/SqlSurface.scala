@@ -126,6 +126,40 @@ object SqlSurface {
       GROUP BY src
       ORDER BY src""")
 
+  /** WITH RECURSIVE through the text surface (Spark 4's recursive CTE
+    * execution — the UnionLoop iterative plan): bounded-depth
+    * transitive reachability over the event-transition graph.
+    * The depth guard (< 3) bounds the iteration REGARDLESS of cycles
+    * (UNION ALL recursion never needs a fixpoint test), and every
+    * per-round frame is dictionary-sized — edges are (type, type)
+    * pairs, ≤ |types|² rows — so each iteration is a broadcast-scale
+    * join even at 100 TB corpus size; the corpus itself is touched
+    * exactly once, by the edge-derivation CTE. The statement is
+    * byte-identical in DuckDB (portable CASTs, deterministic lag
+    * tie-break on (ts, event_id)). */
+  private[graft] val ReachabilityStatement = """
+      WITH RECURSIVE edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst
+        FROM (SELECT event_type,
+                lag(event_type, 1) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type
+              FROM events) l
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type),
+      reach(event_type, depth) AS (
+        SELECT 'signup', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT e.dst, r.depth + 1
+        FROM reach r JOIN edges e ON e.src = r.event_type
+        WHERE r.depth < 3)
+      SELECT event_type, min(depth) AS min_depth,
+        CAST(count(*) AS BIGINT) AS n_paths
+      FROM reach
+      GROUP BY event_type
+      ORDER BY event_type"""
+
+  def reachabilitySql(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, ReachabilityStatement)
+
   /** Dimension-joined revenue rollup as raw SQL text: the planner must
     * broadcast nation/region through the view layer exactly as the
     * DataFrame path does (PLANS row asserts the BHJs + scan pushdown). */

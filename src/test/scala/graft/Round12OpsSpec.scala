@@ -82,6 +82,27 @@ class Round12OpsSpec extends SparkSpec {
     assert(un.count() > 0)
   }
 
+  test("SQL-text WITH RECURSIVE: iterative plan, exact path counts on a planted graph") {
+    import spark.implicits._
+    import graft.operators.SqlSurface
+    // planted transitions: s->v, v->c, c->p (user 1) and s->c (user 2)
+    val ts = (s: Int) => java.sql.Timestamp.valueOf(s"2024-01-01 00:0$s:00")
+    Seq(
+      (1L, "signup", ts(1), 1L), (1L, "view", ts(2), 2L),
+      (1L, "click", ts(3), 3L), (1L, "purchase", ts(4), 4L),
+      (2L, "signup", ts(1), 5L), (2L, "click", ts(2), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+      .createOrReplaceTempView("events")
+    val df = spark.sql(SqlSurface.ReachabilityStatement)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop") || plan.contains("Recursi"),
+      s"no recursive/iterative node in:\n$plan")
+    val got = df.as[(String, Long, Long)].collect().toSeq
+    // click: depth1 direct + depth2 via view; purchase: depth2 + depth3
+    assert(got === Seq(("click", 1L, 2L), ("purchase", 2L, 2L),
+      ("signup", 0L, 1L), ("view", 1L, 1L)))
+  }
+
   test("lshChoose(τ=0.2) wires into minhashLshPairs and beats fixed 16×4 recall") {
     import spark.implicits._
     // the chosen grid point matches the gated query's chosen row
