@@ -1445,6 +1445,30 @@ object OracleSql {
           ELSE 0 END)::BIGINT AS frame_peak
       FROM g ORDER BY doc_id, frame_idx""",
 
+    // PCM frame energies: the oracle decodes the same little-endian
+    // sample pairs from the construction text while Spark parses ONLY
+    // container bytes; all-integer Σs² so the numbers are engine-exact
+    "q_audio_energy" -> """
+      WITH t AS (SELECT doc_id, text, strlen(text)::BIGINT AS len
+             FROM documents WHERE doc_id % 2 = 0 AND strlen(text) >= 2),
+      s AS (SELECT doc_id,
+              (p - 1) // (64 * (1 + (doc_id // 2) % 2)) AS frame,
+              ascii(substr(text, p::INT, 1))::BIGINT
+                + 256 * ascii(substr(text, (p + 1)::INT, 1))::BIGINT AS raw
+            FROM (SELECT doc_id, text,
+                    unnest(generate_series(1, (len - len % 2)::INT, 2)) AS p
+                  FROM t)),
+      sg AS (SELECT doc_id, frame,
+               CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+             FROM s),
+      fr AS (SELECT doc_id, frame, sum(v * v)::BIGINT AS fe,
+               max(abs(v))::BIGINT AS fp
+             FROM sg GROUP BY 1, 2)
+      SELECT doc_id, count(*)::BIGINT AS n_frames,
+        sum(fe)::BIGINT AS total_energy, max(fe)::BIGINT AS max_frame_energy,
+        max(fp)::BIGINT AS peak_abs
+      FROM fr GROUP BY 1 ORDER BY 1""",
+
     // aHash fingerprints: the oracle predicts width/height/payload from
     // the BMP construction formulas while Spark parses them from bytes;
     // the bit rule is the exact integer cross-product cs*tc >= ts*cc

@@ -280,6 +280,7 @@ object SparkEntry {
     // G. multimodal
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(Tables.documents(s, d))),
     "q_media_quarantine" -> ((s, d) => Multimodal.mediaQuarantine(Tables.documents(s, d))),
+    "q_audio_energy" -> ((s, d) => Multimodal.audioEnergy(Tables.documents(s, d))),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhash(Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
     "q_multimodal_stats" -> ((s, d) => Multimodal.mediaStats(Tables.documents(s, d))),

@@ -355,6 +355,82 @@ object Multimodal {
       .orderBy(col("fmt"))
   }
 
+  case class AudioEnergyOut(doc_id: Long, n_frames: Long,
+      total_energy: Long, max_frame_energy: Long, peak_abs: Long)
+
+  /** Signed-16-bit PCM frame energies from WAV container bytes alone —
+    * the first CONTENT-level audio feature past the header boundary
+    * (the signal-activity measure a speech/music curation pass
+    * thresholds on). The data-chunk bounds and block alignment come
+    * from the RIFF walk exactly as in [[parseFrames]]; each
+    * little-endian sample pair decodes to a signed 16-bit value, and
+    * per 32-block frame (64 bytes mono/16) the loop accumulates the
+    * exact integer energy Σs² and peak |s| — no float ever appears, so
+    * the numbers are engine-exact (≤ len/2 · 2³⁰ fits a BIGINT at any
+    * document size). A trailing odd byte is not a sample and drops, as
+    * does a declared-size overrun. */
+  private[graft] def parseAudioEnergy(id: Long, b: Array[Byte]): AudioEnergyOut = {
+    def u16(off: Int): Long = ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toLong
+    def u32(off: Int): Long =
+      ((b(off) & 0xff).toLong | ((b(off + 1) & 0xff).toLong << 8) |
+        ((b(off + 2) & 0xff).toLong << 16) | ((b(off + 3) & 0xff).toLong << 24))
+    def tag(off: Int): String =
+      if (off + 4 <= b.length)
+        new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    var off = 12L
+    var blockAlign = 2L; var dOff = 0L; var dLen = 0L
+    while (off + 8 <= b.length) {
+      val o = off.toInt
+      val sz = u32(o + 4)
+      tag(o) match {
+        case "fmt " if off + 24 <= b.length =>
+          val ba = u16(o + 20); if (ba > 0) blockAlign = ba
+        case "data" => dOff = off + 8; dLen = math.max(0L, math.min(sz, b.length - dOff))
+        case _ =>
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    val frameBytes = (32L * blockAlign).toInt
+    val nSamples = (dLen / 2L).toInt
+    var totalE = 0L; var maxE = 0L; var peak = 0L
+    var frameE = 0L
+    var nFrames = 0L
+    var i = 0
+    while (i < nSamples) {
+      val base = (dOff + 2L * i).toInt
+      var s = u16(base)
+      if (s >= 32768L) s -= 65536L
+      frameE += s * s
+      val a = math.abs(s); if (a > peak) peak = a
+      val atFrameEnd = ((2 * i) % frameBytes) == frameBytes - 2
+      if (atFrameEnd || i == nSamples - 1) {
+        nFrames += 1
+        if (frameE > maxE) maxE = frameE
+        totalE += frameE
+        frameE = 0L
+      }
+      i += 1
+    }
+    AudioEnergyOut(id, nFrames, totalE, maxE, peak)
+  }
+
+  /** Audio-energy rollup over the WAV half of the media corpus (even
+    * doc ids; ≥2 payload bytes so at least one sample exists). One
+    * mapPartitions decode pass — bytes never shuffle; only the 5-long
+    * feature row per doc reaches the output sort. */
+  def audioEnergy(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val in: Dataset[MediaIn] = docs
+      .filter(col("doc_id") % 2 === 0 && length(col("text")) >= 2)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaIn]
+    in.mapPartitions(_.map(r => parseAudioEnergy(r.doc_id, encodeMedia(r.doc_id, r.blob))))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Batch decode over a binary column: wrap each document's bytes in a
     * real container (the test corpus's stand-in for media files on
     * storage), then recover the metadata by PARSING the container

@@ -339,6 +339,29 @@ class Round12OpsSpec extends SparkSpec {
     assert(got === Seq(("a", 6L, 3L, true), ("b", 2L, 1L, true)))
   }
 
+  test("audioEnergy: signed PCM decode from bytes, exact frame split") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // unit level: a hand-built WAV whose first sample is 0x8000 — the
+    // most negative 16-bit value; the text path can never produce a
+    // high byte ≥ 0x80, so the sign branch is pinned here
+    val neg = Multimodal.parseAudioEnergy(0L,
+      Multimodal.encodeMedia(0L, Array[Byte](0x00, 0x80.toByte, 0x01, 0x00)))
+    assert(neg === Multimodal.AudioEnergyOut(0L, 1L,
+      32768L * 32768L + 1L, 32768L * 32768L + 1L, 32768L))
+    // end-to-end: "AB"*65 = 130 bytes = 65 values of 65+66*256 = 16961.
+    // doc 2 is STEREO (channels = 1+(id/2)%2): 32-block frames hold 64
+    // interleaved values -> frames of 64/1; doc 8 is mono -> 32/32/1
+    val v = 65L + 66L * 256L
+    val docs = Seq((2L, "AB" * 65), (8L, "AB" * 65), (3L, "AB" * 65), (4L, "A"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.audioEnergy(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 3 is odd (BMP half), doc 4 has no full sample: both excluded
+    assert(got === Seq((2L, 2L, 65L * v * v, 64L * v * v, v),
+      (8L, 3L, 65L * v * v, 32L * v * v, v)))
+  }
+
   test("zorderLayout: corner points interleave to the exact Morton codes") {
     import spark.implicits._
     import graft.operators.Layout
