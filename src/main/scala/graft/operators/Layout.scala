@@ -135,12 +135,16 @@ object Layout {
   def pruneSimulation(part: DataFrame,
       sizeLo: Long = 10, sizeHi: Long = 20,
       priceTenthsLo: Long = 12000, priceTenthsHi: Long = 14000): DataFrame = {
-    val cells = quantized(part).withColumn("zval", expr(interleave16))
-      .withColumn("cell", expr("zval DIV 256"))
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("sz")).as("s_lo"), max(col("sz")).as("s_hi"),
-        min(col("pr")).as("p_lo"), max(col("pr")).as("p_hi"))
+    // persistTracked: the ≤256-row cell frame feeds both dimension
+    // branches AND the total — without it each consumer re-derives the
+    // lineage and the corpus is scanned 4× (released by unpersistAll)
+    val cells = Ema.persistTracked(
+      quantized(part).withColumn("zval", expr(interleave16))
+        .withColumn("cell", expr("zval DIV 256"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("sz")).as("s_lo"), max(col("sz")).as("s_hi"),
+          min(col("pr")).as("p_lo"), max(col("pr")).as("p_hi")))
     def verdict(lc: String, hc: String, lo: Long, hi: Long) =
       expr(s"""CASE WHEN $hc < $lo OR $lc > $hi THEN 'pruned'
                     WHEN $lc >= $lo AND $hc <= $hi THEN 'full'
@@ -184,11 +188,14 @@ object Layout {
     * write. */
   def compactionPlan(orders: DataFrame,
       targetBytes: Long = 128L << 20): DataFrame = {
-    val per = orders
+    // persistTracked: the dictionary-sized month frame feeds both the
+    // plan and its one-row total — without it the total's sum-of-sums
+    // collapses to a SECOND full scan of the fact table
+    val per = Ema.persistTracked(orders
       .select(expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)").as("ym"),
         expr("32L + length(o_orderstatus) + length(o_orderpriority)").as("b"))
       .groupBy(col("ym"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("b")).as("est_bytes"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("b")).as("est_bytes")))
     val tot = per.agg(sum(col("est_bytes")).as("tot_bytes"))
     per.crossJoin(broadcast(tot))
       .withColumn("n_files",
