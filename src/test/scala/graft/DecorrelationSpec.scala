@@ -151,4 +151,44 @@ class DecorrelationSpec extends SparkSpec {
     assert(ours.count() <= 20)
     assertSameRows(ours, full.limit(ours.count().toInt), "q_returned_losses head")
   }
+
+  test("orderCountDistribution equals the textbook ON-clause outer join") {
+    registerTables()
+    // The Scaladoc claims pre-filtering orders before the LEFT OUTER
+    // join is exactly the ON-clause semantics of TPC-H Q13's textbook
+    // form (the predicate lives on the right side only). Gate it.
+    val ours = Relational.orderCountDistribution(
+      Tables.table(spark, sf(), "customer"), Tables.table(spark, sf(), "orders"))
+    val naive = spark.sql("""
+      SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c LEFT OUTER JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c.c_custkey)
+      GROUP BY c_count""")
+    assertSameRows(ours, naive, "q_order_count_dist")
+  }
+
+  test("disjunctiveRevenue equals the single OR-predicate SQL text") {
+    registerTables()
+    // The Scaladoc claims the branch OR (spanning both join sides)
+    // survives as ONE residual predicate with the same semantics a
+    // user's WHERE clause has. Gate result equality with the raw text.
+    val ours = Relational.disjunctiveRevenue(
+      Tables.table(spark, sf(), "lineitem"), Tables.table(spark, sf(), "part"))
+    val naive = spark.sql("""
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+          AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+      GROUP BY p_brand""")
+    assertSameRows(ours, naive, "q_disjunctive_revenue")
+  }
 }
