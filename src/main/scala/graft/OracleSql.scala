@@ -2882,6 +2882,64 @@ object OracleSql {
       GROUP BY dim, verdict, tot_rows ORDER BY dim, verdict"""
     },
 
+    // layout comparison: both orders from one quantized CTE, per-pair
+    // consecutive-cell envelope gaps (the Hilbert-vs-Morton seam claim)
+    "q_layout_compare" -> {
+      val zterms = (0 until 8).flatMap { i =>
+        Seq(s"(((sx >> $i) & 1) << ${2 * i})",
+          s"(((sy >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      // Hilbert rounds carrying the ORIGINAL (sx, sy) untouched;
+      // bit-0 round first = outermost (see q_hilbert_layout)
+      val rounds = (0 to 7).map { bit =>
+        val s = 1L << bit
+        val l = bit + 1; val m = bit
+        s"""(SELECT sx, sy,
+              CASE WHEN (y$l // $s) % 2 = 1 THEN x$l
+                   WHEN (x$l // $s) % 2 = 1 THEN 255 - y$l ELSE y$l END AS x$m,
+              CASE WHEN (y$l // $s) % 2 = 1 THEN y$l
+                   WHEN (x$l // $s) % 2 = 1 THEN 255 - x$l ELSE x$l END AS y$m,
+              d$l + $s * $s * (3 * ((x$l // $s) % 2)
+                + ((y$l // $s) % 2) * (1 - 2 * ((x$l // $s) % 2))) AS d$m
+            FROM"""
+      }
+      val opens = rounds.mkString(" ")
+      val closes = ")" * 8
+      s"""
+      WITH b AS (SELECT p_size::BIGINT AS sz,
+                   CAST(round(p_retailprice * 10) AS BIGINT) AS pr
+                 FROM part),
+      st AS (SELECT min(sz) AS sz_min, max(sz) AS sz_max,
+               min(pr) AS pr_min, max(pr) AS pr_max FROM b),
+      qz AS (SELECT ((sz - sz_min) * 255) // greatest(sz_max - sz_min, 1) AS sx,
+               ((pr - pr_min) * 255) // greatest(pr_max - pr_min, 1) AS sy
+             FROM b CROSS JOIN st),
+      q AS (SELECT sx, sy, sx AS x8, sy AS y8, CAST(0 AS BIGINT) AS d8 FROM qz),
+      h AS (SELECT sx, sy, d0 FROM $opens q$closes),
+      u AS (SELECT 'zorder' AS layout, ($zterms) // 256 AS cell, sx, sy FROM qz
+            UNION ALL
+            SELECT 'hilbert' AS layout, d0 // 256 AS cell, sx, sy FROM h),
+      cells AS (SELECT layout, cell, min(sx) AS x_lo, max(sx) AS x_hi,
+                  min(sy) AS y_lo, max(sy) AS y_hi
+                FROM u GROUP BY 1, 2),
+      g AS (SELECT layout, x_lo, x_hi, y_lo, y_hi,
+              lead(x_lo) OVER (PARTITION BY layout ORDER BY cell) AS nx_lo,
+              lead(x_hi) OVER (PARTITION BY layout ORDER BY cell) AS nx_hi,
+              lead(y_lo) OVER (PARTITION BY layout ORDER BY cell) AS ny_lo,
+              lead(y_hi) OVER (PARTITION BY layout ORDER BY cell) AS ny_hi
+            FROM cells),
+      gg AS (SELECT layout,
+               greatest(0, nx_lo - x_hi - 1, x_lo - nx_hi - 1)
+                 + greatest(0, ny_lo - y_hi - 1, y_lo - ny_hi - 1) AS gap
+             FROM g WHERE nx_lo IS NOT NULL)
+      SELECT layout, count(*)::BIGINT AS n_pairs,
+        sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END)::BIGINT AS zero_gap_pairs,
+        (sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) * 1000000) // count(*)
+          AS zero_gap_ppm,
+        sum(gap)::BIGINT AS sum_gap, max(gap)::BIGINT AS max_gap
+      FROM gg GROUP BY 1 ORDER BY 1"""
+    },
+
     // compaction plan: per-month declared-estimator byte totals,
     // ceil-div file counts at the 4 KB test-scale target
     "q_compaction_plan" -> """

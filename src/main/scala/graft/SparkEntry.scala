@@ -176,6 +176,7 @@ object SparkEntry {
     "q_compaction_plan" -> ((s, d) => Layout.compactionPlan(
       Tables.orders(s, d), targetBytes = 4096L)),
     "q_prune_sim" -> ((s, d) => Layout.pruneSimulation(Tables.part(s, d))),
+    "q_layout_compare" -> ((s, d) => Layout.layoutCompare(Tables.part(s, d))),
     "q_distinct_approx" -> ((s, d) => Relational.distinctApproxContract(
       Tables.events(s, d))),
     "q_skyline" -> ((s, d) => Relational.skylineParts(Tables.part(s, d))),

@@ -91,10 +91,13 @@ object Layout {
     * negative operands, so integer DIV/% semantics agree across
     * engines). Eight chained projections of +/−/DIV/% on longs:
     * bit-identical in any engine, one narrow codegen'd pass, no
-    * shuffle before the 256-group rollup. */
-  def hilbertLayout(part: DataFrame): DataFrame = {
-    var df = quantized(part)
-      .withColumn("hx", col("sx")).withColumn("hy", col("sy"))
+    * shuffle before the 256-group rollup ([[hilbertLayout]]).
+    *
+    * This helper appends `hval` (the order-8 Hilbert position of
+    * (sx, sy)) via the 8 reflect+swap rounds; `hx`/`hy` scratch
+    * columns are dropped. */
+  private def withHilbert(q: DataFrame): DataFrame = {
+    var df = q.withColumn("hx", col("sx")).withColumn("hy", col("sy"))
       .withColumn("hval", lit(0L))
     for (bit <- 7 to 0 by -1) {
       val s = 1L << bit
@@ -111,7 +114,59 @@ object Layout {
         .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
         .drop("rx", "ry", "nx", "ny")
     }
-    cellReport(df, "hval")
+    df.drop("hx", "hy")
+  }
+
+  def hilbertLayout(part: DataFrame): DataFrame =
+    cellReport(withHilbert(quantized(part)), "hval")
+
+  /** Layout COMPARISON — the curve-choice justification as a gated
+    * number: for each pair of CONSECUTIVE cells in each order, the
+    * SEPARATION between their quantized envelopes (per dim
+    * max(0, next_lo − hi − 1, lo − next_hi − 1) — 0 when the envelopes
+    * overlap OR share an edge — summed over dims). Consecutive Hilbert
+    * cells are always grid neighbors, so their separation is 0 on
+    * dense data — while Morton order jumps the Z seam (cell
+    * 0x3F → 0x40 crosses half the grid), so files written in Z order
+    * have reader-visible discontinuities a Hilbert writer never emits.
+    * The spec proves exactly that on the full 65536-point grid
+    * (hilbert: 255/255 zero-gap pairs, max_gap 0; zorder: strictly
+    * fewer, max_gap > 0).
+    *
+    * ONE corpus pass computes BOTH orders (the Morton interleave and
+    * the 8 Hilbert rounds are narrow projections over the same
+    * quantized row), a 2-way `stack` doubles only the narrow
+    * (layout, cell, sx, sy) stream, and everything after the
+    * 2×256-group rollup is window-over-512-rows tiny. The successor
+    * window partitions by layout (never global). */
+  def layoutCompare(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val both = withHilbert(quantized(part))
+      .withColumn("zval", expr(interleave16))
+      .selectExpr(
+        "stack(2, 'zorder', zval DIV 256, 'hilbert', hval DIV 256) AS (layout, cell)",
+        "sx", "sy")
+    val cells = both.groupBy(col("layout"), col("cell"))
+      .agg(min(col("sx")).as("x_lo"), max(col("sx")).as("x_hi"),
+        min(col("sy")).as("y_lo"), max(col("sy")).as("y_hi"))
+    val w = Window.partitionBy(col("layout")).orderBy(col("cell"))
+    val gaps = cells
+      .withColumn("nx_lo", lead(col("x_lo"), 1).over(w))
+      .withColumn("nx_hi", lead(col("x_hi"), 1).over(w))
+      .withColumn("ny_lo", lead(col("y_lo"), 1).over(w))
+      .withColumn("ny_hi", lead(col("y_hi"), 1).over(w))
+      .filter(col("nx_lo").isNotNull)
+      .withColumn("gap",
+        greatest(lit(0L), col("nx_lo") - col("x_hi") - 1, col("x_lo") - col("nx_hi") - 1) +
+          greatest(lit(0L), col("ny_lo") - col("y_hi") - 1, col("y_lo") - col("ny_hi") - 1))
+    gaps.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("gap") === 0L, 1L).otherwise(0L)).as("zero_gap_pairs"),
+        sum(col("gap")).as("sum_gap"), max(col("gap")).as("max_gap"))
+      .select(col("layout"), col("n_pairs"), col("zero_gap_pairs"),
+        expr("(zero_gap_pairs * 1000000L) DIV n_pairs").as("zero_gap_ppm"),
+        col("sum_gap"), col("max_gap"))
+      .orderBy(col("layout"))
   }
 
   /** File-prune simulation — the PAYOFF of the multi-dim layout, as a

@@ -43,7 +43,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_quality_classifier", "q_bpe_merges", "q_order_count_dist",
     "q_disjunctive_revenue", "q_skew_profile", "q_zorder_layout",
     "q_hilbert_layout", "q_compaction_plan", "q_prune_sim",
-    "q_distinct_approx", "q_sql_recursive", "q_audio_energy")
+    "q_distinct_approx", "q_sql_recursive", "q_audio_energy",
+    "q_layout_compare")
 
   test("a planted unbounded-following frame counts; running frames do not") {
     // Round 7 found gapFill's backfill frame (currentRow ->

@@ -362,6 +362,23 @@ class Round12OpsSpec extends SparkSpec {
       (8L, 3L, 65L * v * v, 32L * v * v, v)))
   }
 
+  test("layoutCompare: Hilbert has zero seams on the full grid, Morton does not") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val grid = spark.range(65536).selectExpr("id AS p_partkey",
+      "CAST(id DIV 256 AS INT) AS p_size", "(id % 256) / 10.0 AS p_retailprice")
+    val got = Layout.layoutCompare(grid)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val Seq(h, z) = got
+    assert(h._1 === "hilbert" && z._1 === "zorder")
+    assert(h._2 === 255L && z._2 === 255L) // 255 consecutive cell pairs
+    // every consecutive Hilbert cell pair shares an envelope edge...
+    assert(h._3 === 255L && h._4 === 1000000L && h._5 === 0L && h._6 === 0L)
+    // ...while the Morton order jumps the Z seam (strictly fewer
+    // zero-gap pairs, and at least one jump with a positive gap)
+    assert(z._3 < 255L && z._6 > 0L)
+  }
+
   test("zorderLayout: corner points interleave to the exact Morton codes") {
     import spark.implicits._
     import graft.operators.Layout
