@@ -163,7 +163,13 @@ class PlanShapeSpec extends SparkSpec {
   // shapes planned 23/21. The bound has slack for planner drift but
   // trips long before the old two-full-scan shape (or a lost
   // ReusedExchange) could sneak back.
-  for ((name, bound) <- Seq("q_adx" -> 17, "q_macd" -> 16))
+  // Same device for the round-12 layout/recursive plans: PLANS.md rows
+  // are 3/5/4/2 shuffles; the bounds carry planner-drift slack but trip
+  // long before a lost cache (the 4x-scan prune shape) or a collapsed
+  // exchange reuse could sneak back.
+  for ((name, bound) <- Seq("q_adx" -> 17, "q_macd" -> 16,
+      "q_hilbert_layout" -> 5, "q_prune_sim" -> 8,
+      "q_layout_compare" -> 7, "q_sql_recursive" -> 5))
     test(s"$name plans at most $bound exchanges (linked-scan fusion holds)") {
       val fn = SparkEntry.queries(name)
       try {
