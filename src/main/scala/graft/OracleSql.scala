@@ -2877,7 +2877,7 @@ object OracleSql {
             FROM cells)
       SELECT dim, verdict, count(*)::BIGINT AS n_cells,
         sum(n_rows)::BIGINT AS n_rows,
-        (sum(n_rows) * 1000000) // tot_rows AS rows_ppm
+        (sum(n_rows)::BIGINT * 1000000) // tot_rows AS rows_ppm
       FROM u CROSS JOIN tot
       GROUP BY dim, verdict, tot_rows ORDER BY dim, verdict"""
     },
@@ -2934,7 +2934,7 @@ object OracleSql {
              FROM g WHERE nx_lo IS NOT NULL)
       SELECT layout, count(*)::BIGINT AS n_pairs,
         sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END)::BIGINT AS zero_gap_pairs,
-        (sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) * 1000000) // count(*)
+        (sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END)::BIGINT * 1000000) // count(*)
           AS zero_gap_ppm,
         sum(gap)::BIGINT AS sum_gap, max(gap)::BIGINT AS max_gap
       FROM gg GROUP BY 1 ORDER BY 1"""

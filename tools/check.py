@@ -81,6 +81,17 @@ def main():
         bad = []
         for c in exp.columns:
             e, g = exp[c], got[c]
+            # The driver's hash gate compares TYPED values: an oracle
+            # column that comes back float64 (e.g. DuckDB sum(BIGINT) →
+            # HUGEINT → pandas float) hash-mismatches a Spark BIGINT even
+            # when every cell is numerically equal. Enforce int/float
+            # parity here so that class of defect fails pre-driver.
+            kinds = {e.dtype.kind, g.dtype.kind}
+            if kinds == {"f", "i"} or kinds == {"f", "u"}:
+                bad.append(f"{c}: dtype mismatch exp={e.dtype} got={g.dtype} "
+                           "(int vs float — driver hash gate would reject; "
+                           "cast the DuckDB aggregate ::BIGINT)")
+                continue
             if e.dtype.kind == "f" or g.dtype.kind == "f":
                 e = e.astype(float)
                 g = g.astype(float)
