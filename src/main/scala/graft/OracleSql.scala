@@ -2015,6 +2015,44 @@ object OracleSql {
       GROUP BY src
       ORDER BY src""",
 
+    // byte-identical to SqlSurface.orderSlicesSetOpsSql (S8)
+    "q_sql_setops" -> """
+      SELECT 'both' AS grp, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice >= 300000
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a
+      UNION ALL
+      SELECT 'high_only' AS grp, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice >= 300000
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') b
+      ORDER BY grp, o_custkey""",
+
+    // byte-identical to SqlSurface.priorityRevenueScalarSql (S9)
+    "q_sql_scalar" -> """
+      SELECT o_orderpriority,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                  FROM orders) AS DOUBLE) * 100 + 5e-9, 4) AS pct_of_total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // byte-identical to SqlSurface.groupingSetsSql (S10)
+    "q_sql_groupingsets" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        count(*) AS n,
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus))
+      ORDER BY g_rf, g_ls, coalesce(l_returnflag, '~'),
+               coalesce(l_linestatus, '~')""",
+
     "q_sql_region_rev" -> """
       SELECT r_name, n_name,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

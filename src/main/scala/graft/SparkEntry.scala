@@ -140,6 +140,9 @@ object SparkEntry {
     "q_sql_in" -> ((s, d) => SqlSurface.promoSuppliersSql(s, d)),
     "q_sql_union" -> ((s, d) => SqlSurface.orderSlicesUnionSql(s, d)),
     "q_sql_recursive" -> ((s, d) => SqlSurface.reachabilitySql(s, d)),
+    "q_sql_setops" -> ((s, d) => SqlSurface.orderSlicesSetOpsSql(s, d)),
+    "q_sql_scalar" -> ((s, d) => SqlSurface.priorityRevenueScalarSql(s, d)),
+    "q_sql_groupingsets" -> ((s, d) => SqlSurface.groupingSetsSql(s, d)),
     "q_nation_volume" -> ((s, d) => Relational.nationVolume(
       Tables.supplier(s, d), Tables.lineitem(s, d), Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d))),

@@ -39,12 +39,20 @@ object Bpe {
 
   /** SQL for one greedy left-to-right merge application of (l, r) over
     * the '|'-delimited `segCol` — the sequential fold both engines run.
-    * l and r are [a-z0-9]+ tokens, safe to inline as literals. */
-  private def applyMergeSql(segCol: String, l: String, r: String): String =
+    * l and r must be [a-z0-9]+ tokens (the wp_stats word alphabet) so
+    * inlining them as SQL string literals is safe; [[bpeSegment]] is
+    * public and accepts arbitrary merge lists, so enforce it here —
+    * a quote/backslash-bearing token would otherwise build a broken or
+    * injectable expression string. */
+  private val MergeToken = "^[a-z0-9]+$".r
+  private def applyMergeSql(segCol: String, l: String, r: String): String = {
+    require(MergeToken.matches(l) && MergeToken.matches(r),
+      s"BPE merge tokens must match [a-z0-9]+, got ('$l', '$r')")
     s"""aggregate(filter(split($segCol, '\\\\|'), t -> t != ''), '|',
         (acc, t) -> IF(t = '$r' AND endswith(acc, '|$l|'),
           concat(substring(acc, 1, length(acc) - ${l.length + 1}), '$l$r|'),
           concat(acc, t, '|')))"""
+  }
 
   /** (word, freq, seg) with seg = the initial per-character split. */
   def initialSegments(docs: DataFrame): DataFrame =

@@ -160,6 +160,70 @@ object SqlSurface {
   def reachabilitySql(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, ReachabilityStatement)
 
+  /** INTERSECT / EXCEPT through the text surface, over two order
+    * slices (big-spender customers vs urgent-order customers). Both set
+    * ops are SET-semantic (dedup), and Catalyst rewrites them during
+    * optimization into a LEFT SEMI (INTERSECT) / LEFT ANTI (EXCEPT)
+    * join under a distinct aggregate — no dedicated set-op operator
+    * survives to the physical plan, so a billion-row slice costs one
+    * hash-partitioned semi/anti join, the same shape the DataFrame
+    * `intersect`/`except` twins plan. Both branches scan the SAME
+    * orders table with different pushed filters; labeling the two
+    * verdicts and unioning keeps one statement (UNION ALL is a
+    * zero-shuffle physical Union). */
+  def orderSlicesSetOpsSql(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT 'both' AS grp, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice >= 300000
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a
+      UNION ALL
+      SELECT 'high_only' AS grp, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice >= 300000
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') b
+      ORDER BY grp, o_custkey""")
+
+  /** Scalar subquery in SELECT through the text surface — the C27
+    * (q_revenue_share) one-row-global-aggregate device expressed as SQL
+    * text: the uncorrelated `(SELECT sum(..) FROM orders)` plans as ONE
+    * separate subquery whose single-row result is injected into every
+    * output row (Spark's ScalarSubquery reuses the subquery result —
+    * it is NOT re-executed per row or per group), so the statement
+    * costs two aggregates over one scan, never a nested loop. Exact
+    * DECIMAL sums; the share divides doubles with the 4dp+nudge edge
+    * discipline the C-family uses. */
+  def priorityRevenueScalarSql(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT o_orderpriority,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                  FROM orders) AS DOUBLE) * 100 + 5e-9, 4) AS pct_of_total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+
+  /** GROUPING SETS through the text surface — the C18 shape
+    * (q_grouping_sets is the DataFrame twin) as raw SQL: one Expand +
+    * one aggregate exchange however many sets are requested; grouping()
+    * markers disambiguate data-null from set-null, and the ORDER BY
+    * coalesce sentinel pins the cross-engine sort of set-null rows
+    * (Spark sorts NULLS FIRST, DuckDB NULLS LAST). */
+  def groupingSetsSql(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        count(*) AS n,
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus))
+      ORDER BY g_rf, g_ls, coalesce(l_returnflag, '~'),
+               coalesce(l_linestatus, '~')""")
+
   /** Dimension-joined revenue rollup as raw SQL text: the planner must
     * broadcast nation/region through the view layer exactly as the
     * DataFrame path does (PLANS row asserts the BHJs + scan pushdown). */

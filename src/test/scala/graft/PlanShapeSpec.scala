@@ -44,7 +44,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_disjunctive_revenue", "q_skew_profile", "q_zorder_layout",
     "q_hilbert_layout", "q_compaction_plan", "q_prune_sim",
     "q_distinct_approx", "q_sql_recursive", "q_audio_energy",
-    "q_layout_compare")
+    "q_layout_compare",
+    // the round-13 additions
+    "q_sql_setops", "q_sql_scalar", "q_sql_groupingsets")
 
   test("a planted unbounded-following frame counts; running frames do not") {
     // Round 7 found gapFill's backfill frame (currentRow ->

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ema, SqlSurface}
+
+/** Round-13 surfaces: SQL-text set ops / scalar subquery / grouping
+  * sets (S8-S10) and the media-corpus ASCII invariant the q_audio_energy
+  * oracle leans on. */
+class Round13OpsSpec extends SparkSpec {
+
+  test("SQL-text INTERSECT/EXCEPT plan as semi/anti joins and match the DataFrame twins") {
+    val df = SqlSurface.orderSlicesSetOpsSql(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    // Catalyst rewrites both set ops out of existence: INTERSECT → left
+    // semi join + distinct, EXCEPT → left anti join + distinct. If a
+    // dedicated set-op operator ever survived to the physical plan the
+    // statement would stop scaling like its join twin.
+    assert(plan.contains("LeftSemi"), s"INTERSECT did not become a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"EXCEPT did not become an anti join:\n$plan")
+    val orders = Tables.table(spark, sf(), "orders")
+    val high = orders.filter(col("o_totalprice") >= 300000).select(col("o_custkey"))
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val twin = high.intersect(urgent).select(lit("both").as("grp"), col("o_custkey"))
+      .unionAll(high.except(urgent)
+        .select(lit("high_only").as("grp"), col("o_custkey")))
+    assert(df.exceptAll(twin).isEmpty && twin.exceptAll(df).isEmpty,
+      "q_sql_setops disagrees with the DataFrame intersect/except twins")
+    // set semantics: no duplicate (grp, custkey) rows even though source
+    // customers place many qualifying orders
+    assert(df.count() === df.distinct().count())
+  }
+
+  test("SQL-text scalar subquery runs once (no join, no per-row re-execution)") {
+    val df = SqlSurface.priorityRevenueScalarSql(spark, sf())
+    val qe = df.queryExecution
+    // the uncorrelated scalar subquery must plan as a ScalarSubquery
+    // expression (executed once, result injected) — NOT a join
+    val withSubq = qe.executedPlan.toString
+    assert(withSubq.contains("Subquery") || withSubq.contains("scalar-subquery"),
+      s"no scalar subquery node in:\n$withSubq")
+    assert(!withSubq.contains("Join"),
+      s"scalar subquery degenerated into a join:\n$withSubq")
+    val rows = df.collect()
+    assert(rows.length === 5)
+    // shares against the one global total must sum to ~100%
+    val pctSum = rows.map(_.getAs[Double]("pct_of_total")).sum
+    assert(math.abs(pctSum - 100.0) < 0.01, s"pct_of_total sums to $pctSum")
+    // and each share equals the hand-computed two-aggregate twin
+    val orders = Tables.table(spark, sf(), "orders")
+    val tot = orders.agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+      .cast("double")).head.getDouble(0)
+    val twin = orders.groupBy(col("o_orderpriority"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("rev"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val want = math.floor((twin(r.getString(0)) / tot * 100 + 5e-9) * 1e4 + 0.5) / 1e4
+      assert(math.abs(r.getAs[Double]("pct_of_total") - want) < 1e-9,
+        s"${r.getString(0)}: scalar-subquery share drifted")
+    }
+  }
+
+  test("SQL-text GROUPING SETS matches the DataFrame twin bit-for-bit") {
+    val df = SqlSurface.groupingSetsSql(spark, sf())
+    // one Expand feeding one aggregate — the same physical shape the
+    // DataFrame groupingSets call plans; a per-set union re-scan would
+    // read the corpus three times
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no Expand in:\n$plan")
+    val twin = graft.operators.Relational.groupingSetsQty(
+      Tables.table(spark, sf(), "lineitem"))
+    assert(df.exceptAll(twin).isEmpty && twin.exceptAll(df).isEmpty,
+      "q_sql_groupingsets disagrees with q_grouping_sets")
+    Ema.unpersistAll(); spark.catalog.clearCache()
+  }
+
+  test("media corpus text is ASCII (the byte==char invariant the audio oracle decodes with)") {
+    // The q_audio_energy / q_multimodal_frames oracles read payload
+    // bytes via ascii(substr(text, p)) — CHARACTER-indexed — while the
+    // engine parses raw UTF-8 container bytes. Those agree iff the
+    // corpus text is pure ASCII (octet_length == char length, every
+    // codepoint < 128). The driver generates the corpus, so gate the
+    // invariant here at the consuming boundary: if a future corpus drop
+    // ships multi-byte text this trips before the oracle silently
+    // diverges.
+    val docs = Tables.table(spark, sf(), "documents")
+    val nonAscii = docs.filter(
+      octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii === 0L,
+      s"$nonAscii documents carry non-ASCII text — the audio/frames " +
+        "oracle byte==char decoding assumption no longer holds")
+  }
+}
