@@ -3257,6 +3257,70 @@ object OracleSql {
       SELECT vec_id, cell, dup_of, round(cos + 5e-9, 4) AS cos
       FROM r ORDER BY vec_id""",
 
+    // IVF probe-budget tuning contract: one shared assignment (the
+    // q_ann_ivf CTEs), candidates tagged with their cell's probe rank,
+    // the nprobe grid sliced from that one frame, recall vs the brute
+    // ceiling; all ratios are exact integer // divisions and the chosen
+    // flag replays Spark's min(struct(-eff, nprobe)) argmax via scalar
+    // subqueries (the q_lsh_tuning device)
+    "q_ivf_tuning" -> {
+      import graft.operators.Similarity.{IvfTuningGrid, QueryCount}
+      val gridVals = IvfTuningGrid.mkString(", ")
+      val maxNp = IvfTuningGrid.max
+      s"""
+      WITH $vecCtes,${ivfCentCtes("cents")},
+      a AS (SELECT nv.vec_id, nv.v, nv.nrm, c.cent_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(nv.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+                (p, s) -> p + s) AS d2
+            FROM nv, cents c),
+      cell AS (SELECT vec_id, v, nrm, cent_id AS cell FROM a
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cent_id AS qcell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id)::BIGINT AS prk
+            FROM a WHERE vec_id < $QueryCount
+            QUALIFY prk <= $maxNp),
+      cand AS (SELECT q.q_id, cell.vec_id AS nn_id, q.prk,
+                 ${dotSql("cell.v", "q.qv")} / (q.qn * cell.nrm) AS cos
+               FROM cell JOIN q ON cell.cell = q.qcell AND cell.vec_id <> q.q_id
+               WHERE cell.nrm > 0 AND q.qn > 0),
+      q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < $QueryCount),
+      bc AS (SELECT q0.q_id, nv.vec_id AS nn_id,
+               ${dotSql("nv.v", "q0.qv")} / (q0.qn * nv.nrm) AS cos
+             FROM nv, q0 WHERE nv.vec_id <> q0.q_id AND nv.nrm > 0 AND q0.qn > 0),
+      br AS (SELECT q_id, nn_id FROM bc
+             QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) <= 5),
+      nb AS (SELECT count(*)::BIGINT AS n_brute FROM br),
+      grid AS (SELECT unnest([$gridVals])::BIGINT AS nprobe),
+      cg AS (SELECT g.nprobe, c.q_id, c.nn_id, c.prk, c.cos
+             FROM cand c, grid g WHERE c.prk <= g.nprobe),
+      tk AS (SELECT nprobe, q_id, nn_id FROM cg
+             QUALIFY row_number() OVER (PARTITION BY nprobe, q_id
+               ORDER BY cos DESC, nn_id) <= 5),
+      h AS (SELECT tk.nprobe, count(*)::BIGINT AS hits
+            FROM tk JOIN br USING (q_id, nn_id) GROUP BY 1),
+      cr AS (SELECT nprobe, count(*)::BIGINT AS cand_rows FROM cg GROUP BY 1),
+      sc AS (SELECT g.nprobe, ivfkk.k::BIGINT AS n_cells,
+               (g.nprobe * 1000000) // ivfkk.k::BIGINT AS cells_ppm,
+               coalesce(cr.cand_rows, 0)::BIGINT AS cand_rows,
+               nb.n_brute,
+               coalesce(h.hits, 0)::BIGINT AS hits,
+               (coalesce(h.hits, 0)::BIGINT * 1000000) // nb.n_brute AS recall_ppm,
+               CASE WHEN coalesce(cr.cand_rows, 0) = 0 THEN 0::BIGINT
+                 ELSE (coalesce(h.hits, 0)::BIGINT * 1000000)
+                   // coalesce(cr.cand_rows, 0)::BIGINT END AS eff_ppm
+             FROM grid g
+             LEFT JOIN cr ON g.nprobe = cr.nprobe
+             LEFT JOIN h ON g.nprobe = h.nprobe
+             CROSS JOIN ivfkk CROSS JOIN nb)
+      SELECT nprobe, n_cells, cells_ppm, cand_rows, n_brute, hits,
+        recall_ppm, eff_ppm,
+        (eff_ppm = (SELECT max(eff_ppm) FROM sc)
+          AND nprobe = (SELECT min(nprobe) FROM sc
+                        WHERE eff_ppm = (SELECT max(eff_ppm) FROM sc))) AS chosen
+      FROM sc ORDER BY nprobe"""
+    },
+
     "q_ann_bruteforce" -> {
       import graft.operators.Similarity.QueryCount
       s"""

@@ -241,6 +241,7 @@ object SparkEntry {
     "q_ann_ivfpq_res" -> ((s, d) => Similarity.annIvfPqResidual(Tables.embeddings(s, d))),
     "q_ann_ivf_refine" -> ((s, d) => Similarity.annIvfPqRefine(Tables.embeddings(s, d))),
     "q_ann_recall_report" -> ((s, d) => Similarity.annRecallReport(Tables.embeddings(s, d))),
+    "q_ivf_tuning" -> ((s, d) => Similarity.ivfTuning(Tables.embeddings(s, d))),
     "q_ann_graph" -> ((s, d) => Similarity.annGraph(Tables.embeddings(s, d))),
     // F. text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),

@@ -296,9 +296,10 @@ object Similarity {
     * their `IvfProbes` nearest cells and rank candidates by exact
     * cosine. Broadcast sizes: centroids O(K), query probes
     * O(|Q|·nprobe). */
-  def annIvf(embeddings: DataFrame, k: Int = 3): DataFrame = {
+  def annIvf(embeddings: DataFrame, k: Int = 3,
+      nprobe: Int = IvfProbes): DataFrame = {
     val e = withVec(embeddings)
-    ivfProbe(e, sampledCentroids(e, adaptiveK(e)), k)
+    ivfProbe(e, sampledCentroids(e, adaptiveK(e)), k, nprobe)
   }
 
   /** Embedding-cluster × metadata profile — the curation view a
@@ -334,7 +335,8 @@ object Similarity {
     * combinable `min_by` over the (d2, cent_id) struct — no full-corpus
     * window shuffle+sort; only the bounded query side uses a window for
     * its nprobe ranking. */
-  private def ivfProbe(e: DataFrame, cents: DataFrame, k: Int): DataFrame = {
+  private def ivfProbe(e: DataFrame, cents: DataFrame, k: Int,
+      nprobe: Int = IvfProbes): DataFrame = {
     // NARROW assignment: the N×K expanded stream carries only
     // (vec_id, cent_id, d2) — materializing the 64-double vector into
     // every candidate row is a K× memcpy amplification inside the
@@ -353,7 +355,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("cent_id"),
         dist2(col("v"), col("cv")).as("d2"))
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= IvfProbes)
+      .filter(col("prk") <= nprobe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("cent_id").as("qcell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
@@ -979,6 +981,103 @@ object Similarity {
           / col("n_brute").cast("double") + lit(5e-9), 4).as("recall_graph"))
       .orderBy(col("q_id"))
   }
+
+  /** nprobe grid for the IVF probe-budget tuning contract. */
+  val IvfTuningGrid: Seq[Int] = Seq(1, 2, 4, 6, 8, 12)
+
+  /** IVF probe-budget tuning contract — the E-family twin of the dedup
+    * family's `q_lsh_tuning`: for each nprobe on [[IvfTuningGrid]], the
+    * MEASURED recall against the brute ceiling plus the candidate rows
+    * that recall cost, so a user choosing nprobe for [[annIvf]] has a
+    * gated trade-off curve instead of a fixed constant. Per grid row:
+    * the probed-cell fraction (`cells_ppm` = nprobe/K), the exact
+    * candidate count (`cand_rows` — the number of exact-cosine
+    * evaluations the probe pays), brute hits recovered, `recall_ppm`,
+    * and `eff_ppm` = hits per million candidates (recall-per-candidate,
+    * the budget-normalized score). The `chosen` flag marks the argmax
+    * of (eff_ppm, then smaller nprobe) via a one-row min(struct)
+    * broadcast — no global window. All ratios divide exact integers
+    * (`DIV`), so both engines produce bit-identical rows.
+    *
+    * COMPUTE-ONCE at corpus scale: ONE narrow N×K assignment pass
+    * (ids + distances, the [[ivfProbe]] discipline) shared by every
+    * grid point — the per-nprobe candidate sets are nested by
+    * construction (cell rank ≤ nprobe), so one candidate frame tagged
+    * with the probe rank serves the whole grid — plus the brute
+    * ceiling's one corpus scan (inherent to measuring recall, same as
+    * [[annRecallReport]]). Everything downstream is |Q|-bounded. */
+  def ivfTuning(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = Ema.persistTracked(withVec(embeddings))
+    val kCent = adaptiveK(e)
+    val cents = sampledCentroids(e, kCent)
+    val maxNp = IvfTuningGrid.max
+    val assignN = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
+    val assign = e.join(assignN, Seq("vec_id"))
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
+    val qcells = e.filter(col("vec_id") < QueryCount)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        dist2(col("v"), col("cv")).as("d2"))
+      .withColumn("prk", row_number().over(wProbe).cast("long"))
+      .filter(col("prk") <= maxNp)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("cent_id").as("qcell"), col("prk"))
+    // candidate frame tagged with the probe rank of its cell — persisted
+    // once for its two consumers (per-nprobe counts and per-nprobe
+    // top-k); |Q|·maxNp·cellsize bounded
+    val cand = Ema.persistTracked(
+      assign.join(broadcast(qcells),
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("prk"),
+          expr("cosine_sim(v, qv)").as("cos"))
+        .filter(col("cos").isNotNull))
+    val brute = Ema.persistTracked(
+      rankTopK(bruteCandidates(e, broadcast(defaultQueries(e))), k)
+        .select(col("q_id"), col("nn_id")))
+    val grid = IvfTuningGrid.map(_.toLong).toDF("nprobe")
+    val candg = cand.crossJoin(broadcast(grid)).filter(col("prk") <= col("nprobe"))
+    val wk = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    val topk = candg.withColumn("rk", row_number().over(wk)).filter(col("rk") <= k)
+    val hits = topk.join(brute, Seq("q_id", "nn_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    val candRows = candg.groupBy(col("nprobe")).agg(count(lit(1)).as("cand_rows"))
+    val nb = brute.agg(count(lit(1)).as("n_brute"))
+    val scored = grid
+      .join(candRows, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nb))
+      .select(col("nprobe"),
+        lit(kCent.toLong).as("n_cells"),
+        expr(s"nprobe * 1000000 DIV ${kCent}L").as("cells_ppm"),
+        coalesce(col("cand_rows"), lit(0L)).as("cand_rows"),
+        col("n_brute"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 DIV n_brute"))
+      .withColumn("eff_ppm", expr(
+        "CASE WHEN cand_rows = 0 THEN 0L ELSE hits * 1000000 DIV cand_rows END"))
+      .withColumn("neg_eff", -col("eff_ppm"))
+    val mn = scored.agg(min(struct(col("neg_eff"), col("nprobe"))).as("mn"))
+    scored.crossJoin(broadcast(mn))
+      .select(col("nprobe"), col("n_cells"), col("cells_ppm"), col("cand_rows"),
+        col("n_brute"), col("hits"), col("recall_ppm"), col("eff_ppm"),
+        (struct(col("neg_eff"), col("nprobe")) === col("mn")).as("chosen"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** Driver-side twin of [[ivfTuning]]'s argmax: the nprobe whose
+    * recall-per-candidate is best on THIS corpus — the value a pipeline
+    * passes straight into [[annIvf]]. The one-row collect is parameter
+    * selection (the [[graft.operators.Dedup.lshChoose]] discipline):
+    * it happens before — and configures — the production probe pass. */
+  def ivfChooseNprobe(embeddings: DataFrame, k: Int = 5): Int =
+    ivfTuning(embeddings, k).filter(col("chosen"))
+      .select(col("nprobe")).head.getLong(0).toInt
 
   /** Bounded out-degree of the ANN neighbor graph. */
   val GraphDegree = 8

@@ -75,6 +75,41 @@ class Round13OpsSpec extends SparkSpec {
     Ema.unpersistAll(); spark.catalog.clearCache()
   }
 
+  test("ivfChooseNprobe wires the tuning argmax into annIvf and beats fixed nprobe=6 on recall-per-candidate") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf())
+    val report = Similarity.ivfTuning(emb).collect()
+      .map(r => r.getAs[Long]("nprobe") ->
+        (r.getAs[Long]("eff_ppm"), r.getAs[Long]("recall_ppm"),
+          r.getAs[Boolean]("chosen"))).toMap
+    // the driver twin returns exactly the gated query's chosen row
+    val chosen = Similarity.ivfChooseNprobe(emb)
+    assert(report(chosen.toLong)._3, s"ivfChooseNprobe=$chosen is not the chosen row")
+    // the contract: the chosen probe budget is at least as
+    // recall-efficient per candidate as the fixed default nprobe=6
+    assert(report(chosen.toLong)._1 >= report(6L)._1,
+      s"chosen nprobe=$chosen eff=${report(chosen.toLong)._1} " +
+        s"does not beat fixed 6 eff=${report(6L)._1}")
+    // recall must be monotone in nprobe (candidate sets are nested)
+    val byNp = report.toSeq.sortBy(_._1).map(_._2._2)
+    assert(byNp === byNp.sorted, "recall_ppm not monotone in nprobe")
+    // and the wired probe path accepts the chosen point
+    val probed = Similarity.annIvf(emb, k = 3, nprobe = chosen)
+    assert(probed.count() > 0)
+    // a larger probe budget can only widen each query's candidate cell
+    // set, so the nprobe=12 result must contain every nprobe=chosen
+    // top-1 hit's quality or better: top-1 cos at 12 >= top-1 cos at chosen
+    val t1 = Similarity.annIvf(emb, k = 1, nprobe = chosen)
+      .select(col("q_id"), col("cos")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val t12 = Similarity.annIvf(emb, k = 1, nprobe = 12)
+      .select(col("q_id"), col("cos")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    t1.foreach { case (q, c) =>
+      assert(t12(q) >= c - 1e-9, s"query $q: wider probe budget lost recall") }
+    Ema.unpersistAll(); spark.catalog.clearCache()
+  }
+
   test("media corpus text is ASCII (the byte==char invariant the audio oracle decodes with)") {
     // The q_audio_energy / q_multimodal_frames oracles read payload
     // bytes via ascii(substr(text, p)) — CHARACTER-indexed — while the
