@@ -779,8 +779,80 @@ object OracleSql {
       ") u ORDER BY merge_rank"
   }
 
+  /** Unigram-LM vocabulary induction — the three greedy-segmentation
+    * rounds unrolled as CTE blocks. Per round: the per-position
+    * LONGEST-match table (the 1..6 substring candidates hash-joined to
+    * the round's vocab, rank-1 by piece length), its next-cursor
+    * pointer table, and the greedy walk replayed as a RECURSIVE
+    * position reachability from cursor 1 through those pointers —
+    * purely relational, because a `list_reduce` fold indexing a
+    * sibling list column proved NONDETERMINISTIC across runs in DuckDB
+    * 1.0 (same connection, same SQL, drifting usage sums); joins are
+    * not. Budgets/tie-breaks mirror [[graft.operators.Unigram]]
+    * exactly; every count is ::BIGINT. The multiply- and
+    * recursively-consumed CTEs are MATERIALIZED — DuckDB re-inlines a
+    * plain CTE at every reference (the r9 minhash lesson), which for a
+    * recursive consumer would mean once per iteration. */
+  private val unigramOracleSql: String = {
+    import graft.operators.Unigram.{Budgets, MaxPieceLen, SeedMultis}
+    val lens = (2 to MaxPieceLen).mkString(", ")
+    val allLens = (1 to MaxPieceLen).mkString(", ")
+    def round(k: Int, budget: Int): String = {
+      val prune = if (budget > 0) s""",
+      v${k + 1} AS MATERIALIZED (SELECT piece FROM ch
+            UNION ALL
+            SELECT piece FROM (
+              SELECT v.piece FROM v$k v LEFT JOIN u$k u USING (piece)
+              WHERE length(v.piece) > 1
+              ORDER BY coalesce(u.usage, 0) DESC, v.piece LIMIT $budget) t)"""
+      else ""
+      s""",
+      m$k AS MATERIALIZED (SELECT c.word, c.p, c.sub AS piece
+            FROM cand c JOIN v$k v ON c.sub = v.piece
+            QUALIFY row_number() OVER (PARTITION BY c.word, c.p
+              ORDER BY length(c.sub) DESC) = 1),
+      n$k AS MATERIALIZED (SELECT word, p, (p + length(piece))::BIGINT AS nxt
+            FROM m$k),
+      w$k(word, p) AS (SELECT word, 1::BIGINT FROM dw
+            UNION
+            SELECT n.word, n.nxt FROM w$k w
+            JOIN n$k n ON w.word = n.word AND w.p = n.p),
+      u$k AS MATERIALIZED (SELECT m.piece, sum(d.freq)::BIGINT AS usage
+            FROM w$k w
+            JOIN m$k m ON w.word = m.word AND w.p = m.p
+            JOIN dw d ON d.word = w.word
+            GROUP BY 1)$prune"""
+    }
+    val rounds = (Budgets :+ -1).zipWithIndex
+      .map { case (b, k) => round(k, b) }.mkString
+    val last = Budgets.length
+    s"""
+      WITH RECURSIVE wr AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                  FROM documents),
+      dw AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq,
+              length(word)::BIGINT AS wlen
+            FROM wr GROUP BY 1),
+      pos AS MATERIALIZED (SELECT word, freq, wlen,
+              unnest(generate_series(1, wlen)) AS p FROM dw),
+      ch AS MATERIALIZED (SELECT DISTINCT substr(word, p::INT, 1) AS piece FROM pos),
+      sub AS (SELECT substr(word, p::INT, l::INT) AS piece, sum(freq)::BIGINT AS cnt
+            FROM pos, (SELECT unnest([$lens]) AS l) ll
+            WHERE p + l - 1 <= wlen GROUP BY 1),
+      tops AS (SELECT piece FROM sub ORDER BY cnt DESC, piece LIMIT $SeedMultis),
+      v0 AS (SELECT piece FROM ch UNION ALL SELECT piece FROM tops),
+      cand AS MATERIALIZED (SELECT word, p, substr(word, p::INT, l::INT) AS sub
+            FROM pos, (SELECT unnest([$allLens]) AS l) la
+            WHERE p + l - 1 <= wlen)$rounds
+      SELECT v.piece, length(v.piece)::BIGINT AS n_chars,
+        (length(v.piece) = 1) AS is_single,
+        coalesce(u.usage, 0)::BIGINT AS usage
+      FROM v$last v LEFT JOIN u$last u USING (piece)
+      ORDER BY v.piece"""
+  }
+
   private val textOps: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracleSql,
+    "q_unigram_vocab" -> unigramOracleSql,
 
     // dedup ROI: cluster-size histogram over the same recursive-CTE
     // fixpoint as q_dedup_clusters

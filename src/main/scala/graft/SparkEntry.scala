@@ -249,6 +249,7 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "q_tokenize" -> ((s, d) => TextAnalysis.tokenize(Tables.documents(s, d))),
     "q_bpe_merges" -> ((s, d) => Bpe.bpeMerges(Tables.documents(s, d))),
+    "q_unigram_vocab" -> ((s, d) => Unigram.unigramVocab(Tables.documents(s, d))),
     "q_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),

@@ -130,6 +130,8 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "wp_stats", exprs => WpStats(exprs(0)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "greedy_seg", exprs => GreedySeg(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "lsh_proj", exprs => LshProjections(exprs(0)), "built-in")
       // aggregate: the analyzer wraps the bare AggregateFunction in an
       // AggregateExpression, as with built-in aggregates

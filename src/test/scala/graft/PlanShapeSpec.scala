@@ -46,7 +46,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_distinct_approx", "q_sql_recursive", "q_audio_energy",
     "q_layout_compare",
     // the round-13 additions
-    "q_sql_setops", "q_sql_scalar", "q_sql_groupingsets", "q_ivf_tuning")
+    "q_sql_setops", "q_sql_scalar", "q_sql_groupingsets", "q_ivf_tuning",
+    "q_unigram_vocab")
 
   test("a planted unbounded-following frame counts; running frames do not") {
     // Round 7 found gapFill's backfill frame (currentRow ->

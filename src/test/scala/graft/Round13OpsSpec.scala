@@ -110,6 +110,74 @@ class Round13OpsSpec extends SparkSpec {
     Ema.unpersistAll(); spark.catalog.clearCache()
   }
 
+  test("unigram vocab: protected singles, exact char-mass conservation, learned-vocab round-trip") {
+    import graft.operators.Unigram
+    val docs = Tables.documents(spark, sf())
+    val out = Unigram.unigramVocab(docs).collect()
+    val singles = out.filter(_.getAs[Boolean]("is_single"))
+    val multis = out.filterNot(_.getAs[Boolean]("is_single"))
+    // budget honored and the single-char base never pruned
+    assert(multis.length <= Unigram.Budgets.last,
+      s"${multis.length} multi-char pieces exceed the final budget")
+    // every corpus character survives as a single (coverage guarantee)
+    val corpusChars = docs.select(
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .select(explode(expr("split(w, '')")).as("c"))
+      .filter(length(col("c")) === 1).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(corpusChars.subsetOf(singles.map(_.getString(0)).toSet),
+      "a corpus character was pruned from the vocabulary")
+    // char-mass conservation: the final greedy segmentation covers every
+    // character of every word exactly once, so Σ usage·len(piece) must
+    // equal the exact corpus word-character mass
+    val massFromVocab = out.map(r =>
+      r.getAs[Long]("usage") * r.getAs[Long]("n_chars")).sum
+    val corpusMass = docs.select(
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .agg(sum(length(col("w")).cast("long"))).head.getLong(0)
+    assert(massFromVocab === corpusMass,
+      s"segmentation char mass $massFromVocab != corpus mass $corpusMass")
+    // round-trip: re-segmenting the corpus words with the LEARNED vocab
+    // (the consumer API) reproduces the gated usage counts exactly
+    val vocabSeq = out.map(_.getString(0)).toSeq
+    val words = docs.select(
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val segmented = Unigram.segmentWith(words.select("word"), vocabSeq)
+      .join(words, Seq("word"))
+    val rederived = segmented
+      .select(col("freq"), explode(col("tokens")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("usage"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val got = rederived.getOrElse(r.getString(0), 0L)
+      assert(got === r.getAs[Long]("usage"),
+        s"piece ${r.getString(0)}: round-trip usage $got != gated ${r.getAs[Long]("usage")}")
+    }
+    // the learned vocab must compress: fewer tokens than the all-singles
+    // baseline (the whole point of induction)
+    val nTokLearned = segmented
+      .agg(sum(col("n_tokens") * col("freq"))).head.getLong(0)
+    assert(nTokLearned < corpusMass,
+      s"learned vocab does not compress: $nTokLearned tokens vs $corpusMass chars")
+    Ema.unpersistAll(); spark.catalog.clearCache()
+  }
+
+  test("greedy_seg kernel: longest match wins, uncovered positions fall back to chars") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(("abcde", Seq("ab", "abc", "c", "de", "a", "b", "d", "e")),
+        ("zzz", Seq("a")), // nothing matches: per-char fallback
+        ("abab", Seq("ab", "aba", "b"))) // greedy takes aba then b... then fallback a? no: aba+b
+      .toDF("word", "v")
+      .select(col("word"),
+        expr("greedy_seg(word, sort_array(v))").as("seg"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(df("abcde") === Seq("abc", "de"), s"got ${df("abcde")}")
+    assert(df("zzz") === Seq("z", "z", "z"), s"got ${df("zzz")}")
+    assert(df("abab") === Seq("aba", "b"), s"got ${df("abab")}")
+  }
+
   test("media corpus text is ASCII (the byte==char invariant the audio oracle decodes with)") {
     // The q_audio_energy / q_multimodal_frames oracles read payload
     // bytes via ascii(substr(text, p)) — CHARACTER-indexed — while the
