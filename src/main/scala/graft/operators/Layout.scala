@@ -70,6 +70,21 @@ object Layout {
         (max(col("pr")).cast("double") / 10.0).as("price_hi"))
       .orderBy(col("cell"))
 
+  /** Quantized parts carrying their Z-value and Z-cell — the WRITE-side
+    * frame the real-file layout loop clusters on: production routes it
+    * through `Sinks.writeClustered(_, path, n, "zval")`; the
+    * Round13OpsSpec closes the loop by writing one parquet file per
+    * cell, reading the REAL footer min/max back, and proving the
+    * per-file prune verdicts equal [[pruneSimulation]]'s. */
+  def zorderFrame(part: DataFrame): DataFrame =
+    quantized(part).withColumn("zval", expr(interleave16))
+      .withColumn("cell", expr("zval DIV 256"))
+
+  /** Hilbert twin of [[zorderFrame]] (hval/cell). */
+  def hilbertFrame(part: DataFrame): DataFrame =
+    withHilbert(quantized(part))
+      .withColumn("cell", expr("hval DIV 256"))
+
   /** Per-Z-cell locality report over parts quantized on
     * (p_size, p_retailprice). ~256 output rows. */
   def zorderLayout(part: DataFrame): DataFrame =

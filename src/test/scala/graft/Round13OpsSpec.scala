@@ -178,6 +178,142 @@ class Round13OpsSpec extends SparkSpec {
     assert(df("abab") === Seq("aba", "b"), s"got ${df("abab")}")
   }
 
+  test("layout loop closes on real files: parquet footer envelopes reproduce the prune simulation") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import graft.operators.{Layout, Ema}
+    val part = Tables.table(spark, sf(), "part")
+    val tmp = java.nio.file.Files.createTempDirectory("layoutloop").toString
+    val conf = spark.sessionState.newHadoopConf()
+
+    /** Real footer stats per file under `glob`: (fileTag, n_rows,
+      * (sz_lo, sz_hi), (pr_lo, pr_hi)) — read from the parquet footers
+      * themselves, NOT recomputed from data. */
+    def footers(glob: String, tag: Path => String): Seq[(String, Long, (Long, Long), (Long, Long))] = {
+      val fs = new Path(tmp).getFileSystem(conf)
+      fs.globStatus(new Path(glob)).toSeq.map { st =>
+        val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+          def mm(name: String): (Long, Long) = {
+            val s = blocks.map { b =>
+              val c = b.getColumns.asScala
+                .find(_.getPath.toDotString == name)
+                .getOrElse(fail(s"column $name missing from footer"))
+              val stt = c.getStatistics
+              (stt.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                stt.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }
+            (s.map(_._1).min, s.map(_._2).max)
+          }
+          (tag(st.getPath), blocks.map(_.getRowCount).sum, mm("sz"), mm("pr"))
+        } finally rdr.close()
+      }
+    }
+    def verdict(lo: Long, hi: Long, predLo: Long, predHi: Long): String =
+      if (hi < predLo || lo > predHi) "pruned"
+      else if (lo >= predLo && hi <= predHi) "full" else "scan"
+
+    // ---- exact loop: one real parquet file per Z-cell, so the gated
+    // simulation's "treat each cell as a file" premise becomes literal
+    val zf = Layout.zorderFrame(part).select(col("sz"), col("pr"), col("cell"))
+    zf.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$tmp/zcells")
+    val perFile = footers(s"$tmp/zcells/cell=*/part-*.parquet",
+      _.getParent.getName.stripPrefix("cell="))
+    // one file per cell (the premise itself)
+    assert(perFile.map(_._1).distinct.size === perFile.size,
+      "a Z-cell split across multiple files")
+    // real verdicts from REAL footer stats, classified with the gated
+    // query's predicates (size 10..20, price tenths 12000..14000)
+    val realCounts = perFile
+      .flatMap { case (_, n, (szLo, szHi), (prLo, prHi)) =>
+        Seq(("size", verdict(szLo, szHi, 10, 20), n),
+          ("price", verdict(prLo, prHi, 12000, 14000), n)) }
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._3).sum) }
+    val sim = Layout.pruneSimulation(part).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_cells"), r.getAs[Long]("n_rows"))).toMap
+    assert(realCounts === sim,
+      s"real-file prune verdicts diverge from the simulation:\nreal=$realCounts\nsim=$sim")
+
+    // ---- production API: range-clustered writeClustered on zval/hval;
+    // footer envelopes must prune files on BOTH raw dimensions (the
+    // multi-dim-layout claim), and a single-axis sz sort must prune
+    // NOTHING on the price dimension. The gated query's price window
+    // (1200.0..1400.0) lies entirely outside this corpus's 900.0..919.9
+    // price range (every file prunes — degenerate), so the production
+    // half uses an IN-RANGE window, price tenths 9050..9100, where
+    // pruning is earned by clustering rather than by the data's edges.
+    def prunedCounts(sub: String, frame: org.apache.spark.sql.DataFrame,
+        order: String): (Int, Int, Int) = {
+      graft.sources.Sinks.writeClustered(
+        frame.select(col("sz"), col("pr"), col(order)), s"$tmp/$sub", 32, order)
+      val fls = footers(s"$tmp/$sub/part-*.parquet", _.getName)
+      val ps = fls.count { case (_, _, (lo, hi), _) => verdict(lo, hi, 10, 20) == "pruned" }
+      val pp = fls.count { case (_, _, _, (lo, hi)) => verdict(lo, hi, 9050, 9100) == "pruned" }
+      (fls.size, ps, pp)
+    }
+    val (nz, zSize, zPrice) = prunedCounts("zv", Layout.zorderFrame(part), "zval")
+    val (nh, hSize, hPrice) = prunedCounts("hil", Layout.hilbertFrame(part), "hval")
+    val (no, oSize, oPrice) = prunedCounts("szsort",
+      Layout.zorderFrame(part).withColumn("szo", col("sz")), "szo")
+    info(s"real pruned-file counts of 32: zval size=$zSize price=$zPrice; " +
+      s"hval size=$hSize price=$hPrice; sz-sort size=$oSize price=$oPrice")
+    assert(zSize > 0 && zPrice > 0, s"Z layout fails to prune both dims ($zSize, $zPrice)")
+    assert(hSize > 0 && hPrice > 0, s"Hilbert layout fails to prune both dims ($hSize, $hPrice)")
+    assert(zPrice > oPrice,
+      s"Z layout does not beat the single-axis size sort on price pruning ($zPrice <= $oPrice)")
+    assert(nz === 32 && nh === 32 && no === 32)
+    Ema.unpersistAll(); spark.catalog.clearCache()
+  }
+
+  test("graph edge build: the one-exchange lag-dedupe shape equals the two-exchange distinct shape") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    // reconstruct the r12 two-exchange reference shape from the public
+    // surface and diff it against the production build's edges — the
+    // exactness contract the r13 single-exchange rewrite rests on
+    // (duplicate candidates carry bit-identical ecos and are adjacent
+    // under (ecos DESC, dst ASC); a pair appears ≤ LshTables times so
+    // the degree·tables cap drops nothing that could rank)
+    val e = Tables.embeddings(spark, sf()).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val bk = e.select(col("vec_id"), col("v"),
+        posexplode(expr("lsh_buckets(v)")).as(Seq("t", "bucket")))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("t"), col("bucket"))))
+      .filter(col("bsz") <= Similarity.NeardupMaxBucket)
+      .drop("bsz")
+    val wd = Window.partitionBy(col("src")).orderBy(col("ecos").desc, col("dst"))
+    val raw = bk.as("l")
+      .join(bk.as("r"),
+        col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"),
+        expr("cosine_sim(l.v, r.v)").as("ecos"))
+      .filter(col("ecos").isNotNull)
+    val reference = raw.distinct()
+      .withColumn("erk", row_number().over(wd))
+      .filter(col("erk") <= Similarity.GraphDegree)
+      .select(col("src"), col("dst"))
+    val production = raw
+      .withColumn("rrk", row_number().over(wd))
+      .filter(col("rrk") <= Similarity.GraphDegree * Similarity.LshTables)
+      .withColumn("prev", lag(col("dst"), 1).over(wd))
+      .filter(col("prev").isNull || col("prev") =!= col("dst"))
+      .withColumn("erk", row_number().over(wd))
+      .filter(col("erk") <= Similarity.GraphDegree)
+      .select(col("src"), col("dst"))
+    assert(production.exceptAll(reference).isEmpty &&
+      reference.exceptAll(production).isEmpty,
+      "single-exchange edge build diverges from the distinct+rank reference")
+  }
+
   test("media corpus text is ASCII (the byte==char invariant the audio oracle decodes with)") {
     // The q_audio_energy / q_multimodal_frames oracles read payload
     // bytes via ascii(substr(text, p)) — CHARACTER-indexed — while the
