@@ -67,7 +67,9 @@ object Bpe {
   def bpeMerges(docs: DataFrame, k: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var seg = Checkpoints.truncate(initialSegments(docs))
+    // truncateLazy: each round's 1-row argmax action materializes the
+    // round's checkpoint in the same job (one job per round, not two)
+    var seg = Checkpoints.truncateLazy(initialSegments(docs))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var exhausted = false
     while (!exhausted && merges.length < k) {
@@ -89,7 +91,7 @@ object Bpe {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((l, r, c))
         if (merges.length < k)
-          seg = Checkpoints.truncate(seg.select(col("word"), col("freq"),
+          seg = Checkpoints.truncateLazy(seg.select(col("word"), col("freq"),
             expr(applyMergeSql("seg", l, r)).as("seg")))
       }
     }

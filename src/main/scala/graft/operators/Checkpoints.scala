@@ -38,4 +38,21 @@ object Checkpoints {
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
+
+  /** [[truncate]] without the eager materialization job: the CALLER'S
+    * next action on the returned frame computes it and the checkpoint
+    * happens as part of that same job (local checkpoints cache the
+    * partitions as the job runs; reliable ones write after it). The
+    * iterative fixpoints pair this with their per-round convergence
+    * aggregate, so each round runs ONE job (signature + truncation)
+    * instead of two (eager count, then signature). Callers MUST run an
+    * action on the result before building the next round's plan on it. */
+  def truncateLazy(df: DataFrame): DataFrame =
+    reliableDir(df) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = false)
+      case None => df.localCheckpoint(eager = false)
+    }
 }

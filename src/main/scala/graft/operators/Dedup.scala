@@ -88,6 +88,10 @@ object Dedup {
     * threshold compares the identical double, so the filtered sets
     * match bit-for-bit. */
   def ngramContainment(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // NOT persisted (measured, r13): caching the (doc_id, ng) string
+    // stream costs more than recomputing it — AQE's runtime stage reuse
+    // already dedupes the identical distinct exchange across consumers,
+    // and the columnar cache write of wide strings slowed the query 3×.
     val ng = wordNgrams(docs)
     val sizes = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = dedupPairGraph(docs)
@@ -310,8 +314,10 @@ object Dedup {
     // previous labels twice (neighbor-min + merge join), so bare persist
     // leaves an exponentially growing lineage; truncation is the
     // standard iterative-graph pattern (reliable checkpoint at cluster
-    // scale).
-    var labels = Checkpoints.truncate(
+    // scale). LAZY truncation + the signature action = ONE job per
+    // round (the sig aggregate materializes the checkpoint it scans)
+    // instead of an eager-count job followed by the sig job.
+    var labels = Checkpoints.truncateLazy(
       docs.select(col("doc_id"), col("doc_id").as("label")))
     // order-independent (count, XOR-of-hashes) signature — a label SUM
     // would overflow Long under ANSI mode at exactly the id scales the
@@ -329,8 +335,8 @@ object Dedup {
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      val nextT = Checkpoints.truncate(next)
-      val s = sig(nextT)
+      val nextT = Checkpoints.truncateLazy(next)
+      val s = sig(nextT) // materializes the round's checkpoint too
       labels = nextT
       converged = s == prev // labels only decrease ⇒ any change flips the signature
       prev = s
@@ -399,7 +405,9 @@ object Dedup {
     // scale, a reliable checkpoint dir plays this role). Blocks are
     // reclaimed by the ContextCleaner once the round's frame is
     // unreferenced.
-    var edges = Checkpoints.truncate(edges0
+    // truncateLazy: the sig action below materializes each round's
+    // checkpoint in the same job (one job per round, not two)
+    var edges = Checkpoints.truncateLazy(edges0
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct())
     def sig(df: DataFrame): (Long, Long) = {
@@ -412,7 +420,7 @@ object Dedup {
     var it = 0
     var converged = prev._1 == 0L
     while (!converged && it < maxIter) {
-      val next = Checkpoints.truncate(smallStar(largeStar(edges)))
+      val next = Checkpoints.truncateLazy(smallStar(largeStar(edges)))
       val s = sig(next)
       edges = next
       converged = s == prev
@@ -602,6 +610,9 @@ object Dedup {
     * narrow (doc_id, ngram) semi-join shape as [[ngramJaccard]]). */
   def minhashEstimate(docs: DataFrame, bands: Int = 16, r: Int = 4): DataFrame = {
     val k = bands * r
+    // NOT persisted (measured, r13): caching the string shingles / the
+    // signature frame slowed this query 1.7× — AQE stage reuse already
+    // collapses the repeated subtrees at runtime.
     val sig = minhashArray(docs, k)
     val pairs = pairsFromSig(sig, bands, r, maxBucket = 64)
     val ng = wordNgrams(docs)
@@ -762,6 +773,8 @@ object Dedup {
     * sources each shingle hash fans out to at
     * most C(S,2) pairs — no quadratic blowup. */
   def crossSourceOverlap(docs: DataFrame): DataFrame = {
+    // NOT persisted (measured, r13): the cache write cost exceeded the
+    // recompute it saved; AQE stage reuse shares the distinct exchange.
     val ng = wordNgrams(docs.select(col("doc_id"), col("text")), 5)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       // unhex: a true 16-byte binary key (md5() alone returns the

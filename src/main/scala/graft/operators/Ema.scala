@@ -255,7 +255,11 @@ object Ema extends Serializable {
       }
       ChunkSum(sc.symbol, sc.chunk, Array(d), Array(p), Array(fx))
     }
-    val seeds = linearSeeds(sums, fanout)
+    // levels=1: the cascade input is already chunk-count rows, so the
+    // base task folds chunks/fanout rows per symbol (~10⁶ even for a
+    // 10¹²-row series) — 3 fewer exchanges than the depth-2 cascade
+    // (see linkedScan's shuffle-discipline note).
+    val seeds = linearSeeds(sums, fanout, levels = 1)
     ch.groupByKey(c => (c.symbol, c.chunk))
       .cogroup(seeds.groupByKey(s => (s.symbol, s.chunk))) {
         (key: (String, Long), it: Iterator[SChunk], seedIt: Iterator[ChunkSeed]) =>
@@ -350,7 +354,8 @@ object Ema extends Serializable {
       }
       ChunkSum(vc.symbol, vc.chunk, d, p, fx)
     }
-    val seeds = linearSeeds(sums, fanout)
+    // levels=1 — same chunk-count capacity argument as emaSegmented
+    val seeds = linearSeeds(sums, fanout, levels = 1)
     vch.groupByKey(v => (v.symbol, v.chunk))
       .cogroup(seeds.groupByKey(s => (s.symbol, s.chunk))) {
         (key: (String, Long), it: Iterator[VecChunk], seedIt: Iterator[ChunkSeed]) =>
@@ -530,7 +535,7 @@ object Ema extends Serializable {
     * two-level compose/unfold tree applies; per-task work is
     * O(fanout·dim³) — dim is 3 for TRIX, invisible next to the shuffle. */
   def affineSeeds(sums: Dataset[ChunkSum], dim: Int,
-      fanout: Int = 1024): Dataset[ChunkSeed] = {
+      fanout: Int = 1024, levels: Int = 1): Dataset[ChunkSeed] = {
     val spark = sums.sparkSession
     import spark.implicits._
 
@@ -606,14 +611,22 @@ object Ema extends Serializable {
           foldGroup(it.toArray.sortBy(_.chunk), seedIt.next())
         }
 
+    // `levels` compose stages then the matching unfolds — the same
+    // static-depth machinery as linearSeeds. Default levels=1: the input
+    // is already chunk-count rows, so the base task folds chunks/fanout
+    // rows per symbol (~10⁶ for a 10¹²-row series) and the cascade
+    // spends 3 fewer exchanges than depth 2.
     val cached = persistTracked(sums)
-    val l1 = persistTracked(compose(cached))
-    val l2 = compose(l1)
-    val baseSeeds = l2.groupByKey(_.symbol).flatMapGroups { (_, it) =>
+    var lowers = List(cached)
+    for (i <- 1 to levels) {
+      val next = compose(lowers.head)
+      lowers = (if (i < levels) persistTracked(next) else next) :: lowers
+    }
+    val baseSeeds = lowers.head.groupByKey(_.symbol).flatMapGroups { (_, it) =>
       val arr = it.toArray.sortBy(_.chunk)
       foldGroup(arr, ChunkSeed(arr.head.symbol, arr.head.chunk, Array.empty, isFirst = true))
     }
-    unfold(cached, unfold(l1, baseSeeds))
+    lowers.tail.foldLeft(baseSeeds) { (sup, lower) => unfold(lower, sup) }
   }
 
   /** A CHAIN of k EMA recursions over one input column in ONE segmented

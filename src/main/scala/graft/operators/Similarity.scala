@@ -1169,20 +1169,28 @@ object Similarity {
         .filter(col("brk") <= GraphBeam)
         .select(col("q_id"), col("nn_id"), col("cos")))
     for (_ <- 1 to GraphRounds) {
-      val expanded = beam.select(col("q_id"), col("nn_id").as("src"))
-        .join(edges, Seq("src"))
-        .select(col("q_id"), col("dst").as("nn_id"))
-        .filter(col("nn_id") =!= col("q_id"))
+      // ONE distinct over (surviving beam ids ∪ newly reached ids), then
+      // ONE scoring join over that candidate set. The r12 shape scored
+      // only the new ids and then deduped old-vs-new with a
+      // union+groupBy(max) — a second (q_id, nn_id) exchange per round.
+      // cos is a pure function of the pair (the identical double fold),
+      // so re-scoring a kept beam member reproduces its value exactly
+      // and max()-dedupe was never a choice — the candidate-set form is
+      // the same set of (q_id, nn_id, cos) rows with one exchange less;
+      // the re-scored rows are |Q|·beam — metadata-scale at any corpus.
+      val cand = beam.select(col("q_id"), col("nn_id"))
+        .unionByName(
+          beam.select(col("q_id"), col("nn_id").as("src"))
+            .join(edges, Seq("src"))
+            .select(col("q_id"), col("dst").as("nn_id"))
+            .filter(col("nn_id") =!= col("q_id")))
         .distinct()
-        .join(e.select(col("vec_id").as("nn_id"), col("v")), Seq("nn_id"))
-        .join(broadcast(q0), Seq("q_id"))
-        .select(col("q_id"), col("nn_id"), expr("cosine_sim(v, qv)").as("cos"))
-        .filter(col("cos").isNotNull)
-      // same (q_id, nn_id) scores identically on both paths (same fold
-      // over the same doubles) — max() is pure dedupe, not a choice
       beam = Ema.persistTracked(
-        beam.unionByName(expanded)
-          .groupBy(col("q_id"), col("nn_id")).agg(max(col("cos")).as("cos"))
+        cand
+          .join(e.select(col("vec_id").as("nn_id"), col("v")), Seq("nn_id"))
+          .join(broadcast(q0), Seq("q_id"))
+          .select(col("q_id"), col("nn_id"), expr("cosine_sim(v, qv)").as("cos"))
+          .filter(col("cos").isNotNull)
           .withColumn("brk", row_number().over(wb))
           .filter(col("brk") <= GraphBeam)
           .select(col("q_id"), col("nn_id"), col("cos")))

@@ -61,7 +61,9 @@ object TrainingData {
     * Only (doc_id, ngram) pairs shuffle; the verdict is a grouped count
     * over the n-gram equi-join. */
   def decontaminate(docs: DataFrame, benchmarkSource: String = "src0"): DataFrame = {
-    val ng5 = Dedup.wordNgrams(docs.select(col("doc_id"), col("text"), col("source")), 5)
+    // NOT persisted (measured, r13): recompute beats the string-cache
+    // write; AQE stage reuse shares the shingle distinct at runtime.
+    val ng5 = Dedup.wordNgrams(docs.select(col("doc_id"), col("text")), 5)
     val sources = docs.select(col("doc_id"), col("source"))
     val bench = ng5.join(sources.filter(col("source") === benchmarkSource), Seq("doc_id"))
       .select(col("ng")).distinct()
@@ -179,7 +181,10 @@ object TrainingData {
     * engine-specific, so no DuckDB oracle). */
   def decontaminateBloom(docs: DataFrame, benchmarkSource: String = "src0",
       expectedNgrams: Long = -1L, fpp: Double = 1e-4): DataFrame = {
-    val ng5 = Dedup.wordNgrams(docs.select(col("doc_id"), col("text")), 5)
+    // persisted: ng5 is scanned by the sizing count, the Bloom build,
+    // and the candidate probe — three actions, one shingling pass
+    val ng5 = Ema.persistTracked(
+      Dedup.wordNgrams(docs.select(col("doc_id"), col("text")), 5))
     val sources = docs.select(col("doc_id"), col("source"))
     val benchNg = ng5.join(sources.filter(col("source") === benchmarkSource), Seq("doc_id"))
       .select(col("ng"))
@@ -311,6 +316,8 @@ object TrainingData {
     * ngram) pairs shuffle, and the corpus side collapses to distinct
     * n-grams before the join. */
   def contamReport(docs: DataFrame, benchmarkSource: String = "src0"): DataFrame = {
+    // NOT persisted (measured, r13): same recompute-beats-cache result
+    // as the other shingle consumers
     val ng5 = Dedup.wordNgrams(docs.select(col("doc_id"), col("text")), 5)
     val sources = docs.select(col("doc_id"), col("source"))
     val benchNg = ng5.join(sources.filter(col("source") === benchmarkSource),
@@ -486,13 +493,18 @@ object TrainingData {
     val grams = expr(
       """transform(sequence(1, size(lw) - 1),
            i -> concat(element_at(lw, i), ' ', element_at(lw, i + 1)))""")
-    val feats = docs
+    // persisted: the feature stream feeds BOTH the bucket model and the
+    // final scoring join — without it the tokenize + per-gram md5 pass
+    // (the dominant per-task cost) runs twice over the corpus. The
+    // persisted rows are (doc_id, bool, bucket) — 17 bytes, far narrower
+    // than the text they derive from.
+    val feats = Ema.persistTracked(docs
       .select(col("doc_id"), (col("lang") === "en").as("is_t"), lws.as("lw"))
       .filter(size(col("lw")) >= 2)
       .select(col("doc_id"), col("is_t"), explode(grams).as("g"))
       .select(col("doc_id"), col("is_t"),
         pmod(expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"),
-          lit(buckets.toLong)).as("bucket"))
+          lit(buckets.toLong)).as("bucket")))
     val bt = feats.groupBy(col("bucket"))
       .agg(count(lit(1)).as("cr"), sum(col("is_t").cast("long")).as("ct"))
     val tot = bt.agg(sum(col("cr")).as("tot_r"), sum(col("ct")).as("tot_t"))

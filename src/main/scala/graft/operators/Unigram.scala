@@ -85,12 +85,16 @@ object Unigram {
       .orderBy(col("cnt").desc, col("piece")).limit(SeedMultis)
       .select(col("piece"))
     val charsP = Ema.persistTracked(chars)
-    var vocab = Checkpoints.truncate(charsP.union(subs))
+    // truncateLazy: the rounds are gated by each round's broadcast
+    // collect of the vocab (crossJoin(broadcast(varr))), which
+    // materializes the marked frames — lazy truncation drops the
+    // per-round eager-count job while keeping every plan LogicalRDD-flat
+    var vocab = Checkpoints.truncateLazy(charsP.union(subs))
     var usage: DataFrame = null
     // Budgets prune rounds, then one final count round (budget -1)
     for (budget <- Budgets :+ -1) {
       val varr = vocab.agg(sort_array(collect_list(col("piece"))).as("vocab"))
-      usage = Checkpoints.truncate(
+      usage = Checkpoints.truncateLazy(
         dw.crossJoin(broadcast(varr))
           .select(col("freq"),
             explode(expr("greedy_seg(word, vocab)")).as("piece"))
@@ -101,7 +105,7 @@ object Unigram {
           .orderBy(coalesce(col("usage"), lit(0L)).desc, col("piece"))
           .limit(budget)
           .select(col("piece"))
-        vocab = Checkpoints.truncate(charsP.union(multis))
+        vocab = Checkpoints.truncateLazy(charsP.union(multis))
       }
     }
     vocab.join(usage, Seq("piece"), "left")
