@@ -307,8 +307,21 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val pairs = pairs0.select(col("doc_a"), col("doc_b"))
     val docs = ids.select(col("doc_id"))
+    // CO-PARTITION the fixpoint (guide §2.4): edges are persisted
+    // hash-partitioned by dst and labels enter (and, by induction, LEAVE
+    // every round) hash-partitioned by doc_id with the SAME explicit
+    // partition count — Dataset.localCheckpoint preserves the physical
+    // partitioning, so the per-round neighbor-min join needs NO exchange
+    // on either side at any scale: the only per-round shuffles left are
+    // the (≤ nodes-sized, map-side-combined) nbrMin aggregate and its
+    // re-shuffle back to P. Without this, every round re-shuffled BOTH
+    // the edge list and the full label frame. The explicit P (the
+    // session's shuffle parallelism, env-derived in the mains) keeps AQE
+    // from coalescing one side to a mismatched partition count.
+    val P = docs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(P, col("dst"))
       .persist()
     // localCheckpoint per round: each round's plan references the
     // previous labels twice (neighbor-min + merge join), so bare persist
@@ -318,7 +331,8 @@ object Dedup {
     // round (the sig aggregate materializes the checkpoint it scans)
     // instead of an eager-count job followed by the sig job.
     var labels = Checkpoints.truncateLazy(
-      docs.select(col("doc_id"), col("doc_id").as("label")))
+      docs.select(col("doc_id"), col("doc_id").as("label"))
+        .repartition(P, col("doc_id")))
     // order-independent (count, XOR-of-hashes) signature — a label SUM
     // would overflow Long under ANSI mode at exactly the id scales the
     // operator targets, and xor detects any label flip just as well

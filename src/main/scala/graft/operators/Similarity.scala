@@ -409,7 +409,10 @@ object Similarity {
       // centroid update: ONE native vector-mean aggregate (6dp-rounded,
       // ≡ the per-dim round(avg(x), 6) the oracle mirrors) instead of a
       // dim× posexplode + two groupBy shuffles per iteration
-      cents = Checkpoints.truncate(assign
+      // truncateLazy: each round's K-row frame is consumed through one
+      // broadcast whose build job materializes the checkpoint — no
+      // per-round eager count job
+      cents = Checkpoints.truncateLazy(assign
         .groupBy(col("cent_id"))
         .agg(expr("vec_mean6(v)").as("cv")))
     }
@@ -566,7 +569,11 @@ object Similarity {
           slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv")))
     var cb = pqCodebookFrom(e)
     for (_ <- 1 to iters) {
-      cb = Checkpoints.truncate(
+      // truncateLazy: each round's cb is consumed through exactly one
+      // broadcast (next round's join, or the caller's assignment), whose
+      // build job materializes the checkpoint — the eager count job per
+      // round was pure overhead
+      cb = Checkpoints.truncateLazy(
         sub.join(broadcast(cb), Seq("m"))
           .select(col("vec_id"), col("m"), col("code_id"), col("sv"),
             dist2(col("sv"), col("csub")).as("d2"))
