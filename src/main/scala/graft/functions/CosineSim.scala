@@ -117,6 +117,8 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "dist2", exprs => Dist2(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "nearest_cell", exprs => NearestCell(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "ngram_join", exprs => NgramJoin(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "poly_hash", exprs => PolyHash(exprs(0)), "built-in")

@@ -289,6 +289,27 @@ object Similarity {
     * the family; everything downstream stays distributed. */
   private def adaptiveK(corpus: DataFrame): Int = ivfKFor(corpus.count())
 
+  /** The centroid set as ONE id-sorted array row — the broadcast
+    * payload of the fused [[graft.functions.NearestCell]] assignment.
+    * O(K ≤ 4096) structs ≈ 2 MB max, the same budget the per-row
+    * centroid broadcast already spent. */
+  private def cellsRow(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(col("cent_id"), col("cv"))))
+      .as("cells"))
+
+  /** Fused nearest-centroid assignment: (vec_id, v, cell) in ONE narrow
+    * map over the corpus — the centroid array rides in as a one-row
+    * broadcast column and the argmin runs inside the scan stage,
+    * replacing the N×K crossJoin → corpus-scale min_by aggregate
+    * exchange → vec_id re-join exchange shape (guide §2.4: remove
+    * shuffles outright). Same (d2, cent_id) lexicographic argmin over
+    * the same sequential [[graft.functions.Dist2]] fold — bit-identical
+    * cells ([[graft.functions.NearestCell]] doc), oracle unchanged. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cellsRow(cents)))
+      .select(col("vec_id"), col("v"),
+        expr("nearest_cell(v, cells).cell").as("cell"))
+
   /** IVF-flat ANN: K = clamp(⌈√N⌉, 32, 4096) centroids ([[ivfKFor]])
     * sampled deterministically by md5 order (top-K is a distributed
     * TakeOrdered — O(K) result no matter the corpus), every vector
@@ -314,11 +335,10 @@ object Similarity {
   def clusterSourceProfile(embeddings: DataFrame,
       documents: DataFrame): DataFrame = {
     val e = withVec(embeddings)
-    val cents = sampledCentroids(e, adaptiveK(e))
-    val assign = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
+    // fused assignment (assignCells): cell decided inside the scan
+    // stage — no N×K stream, no aggregate exchange (guide §2.4)
+    val assign = assignCells(e, sampledCentroids(e, adaptiveK(e)))
+      .select(col("vec_id"), col("cell"))
     assign.join(documents.select(col("doc_id"), col("source"), col("lang"),
         col("n_chars")),
         col("vec_id") === col("doc_id"))
@@ -335,20 +355,18 @@ object Similarity {
     * combinable `min_by` over the (d2, cent_id) struct — no full-corpus
     * window shuffle+sort; only the bounded query side uses a window for
     * its nprobe ranking. */
-  private def ivfProbe(e: DataFrame, cents: DataFrame, k: Int,
+  private def ivfProbe(e: DataFrame, cents0: DataFrame, k: Int,
       nprobe: Int = IvfProbes): DataFrame = {
-    // NARROW assignment: the N×K expanded stream carries only
-    // (vec_id, cent_id, d2) — materializing the 64-double vector into
-    // every candidate row is a K× memcpy amplification inside the
-    // crossJoin stage (measured 15× on the residual variant at sf10);
-    // the vector rejoins ONCE per corpus row afterwards. The query
-    // side keeps the wide form: its filter pushes below the crossJoin,
-    // so that stream is |Q|·K — bounded.
-    val assignN = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
-    val assign = e.join(assignN, Seq("vec_id"))
+    // ONE evaluation of the centroid frame for its two consumers
+    // (assignment array + query probe): K rows, lazily checkpointed —
+    // without it each broadcast re-runs the TakeOrdered corpus pass.
+    val cents = Checkpoints.truncateLazy(cents0)
+    // Fused assignment (assignCells): the argmin runs inside the scan
+    // stage against the one-row broadcast centroid array — no N×K row
+    // stream, no corpus-scale aggregate exchange, no vec_id re-join.
+    // The query side keeps the crossJoin+window form: its filter pushes
+    // below the crossJoin, so that stream is |Q|·K — bounded.
+    val assign = assignCells(e, cents)
     val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
     val qcells = e.filter(col("vec_id") < QueryCount)
       .crossJoin(broadcast(cents))
@@ -392,29 +410,20 @@ object Similarity {
   private def ivfCentroidsLloydFrom(e: DataFrame, iters: Int): DataFrame = {
     var cents = sampledCentroids(e, adaptiveK(e))
     for (_ <- 1 to iters) {
-      // nearest-centroid assignment as a map-side combinable min_by
-      // (same (d2, cent_id) lexicographic order as a rank-1 window,
-      // without the full-corpus shuffle+sort per iteration); NARROW:
-      // the N×K stream carries ids and distances only, the vector
-      // rejoins once per row for the mean update (the ivfProbe /
-      // residual-IVFADC discipline — K× memcpy otherwise)
-      val assign = e.join(
-        e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cent_id"),
-            dist2(col("v"), col("cv")).as("d2"))
-          .groupBy(col("vec_id"))
-          .agg(min_by(col("cent_id"),
-            struct(col("d2"), col("cent_id"))).as("cent_id")),
-        Seq("vec_id"))
-      // centroid update: ONE native vector-mean aggregate (6dp-rounded,
-      // ≡ the per-dim round(avg(x), 6) the oracle mirrors) instead of a
-      // dim× posexplode + two groupBy shuffles per iteration
+      // fused nearest-centroid assignment (assignCells): cell decided
+      // inside the scan stage against the one-row broadcast centroid
+      // array — each iteration is now ONE exchange (the map-side
+      // combinable vec_mean6 update) instead of three (N×K min_by
+      // aggregate + vec_id re-join + update). The update itself is the
+      // ONE native vector-mean aggregate (6dp-rounded, ≡ the per-dim
+      // round(avg(x), 6) the oracle mirrors).
       // truncateLazy: each round's K-row frame is consumed through one
       // broadcast whose build job materializes the checkpoint — no
       // per-round eager count job
-      cents = Checkpoints.truncateLazy(assign
-        .groupBy(col("cent_id"))
-        .agg(expr("vec_mean6(v)").as("cv")))
+      cents = Checkpoints.truncateLazy(assignCells(e, cents)
+        .groupBy(col("cell"))
+        .agg(expr("vec_mean6(v)").as("cv"))
+        .select(col("cell").as("cent_id"), col("cv")))
     }
     cents
   }
@@ -573,13 +582,14 @@ object Similarity {
       // broadcast (next round's join, or the caller's assignment), whose
       // build job materializes the checkpoint — the eager count job per
       // round was pure overhead
+      // fused per-subspace assignment (the pqAssign device): the code
+      // is decided inside the scan stage, so each training round is ONE
+      // exchange (the map-side combinable vec_mean6 update over M·Ks
+      // groups) instead of two (N·M min_by aggregate + update)
       cb = Checkpoints.truncateLazy(
-        sub.join(broadcast(cb), Seq("m"))
-          .select(col("vec_id"), col("m"), col("code_id"), col("sv"),
-            dist2(col("sv"), col("csub")).as("d2"))
-          .groupBy(col("vec_id"), col("m"))
-          .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code_id"),
-            first(col("sv")).as("sv"))
+        sub.join(broadcast(cbRow(cb)), Seq("m"))
+          .select(col("m"), expr("nearest_cell(sv, cells).cell").as("code_id"),
+            col("sv"))
           .groupBy(col("m"), col("code_id"))
           .agg(expr("vec_mean6(sv)").as("csub")))
     }
@@ -615,21 +625,29 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  /** Per-(vector, subspace) nearest-codeword assignment: map-side
-    * combinable `min_by` over (d2, code_id) — the IVF assignment shape,
-    * never a full-corpus window. Carries only (vec_id, m, code, d2). */
+  /** Per-subspace codebook as ONE code_id-sorted array row per m — the
+    * broadcast payload of the fused per-subspace assignment (8 rows of
+    * Ks structs; the per-m equi-join is a broadcast hash probe). */
+  private def cbRow(cb: DataFrame): DataFrame =
+    cb.groupBy(col("m")).agg(sort_array(collect_list(
+      struct(col("code_id"), col("csub")))).as("cells"))
+
+  /** Per-(vector, subspace) nearest-codeword assignment, fused: the
+    * argmin over the Ks codewords runs inside the scan stage via
+    * [[graft.functions.NearestCell]] against the per-m broadcast
+    * codeword array — no N×M×Ks row stream and no (vec_id, m)
+    * aggregate exchange (the previous min_by shape paid both). Same
+    * (d2, code_id) lexicographic order over the same sequential
+    * distance fold — bit-identical codes. Carries (vec_id, m, code, d2). */
   private def pqAssign(e: DataFrame, cb: DataFrame): DataFrame =
     e.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
       .select(col("vec_id"), col("m"),
         slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
-      .join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), col("code_id"),
-        dist2(col("sv"), col("csub")).as("d2"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(struct(col("code_id"), col("d2")),
-        struct(col("d2"), col("code_id"))).as("bc"))
+      .join(broadcast(cbRow(cb)), Seq("m"))
       .select(col("vec_id"), col("m"),
-        col("bc.code_id").as("code"), col("bc.d2").as("d2"))
+        expr("nearest_cell(sv, cells)").as("nc"))
+      .select(col("vec_id"), col("m"),
+        col("nc.cell").as("code"), col("nc.d2").as("d2"))
 
   /** Product-quantization codes: each vector → one packed 32-bit word
     * (8 nibbles, subspace m at bits 4m) + total reconstruction error.
@@ -756,12 +774,12 @@ object Similarity {
     * frame before the exact re-rank. */
   private def ivfPqAdcFrame(e: DataFrame, q0: DataFrame,
       broadcastQ: Boolean): DataFrame = {
-    val cents = sampledCentroids(e, adaptiveK(e))
-    // corpus routing: map-side combinable min_by — never a corpus window
-    val assign = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
+    // K rows, lazily checkpointed: ONE TakeOrdered pass for the
+    // centroid frame's two consumers (assignment array + query probe)
+    val cents = Checkpoints.truncateLazy(sampledCentroids(e, adaptiveK(e)))
+    // corpus routing, fused (assignCells): the cell is decided inside
+    // the scan stage — no N×K stream, no aggregate exchange
+    val assign = assignCells(e, cents).select(col("vec_id"), col("cell"))
     // query routing: nprobe nearest cells; the window partitions by
     // q_id, so even the over-gate fallback never sorts the corpus
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cent_id"))
@@ -871,22 +889,18 @@ object Similarity {
   def annIvfPqResidual(embeddings: DataFrame, k: Int = 5,
       trainIters: Int = 0): DataFrame = {
     val e = Ema.persistTracked(withVec(embeddings))
-    val cents = sampledCentroids(e, adaptiveK(e))
-    // NARROW assignment (the ivfPqAdcFrame discipline): the N×K
-    // expanded stream carries only (vec_id, cent_id, d2) — never a
-    // vector. An earlier shape dragged both v and cv (128 doubles/row)
-    // through the expansion's aggregate to save the rejoin below; at
-    // adaptive K=√N that is ~K·dim more aggregate input bytes than the
-    // narrow form and went 2× super-linear past sf1.0. The residual is
-    // built afterwards: raw vectors rejoin ONCE by vec_id (N narrow
-    // rows, co-partitioned), centroid vectors come back via the same
-    // ≤~2 MB broadcast the assignment used.
-    val cellOf = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
+    // K rows, lazily checkpointed: ONE TakeOrdered pass for the
+    // centroid frame's three consumers (assignment array, residual
+    // centroid re-attach, query probe)
+    val cents = Checkpoints.truncateLazy(sampledCentroids(e, adaptiveK(e)))
+    // Fused assignment (assignCells): the cell is decided inside the
+    // scan stage and v is already on the row, so the former N×K
+    // expansion, its corpus-scale min_by exchange AND the vec_id
+    // re-join are all gone. The residual is built right after:
+    // centroid vectors come back via the same ≤~2 MB broadcast the
+    // assignment array rode in on.
     val assign = Ema.persistTracked(
-      e.join(cellOf, Seq("vec_id"))
+      assignCells(e, cents)
         .join(broadcast(cents.select(col("cent_id").as("cell"), col("cv"))),
           Seq("cell"))
         .select(col("vec_id"), col("cell"),
@@ -1018,13 +1032,12 @@ object Similarity {
     import spark.implicits._
     val e = Ema.persistTracked(withVec(embeddings))
     val kCent = adaptiveK(e)
-    val cents = sampledCentroids(e, kCent)
+    // K rows, lazily checkpointed: one TakeOrdered pass for the two
+    // consumers (assignment array + query probe)
+    val cents = Checkpoints.truncateLazy(sampledCentroids(e, kCent))
     val maxNp = IvfTuningGrid.max
-    val assignN = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
-    val assign = e.join(assignN, Seq("vec_id"))
+    // fused assignment (assignCells): cell decided in the scan stage
+    val assign = assignCells(e, cents)
     val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
     val qcells = e.filter(col("vec_id") < QueryCount)
       .crossJoin(broadcast(cents))
@@ -1271,17 +1284,15 @@ object Similarity {
   def semDedup(embeddings: DataFrame, tau: Double = 0.2,
       cap: Int = 64): DataFrame = {
     val e = withVec(embeddings)
-    val cents = sampledCentroids(e, adaptiveK(e))
-    val assignN = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"), dist2(col("v"), col("cv")).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"))
     val wCap = Window.partitionBy(col("cell"))
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-    val member = assignN
+    // fused assignment (assignCells): the cell is decided inside the
+    // scan stage and v is already on the row — no N×K stream, no
+    // min_by aggregate exchange, and the post-cap vec_id re-join is
+    // gone (the cap window's one cell-keyed exchange now carries v)
+    val member = assignCells(e, sampledCentroids(e, adaptiveK(e)))
       .withColumn("rn", row_number().over(wCap)).filter(col("rn") <= cap)
-      .select(col("vec_id"), col("cell"))
-      .join(e, Seq("vec_id")) // vectors rejoin once, after cell + cap
+      .select(col("vec_id"), col("cell"), col("v"))
     val a = member.select(col("cell"), col("vec_id").as("vec_a"),
       col("v").as("va"))
     val b = member.select(col("cell"), col("vec_id").as("vec_b"),
